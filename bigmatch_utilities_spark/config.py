@@ -1,0 +1,386 @@
+"""Match configuration: dataclasses + parmf.txt / parmn.txt / data-dictionary IO.
+
+The reference system's "query language" is the BigMatch ``parmf.txt``
+grammar (parsed by ``/root/reference/app/BigMatchParmFile.py:405-549``,
+written by ``/root/reference/app/BlockingPass.py:588-715``):
+
+    row 0: NP 1 1 0 1 D 0 RECLEN MEMLEN   # NP passes (idx0), D dedupe (idx5),
+                                          # record lengths (idx7, idx8)
+    row 1: b1 .. bNP                      # blocking-field count per pass
+    row 2: m1 .. mNP                      # matching-field count per pass
+    per pass:
+      b  x  "name rec_start rec_width mem_start mem_width blank_flag"
+      m  x  "name rec_start rec_width mem_start mem_width 0 method m u"
+      1  x  "cutoff_hi cutoff_lo"
+      1  x  "prcutoff_hi prcutoff_lo"
+    final: "seqname rec_start rec_width mem_start mem_width"   # unique-id field
+
+``parmn.txt`` is two lines: memory-file path, record-file path
+(``/root/reference/samplefiles/gs/parmn.txt``).
+
+Our native config is the dataclass tree (the parmf parser is compatibility
+sugar so existing reference configs run unchanged).
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+from dataclasses import dataclass, field, replace
+
+#: Comparator vocabulary, per /root/reference/app/BlockingPass.py:117-127.
+#:   c    exact string comparison
+#:   ci   case-insensitive exact comparison ("inverted" in the GUI label)
+#:   uo   string comparison with variation (Jaro-Winkler family; engine default)
+#:   uoi  case-insensitive uo
+#:   p    numeric comparison for age (tolerant, stepped partial agreement)
+#:   y    numeric comparison for year (tolerant, stepped partial agreement)
+#:   q    strict numeric comparison (equal-or-nothing)
+#:   s    street-name comparison (token-sorted Jaro-Winkler)
+#: The reference GUI only labels these ("ci (inverted string comparison)");
+#: the i-suffix semantics are underdocumented, so this engine defines them
+#: as case-insensitive variants — documented, deterministic, and testable.
+COMPARATORS = ("c", "ci", "uo", "uoi", "p", "y", "q", "s")
+
+DEFAULT_M = 0.90  # GUI spinner defaults, /root/reference/app/BlockingPass.py:75-76
+DEFAULT_U = 0.10
+DEFAULT_CUTOFF_HI = 100.0  # /root/reference/app/BlockingPass.py:71-74
+DEFAULT_CUTOFF_LO = 0.0
+DEFAULT_ACCEPT_THRESHOLD = 10.0  # /root/reference/app/MatchReview.py:1047
+
+
+@dataclass(frozen=True)
+class FieldRef:
+    """One logical field, with its fixed-width position in each file.
+
+    ``rec_start``/``mem_start`` are 1-based (reference convention); they are
+    irrelevant when the inputs are already columnar DataFrames.
+    """
+
+    name: str
+    rec_start: int = 0
+    rec_width: int = 0
+    mem_start: int = 0
+    mem_width: int = 0
+
+
+@dataclass(frozen=True)
+class BlockField(FieldRef):
+    #: blank_flag=1 (the reference default, BlockingPass.py:498-499) means
+    #: records blank in this key do NOT participate in the pass — this is
+    #: also the #1 skew killer (the '' mega-block never forms).
+    blank_flag: int = 1
+
+
+@dataclass(frozen=True)
+class MatchField(FieldRef):
+    comparator: str = "uo"  # engine default when blank, BlockingPass.py:516-520
+    m: float = DEFAULT_M
+    u: float = DEFAULT_U
+
+    def __post_init__(self) -> None:
+        if self.comparator not in COMPARATORS:
+            raise ValueError(f"unknown comparator {self.comparator!r}")
+        if not (0.0 < self.u < self.m < 1.0):
+            raise ValueError(f"need 0 < u < m < 1, got m={self.m} u={self.u}")
+
+
+@dataclass(frozen=True)
+class CutoffSpec:
+    hi: float = DEFAULT_CUTOFF_HI
+    lo: float = DEFAULT_CUTOFF_LO
+
+
+@dataclass(frozen=True)
+class BlockingPassSpec:
+    block_fields: tuple[BlockField, ...]
+    match_fields: tuple[MatchField, ...]
+    cutoff: CutoffSpec = CutoffSpec()
+    print_cutoff: CutoffSpec = CutoffSpec()
+
+
+@dataclass(frozen=True)
+class MatchConfig:
+    passes: tuple[BlockingPassSpec, ...]
+    id_field: FieldRef
+    dedupe_single_file: bool = False
+    rec_record_length: int = 880  # app/parmf.txt:1 typical; parser default 950
+    mem_record_length: int = 880
+    accept_threshold: float = DEFAULT_ACCEPT_THRESHOLD
+
+    def block_field_names(self) -> list[str]:
+        return sorted({bf.name for p in self.passes for bf in p.block_fields})
+
+    def match_field_names(self) -> list[str]:
+        return sorted({mf.name for p in self.passes for mf in p.match_fields})
+
+    def all_field_names(self) -> list[str]:
+        return sorted(set(self.block_field_names()) | set(self.match_field_names()))
+
+
+# ---------------------------------------------------------------------------
+# parmf.txt parser / writer (reference-grammar compatibility)
+# ---------------------------------------------------------------------------
+
+
+def parse_parmf(text: str) -> MatchConfig:
+    """Parse the reference parmf grammar into a MatchConfig.
+
+    Grammar per /root/reference/app/BigMatchParmFile.py:405-549 (row 0
+    fields), :131-149 (per-pass section bounds).
+    """
+    rows = [line.split() for line in text.splitlines() if line.strip()]
+    if len(rows) < 4:
+        raise ValueError("parmf too short")
+    row0 = rows[0]
+    n_passes = int(row0[0])
+    dedupe = row0[5] not in ("0", "", None)
+    rec_len = int(row0[7])
+    mem_len = int(row0[8])
+    n_block = [int(x) for x in rows[1][:n_passes]]
+    n_match = [int(x) for x in rows[2][:n_passes]]
+    if len(n_block) != n_passes or len(n_match) != n_passes:
+        raise ValueError("pass-count rows shorter than pass count")
+
+    idx = 3
+    passes: list[BlockingPassSpec] = []
+    for k in range(n_passes):
+        bfs = []
+        for _ in range(n_block[k]):
+            r = rows[idx]
+            bfs.append(
+                BlockField(
+                    name=r[0],
+                    rec_start=int(r[1]),
+                    rec_width=int(r[2]),
+                    mem_start=int(r[3]),
+                    mem_width=int(r[4]),
+                    blank_flag=int(r[5]),
+                )
+            )
+            idx += 1
+        mfs = []
+        for _ in range(n_match[k]):
+            r = rows[idx]
+            # Canonical layout is 9 tokens with a constant "0" at index 5
+            # (BigMatchParmFile.py:472-506); some shipped configs (e.g.
+            # samplefiles/parcel/parmf_bldgpermits.txt) omit that column —
+            # locate the comparator as the first alphabetic token after the
+            # four position/width ints.
+            ci = next(
+                (i for i in range(5, len(r)) if r[i].isalpha()),
+                None,
+            )
+            if ci is None:
+                comparator, m, u = "uo", DEFAULT_M, DEFAULT_U
+            else:
+                comparator = r[ci]
+                m = _parse_mu(r[ci + 1]) if len(r) > ci + 1 else DEFAULT_M
+                u = _parse_mu(r[ci + 2]) if len(r) > ci + 2 else DEFAULT_U
+            mfs.append(
+                MatchField(
+                    name=r[0],
+                    rec_start=int(r[1]),
+                    rec_width=int(r[2]),
+                    mem_start=int(r[3]),
+                    mem_width=int(r[4]),
+                    comparator=comparator,
+                    m=m,
+                    u=u,
+                )
+            )
+            idx += 1
+        cutoff = CutoffSpec(hi=float(rows[idx][0]), lo=float(rows[idx][1]))
+        idx += 1
+        prcutoff = CutoffSpec(hi=float(rows[idx][0]), lo=float(rows[idx][1]))
+        idx += 1
+        passes.append(
+            BlockingPassSpec(
+                block_fields=tuple(bfs),
+                match_fields=tuple(mfs),
+                cutoff=cutoff,
+                print_cutoff=prcutoff,
+            )
+        )
+    if idx >= len(rows):
+        raise ValueError("missing final unique-id row")
+    r = rows[idx]
+    id_field = FieldRef(
+        name=r[0],
+        rec_start=int(r[1]),
+        rec_width=int(r[2]),
+        mem_start=int(r[3]),
+        mem_width=int(r[4]),
+    )
+    return MatchConfig(
+        passes=tuple(passes),
+        id_field=id_field,
+        dedupe_single_file=dedupe,
+        rec_record_length=rec_len,
+        mem_record_length=mem_len,
+    )
+
+
+def _parse_mu(tok: str) -> float:
+    """m/u tokens are decimals in [0,1]; the GUI clamps >100→1.0
+    (/root/reference/app/BlockingPass.py:656-681)."""
+    v = float(tok)
+    if v > 1.0:  # percentage form from older writers
+        v = min(v, 100.0) / 100.0
+    return v
+
+
+def _fmt_mu(v: float) -> str:
+    return f"{v:.2f}"
+
+
+def write_parmf(cfg: MatchConfig) -> str:
+    """Emit the reference parmf layout (writer shape per
+    /root/reference/app/BlockingPass.py:588-715)."""
+    out: list[str] = []
+    np_ = len(cfg.passes)
+    out.append(
+        f"{np_} 1 1 0 1 {1 if cfg.dedupe_single_file else 0} 0 "
+        f"{cfg.rec_record_length} {cfg.mem_record_length} "
+    )
+    out.append(" ".join(str(len(p.block_fields)) for p in cfg.passes) + " ")
+    out.append(" ".join(str(len(p.match_fields)) for p in cfg.passes) + " ")
+    for p in cfg.passes:
+        for bf in p.block_fields:
+            out.append(
+                f"{bf.name:<32}{bf.rec_start:<5}{bf.rec_width:<6}"
+                f"{bf.mem_start:<5}{bf.mem_width:<5}{bf.blank_flag:<4}"
+            )
+        for mf in p.match_fields:
+            out.append(
+                f"{mf.name:<32}{mf.rec_start:<5}{mf.rec_width:<6}"
+                f"{mf.mem_start:<5}{mf.mem_width:<5}0 {mf.comparator:<6}"
+                f"{_fmt_mu(mf.m):<8}{_fmt_mu(mf.u):<7}"
+            )
+        out.append(f"{p.cutoff.hi}  {p.cutoff.lo} ")
+        out.append(f"{p.print_cutoff.hi}  {p.print_cutoff.lo} ")
+    f = cfg.id_field
+    out.append(f"{f.name:<24}{f.rec_start} {f.rec_width} {f.mem_start} {f.mem_width}")
+    return "\n".join(out) + "\n"
+
+
+def parse_parmn(text: str) -> tuple[str, str]:
+    """parmn.txt: line 1 = memory-file path, line 2 = record-file path
+    (/root/reference/samplefiles/gs/parmn.txt)."""
+    lines = [ln.strip() for ln in text.splitlines() if ln.strip()]
+    if len(lines) < 2:
+        raise ValueError("parmn needs two lines (memfile, recfile)")
+    return lines[0], lines[1]
+
+
+# ---------------------------------------------------------------------------
+# Data dictionary CSV (the reference's external schema system)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class DictField:
+    name: str
+    start_pos: int  # 1-based
+    width: int
+    is_unique_id: bool = False
+    is_match_field: bool = False
+    bigmatch_type: str = ""
+    data_format: str = ""
+
+
+#: Canonical header, /root/reference/app/recfile.dict.csv:1 and the
+#: hard-coded fallback at app/DataDict.py:208.
+DICT_HEADER = (
+    "column_name,start_pos,width,unique_id_yn,matchfield_yn,"
+    "bigmatch_type,data_format,comments"
+)
+
+_TRUTHY = {"y", "t", "1", "yes", "true"}  # app/BlockingPass.py:334
+
+
+def parse_datadict(text: str) -> list[DictField]:
+    """Parse a data-dictionary CSV, tolerant of header variants
+    (column_name|columnname, unique_id|unique_id_yn|seq_yn —
+    /root/reference/app/BlockingPass.py:254-265)."""
+    reader = csv.reader(io.StringIO(text))
+    rows = [r for r in reader if any(c.strip() for c in r)]
+    if not rows:
+        return []
+    header = [h.strip().lower() for h in rows[0]]
+
+    def col(*names: str) -> int | None:
+        for n in names:
+            if n in header:
+                return header.index(n)
+        return None
+
+    i_name = col("column_name", "columnname", "column")
+    i_start = col("start_pos", "startpos", "start")
+    i_width = col("width")
+    i_uid = col("unique_id_yn", "unique_id", "seq_yn", "uniqueid_yn")
+    i_match = col("matchfield_yn", "match_field_yn", "matchfield")
+    i_type = col("bigmatch_type", "bigmatchtype")
+    i_fmt = col("data_format", "dataformat")
+    if i_name is None or i_start is None or i_width is None:
+        raise ValueError(f"dictionary missing crucial columns in header {header}")
+
+    def get(r: list[str], i: int | None) -> str:
+        return r[i].strip() if i is not None and i < len(r) else ""
+
+    fields = []
+    for r in rows[1:]:
+        name = get(r, i_name)
+        if not name:
+            continue
+        fields.append(
+            DictField(
+                name=name,
+                start_pos=int(get(r, i_start) or 0),
+                width=int(get(r, i_width) or 0),
+                is_unique_id=get(r, i_uid).lower() in _TRUTHY,
+                is_match_field=get(r, i_match).lower() in _TRUTHY,
+                bigmatch_type=get(r, i_type).lower(),
+                data_format=get(r, i_fmt).lower(),
+            )
+        )
+    return fields
+
+
+def write_datadict(fields: list[DictField]) -> str:
+    out = [DICT_HEADER]
+    for f in fields:
+        out.append(
+            f"{f.name},{f.start_pos},{f.width},"
+            f"{'y' if f.is_unique_id else ''},{'y' if f.is_match_field else ''},"
+            f"{f.bigmatch_type},{f.data_format},"
+        )
+    return "\n".join(out) + "\n"
+
+
+def unique_id_field(fields: list[DictField]) -> DictField:
+    """Exactly one column is the record's unique sequence ID
+    (app/BlockingPass.py:298-356)."""
+    ids = [f for f in fields if f.is_unique_id]
+    if len(ids) != 1:
+        raise ValueError(f"expected exactly one unique_id_yn column, got {len(ids)}")
+    return ids[0]
+
+
+def rekey_for_dataframes(cfg: MatchConfig) -> MatchConfig:
+    """Drop fixed-width positions (DataFrame inputs address fields by name)."""
+    def strip(fr):
+        return replace(fr, rec_start=0, rec_width=0, mem_start=0, mem_width=0)
+
+    return replace(
+        cfg,
+        passes=tuple(
+            replace(
+                p,
+                block_fields=tuple(strip(bf) for bf in p.block_fields),
+                match_fields=tuple(strip(mf) for mf in p.match_fields),
+            )
+            for p in cfg.passes
+        ),
+        id_field=strip(cfg.id_field),
+    )

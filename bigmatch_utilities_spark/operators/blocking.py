@@ -1,0 +1,139 @@
+"""Blocking-pass candidate generation: the blocked equi-join.
+
+The reference's join semantics (parmf blocking rows,
+/root/reference/app/BigMatchParmFile.py:434-470):
+
+* candidates are (rec, mem) row pairs agreeing EXACTLY on every blocking
+  field of the pass;
+* blank_flag=1 fields exclude records blank in that field from the pass
+  (app/BlockingPass.py:498-499 writes the default "1") — this also kills
+  the '' mega-block, the dominant skew source;
+* single-file dedupe mode (parmf row-1 digit 6, app/BlockingPass.py:1043-47)
+  self-joins one table; pairs are canonicalized id_l < id_r;
+* the memory file is the broadcast side (held wholly in RAM by the
+  reference engine, README.md:3) — Spark generalizes it: broadcast when
+  small, shuffle hash/sort-merge with AQE skew splitting when not.
+
+Scale notes (100 TB design point): the join keys are the pass's blocking
+fields, so the shuffle is a single exchange on the composite key; hot keys
+are handled by (a) blank suppression, (b) AQE skew-join splitting, and (c)
+the explicit `salt` option that replicates the memory side S ways —
+preserving exact join semantics — when one side is broadcast-sized per salt
+but the key histogram is pathological. `max_block_rows` is the guardrail
+that drops (and logs) degenerate blocks instead of letting one key produce
+10^10 pairs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bigmatch_utilities_spark.config import BlockingPassSpec
+
+
+@dataclass
+class BlockStats:
+    pass_id: int
+    dropped_blocks: int = 0
+    dropped_rows: int = 0
+
+
+def _nonblank(c: Column) -> Column:
+    return c.isNotNull() & (F.trim(c) != "")
+
+
+def apply_blank_flags(df: DataFrame, spec: BlockingPassSpec) -> DataFrame:
+    """blank_flag=1 blocking fields: rows blank in the key don't join."""
+    for bf in spec.block_fields:
+        if bf.blank_flag:
+            df = df.filter(_nonblank(F.col(bf.name)))
+    return df
+
+
+def cap_block_size(
+    df: DataFrame, keys: list[str], max_block_rows: int | None
+) -> DataFrame:
+    """Drop rows in blocks larger than `max_block_rows` (guardrail for
+    degenerate keys at scale; drops are observable via the lineage metrics
+    table). Implemented as a window-free groupBy + join so AQE can plan it."""
+    if not max_block_rows:
+        return df
+    big = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_block_n"))
+        .filter(F.col("_block_n") > max_block_rows)
+        .select(*keys)
+    )
+    return df.join(F.broadcast(big), on=keys, how="left_anti")
+
+
+def candidate_pairs(
+    rec: DataFrame,
+    mem: DataFrame,
+    spec: BlockingPassSpec,
+    id_col: str,
+    *,
+    dedupe: bool = False,
+    broadcast_mem: bool | None = None,
+    salt: int | None = None,
+    max_block_rows: int | None = None,
+    carry_rec: list[str] | None = None,
+    carry_mem: list[str] | None = None,
+) -> DataFrame:
+    """One blocking pass → candidate pair DataFrame.
+
+    Output columns: ``id_rec``, ``id_mem``, one ``bk_<field>`` per blocking
+    field, and ``rec_<f>`` / ``mem_<f>`` for every carried field (default:
+    the pass's match fields).
+
+    dedupe=True self-join keeps only ``id_rec < id_mem`` — halves the pair
+    space and drops self-pairs (reference single-file mode).
+    """
+    keys = [bf.name for bf in spec.block_fields]
+    carry_rec = carry_rec if carry_rec is not None else [mf.name for mf in spec.match_fields]
+    carry_mem = carry_mem if carry_mem is not None else [mf.name for mf in spec.match_fields]
+
+    r = apply_blank_flags(rec, spec)
+    m = apply_blank_flags(mem, spec)
+    r = cap_block_size(r, keys, max_block_rows)
+    m = cap_block_size(m, keys, max_block_rows)
+
+    r = r.select(
+        F.col(id_col).alias("id_rec"),
+        *[F.col(k).alias(f"bk_{k}") for k in keys],
+        *[F.col(c).alias(f"rec_{c}") for c in carry_rec],
+    )
+    m = m.select(
+        F.col(id_col).alias("id_mem"),
+        *[F.col(k).alias(f"bk_{k}_m") for k in keys],
+        *[F.col(c).alias(f"mem_{c}") for c in carry_mem],
+    )
+
+    if salt and salt > 1:
+        # Exact-semantics salting: split the rec side into `salt` shards by a
+        # hash of its id, replicate the mem side once per shard. The shuffle
+        # key becomes (block key, shard) so one hot key spreads over `salt`
+        # reducers. Only worth it when AQE skew-split isn't available.
+        r = r.withColumn("_salt", F.pmod(F.xxhash64(F.col("id_rec")), F.lit(salt)))
+        m = m.crossJoin(
+            m.sparkSession.range(salt).select(F.col("id").cast("int").alias("_salt_m"))
+        )
+        cond = [F.col(f"bk_{k}") == F.col(f"bk_{k}_m") for k in keys] + [
+            F.col("_salt") == F.col("_salt_m")
+        ]
+    else:
+        cond = [F.col(f"bk_{k}") == F.col(f"bk_{k}_m") for k in keys]
+
+    mm = F.broadcast(m) if broadcast_mem else m
+    joined = r.join(mm, on=cond, how="inner")
+
+    if dedupe:
+        joined = joined.filter(F.col("id_rec") < F.col("id_mem"))
+
+    drop = [f"bk_{k}_m" for k in keys] + (
+        ["_salt", "_salt_m"] if salt and salt > 1 else []
+    )
+    return joined.drop(*drop)

@@ -1,0 +1,191 @@
+"""Multi-pass match orchestration.
+
+Reference lifecycle (README.md:1-6, app/MatchReview.py): the engine makes
+one pass over the record file per blocking pass, emitting a per-pass
+possible-matches file ``{MEM}-{REC}Pairs_NN.dat``; pairs already matched in
+an earlier pass are not re-reported (first-pass-wins); review then splits
+exact matches out (rec match values == mem match values,
+app/MatchReview.py:157-173), applies the accept threshold (weight ≥ 10
+default, :1047), and combines exact+accepted into the good-pairs file
+(:535-586).
+
+Spark shape per pass:
+
+    scan → normalize → blank-key filter → equi-join on composite block key
+    → comparator similarity (Arrow-batched JW where fuzzy) → FS weight sum
+    → cutoff filters → pairs(pass_id=k)
+
+then `unionByName` across passes + first-pass-wins dedup via a min-pass
+aggregation on the pair key, and decision columns. The per-pass DataFrames
+share one persisted normalized scan, mirroring the engine's
+one-sequential-read-per-pass contract without re-reading the source.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bigmatch_utilities_spark.config import BlockingPassSpec, MatchConfig
+from bigmatch_utilities_spark.operators.blocking import candidate_pairs
+from bigmatch_utilities_spark.operators.scoring import is_exact, pair_weight
+
+PAIR_KEY = ["id_rec", "id_mem"]
+
+
+def normalize(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Reference-style normalization: trim + collapse internal whitespace
+    (reduce_blank_spaces, app/MatchReview.py:507-519). Values stay strings;
+    blanks become ''."""
+    columns = columns or df.columns
+    out = df
+    for c in columns:
+        out = out.withColumn(
+            c,
+            F.regexp_replace(F.trim(F.coalesce(F.col(c).cast("string"), F.lit(""))), " +", " "),
+        )
+    return out
+
+
+def score_pass(
+    rec: DataFrame,
+    mem: DataFrame,
+    spec: BlockingPassSpec,
+    pass_id: int,
+    id_col: str,
+    *,
+    dedupe: bool = False,
+    broadcast_mem: bool | None = None,
+    salt: int | None = None,
+    max_block_rows: int | None = None,
+) -> DataFrame:
+    """One blocking pass → scored candidate pairs.
+
+    Emission floor: pairs below the *print* low cutoff are not emitted at
+    all (print-cutoff bounds what is written, BigMatchParmFile.py:529-549);
+    `decision` is 'match' for weight ≥ cutoff hi, else 'possible' for
+    weight ≥ cutoff lo, else 'below'.
+    """
+    pairs = candidate_pairs(
+        rec,
+        mem,
+        spec,
+        id_col,
+        dedupe=dedupe,
+        broadcast_mem=broadcast_mem,
+        salt=salt,
+        max_block_rows=max_block_rows,
+    )
+    w = pair_weight(spec.match_fields)
+    scored = (
+        pairs.withColumn("weight", w)
+        .withColumn("is_exact", is_exact(spec.match_fields))
+        .withColumn("pass_id", F.lit(pass_id))
+    )
+    emit_floor = min(spec.print_cutoff.lo, spec.cutoff.lo)
+    scored = scored.filter(F.col("weight") >= F.lit(float(emit_floor)))
+    decision = (
+        F.when(F.col("weight") >= F.lit(float(spec.cutoff.hi)), F.lit("match"))
+        .when(F.col("weight") >= F.lit(float(spec.cutoff.lo)), F.lit("possible"))
+        .otherwise(F.lit("below"))
+    )
+    return scored.withColumn("decision", decision)
+
+
+@dataclass
+class MatchResult:
+    """All products of a run, as (lazy) DataFrames."""
+
+    pairs: DataFrame        # one row per (id_rec, id_mem), first-pass-wins
+    exact: DataFrame        # is_exact subset (reference *_EXACT.dat)
+    accepted: DataFrame     # auto-match ∪ threshold-accepted possibles
+    possible: DataFrame     # clerical-review set
+
+    def good_pairs(self) -> DataFrame:
+        """exact ∪ accepted, the reference's …pairs_exact_accpt.dat
+        (app/MatchReview.py:535-586)."""
+        return (
+            self.exact.unionByName(self.accepted)
+            .select("pass_id", "weight", "id_rec", "id_mem")
+            .dropDuplicates(PAIR_KEY)
+        )
+
+
+def first_pass_wins(all_pairs: DataFrame) -> DataFrame:
+    """A pair reported by several passes keeps its earliest pass's row
+    (multi-pass union + dedup, app/MatchReview.py:41-50, cleanpairs:29-44)."""
+    w = Window.partitionBy(*PAIR_KEY).orderBy(F.col("pass_id").asc())
+    return (
+        all_pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def run_match(
+    rec: DataFrame,
+    mem: DataFrame | None,
+    config: MatchConfig,
+    id_col: str | None = None,
+    *,
+    broadcast_mem: bool | None = None,
+    salt: int | None = None,
+    max_block_rows: int | None = None,
+    persist: bool = True,
+) -> MatchResult:
+    """Run every blocking pass and produce the combined decision sets.
+
+    ``mem=None`` (or config.dedupe_single_file) runs single-file dedupe:
+    rec is self-joined with id_rec < id_mem canonicalization.
+    """
+    id_col = id_col or config.id_field.name
+    dedupe = mem is None or config.dedupe_single_file
+    if mem is None:
+        mem = rec
+
+    if persist:
+        rec = rec.persist()
+        if mem is not rec:
+            mem = mem.persist()
+
+    per_pass = [
+        score_pass(
+            rec,
+            mem,
+            spec,
+            k,
+            id_col,
+            dedupe=dedupe,
+            broadcast_mem=broadcast_mem,
+            salt=salt,
+            max_block_rows=max_block_rows,
+        )
+        for k, spec in enumerate(config.passes)
+    ]
+    # Passes may carry different match fields → align on the shared core
+    # columns plus each pass's own fields, filling missing with nulls.
+    core = None
+    for df in per_pass:
+        core = df if core is None else core.unionByName(df, allowMissingColumns=True)
+    pairs = first_pass_wins(core)
+
+    exact = pairs.filter(F.col("is_exact") & (F.col("decision") != "below"))
+    accepted = pairs.filter(
+        (~F.col("is_exact"))
+        & (
+            (F.col("decision") == "match")
+            | (
+                (F.col("decision") == "possible")
+                & (F.col("weight") >= F.lit(float(config.accept_threshold)))
+            )
+        )
+    )
+    possible = pairs.filter(
+        (~F.col("is_exact"))
+        & (F.col("decision") == "possible")
+        & (F.col("weight") < F.lit(float(config.accept_threshold)))
+    )
+    return MatchResult(pairs=pairs, exact=exact, accepted=accepted, possible=possible)

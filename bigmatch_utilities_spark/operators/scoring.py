@@ -1,0 +1,129 @@
+"""Fellegi-Sunter pairwise scoring as pure Column arithmetic.
+
+Per matching field with parameters (m, u) — m = P(agree | match),
+u = P(agree | non-match), parsed from parmf matching rows
+(/root/reference/app/BigMatchParmFile.py:489-494, GUI defaults m=0.90
+u=0.10 at app/BlockingPass.py:75-76):
+
+    agreement weight     agr = log2(m / u)
+    disagreement weight  dis = log2((1-m) / (1-u))
+
+Partial agreement (the `uo` family returns a similarity in [0,1]) is
+interpolated linearly between dis (at sim = PARTIAL_FLOOR) and agr (at
+sim = 1), the standard Winkler down-weighting; below the floor the field
+scores the full disagreement weight. Blank-on-either-side contributes 0
+(missing data is neither evidence for nor against — the reference engine's
+blank handling is otherwise only visible in blocking blank_flag).
+
+The pair weight is the sum of field weights — written as the first token of
+every pairs row in the reference output (app/MatchReview.py:188-202,
+rounded to 3dp for display).
+
+Everything here is JVM-side Column arithmetic; the only Python in the
+scoring path is the Jaro-Winkler Arrow kernel upstream.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import reduce
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from bigmatch_utilities_spark.config import MatchField
+from bigmatch_utilities_spark.functions.comparators import similarity, similarity_sql
+
+#: similarity below this is full disagreement; linear interpolation above.
+PARTIAL_FLOOR = 0.75
+
+
+def agreement_weight(m: float, u: float) -> float:
+    return math.log2(m / u)
+
+
+def disagreement_weight(m: float, u: float) -> float:
+    return math.log2((1.0 - m) / (1.0 - u))
+
+
+def field_weight(
+    mf: MatchField,
+    sim: Column,
+    left: Column,
+    right: Column,
+    partial_floor: float = PARTIAL_FLOOR,
+) -> Column:
+    """FS weight for one field given its similarity column."""
+    agr = agreement_weight(mf.m, mf.u)
+    dis = disagreement_weight(mf.m, mf.u)
+    blank = (left.isNull() | (F.trim(left) == "")) | (right.isNull() | (F.trim(right) == ""))
+    interp = F.lit(dis) + (F.lit(agr) - F.lit(dis)) * (sim - F.lit(partial_floor)) / F.lit(
+        1.0 - partial_floor
+    )
+    return (
+        F.when(blank, F.lit(0.0))
+        .when(sim >= 1.0, F.lit(agr))
+        .when(sim >= partial_floor, interp)
+        .otherwise(F.lit(dis))
+    )
+
+
+def field_weight_sql(
+    mf: MatchField,
+    left: str,
+    right: str,
+    partial_floor: float = PARTIAL_FLOOR,
+) -> str:
+    """Identical semantics as DuckDB SQL text (oracle parity)."""
+    agr = agreement_weight(mf.m, mf.u)
+    dis = disagreement_weight(mf.m, mf.u)
+    sim = similarity_sql(mf.comparator, left, right)
+    blank = (
+        f"({left} IS NULL OR trim({left}) = '' OR {right} IS NULL OR trim({right}) = '')"
+    )
+    interp = f"({dis!r} + ({agr!r} - {dis!r}) * ({sim} - {partial_floor!r}) / {1.0 - partial_floor!r})"
+    return (
+        f"(CASE WHEN {blank} THEN 0.0 "
+        f"WHEN {sim} >= 1.0 THEN {agr!r} "
+        f"WHEN {sim} >= {partial_floor!r} THEN {interp} "
+        f"ELSE {dis!r} END)"
+    )
+
+
+def pair_weight(
+    match_fields: tuple[MatchField, ...],
+    rec_prefix: str = "rec_",
+    mem_prefix: str = "mem_",
+) -> Column:
+    """Total pair weight = Σ field weights, over `rec_<f>` / `mem_<f>` cols."""
+    terms = []
+    for mf in match_fields:
+        lc = F.col(rec_prefix + mf.name)
+        rc = F.col(mem_prefix + mf.name)
+        sim = similarity(mf.comparator, lc, rc)
+        terms.append(field_weight(mf, sim, lc, rc))
+    return reduce(lambda a, b: a + b, terms)
+
+
+def pair_weight_sql(
+    match_fields: tuple[MatchField, ...],
+    rec_prefix: str = "rec_",
+    mem_prefix: str = "mem_",
+) -> str:
+    terms = [
+        field_weight_sql(mf, rec_prefix + mf.name, mem_prefix + mf.name)
+        for mf in match_fields
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def is_exact(match_fields: tuple[MatchField, ...],
+             rec_prefix: str = "rec_", mem_prefix: str = "mem_") -> Column:
+    """The reference's exact-match partition: rec match values == mem match
+    values as concatenated strings (app/MatchReview.py:157-173)."""
+    conds = [
+        F.coalesce(F.col(rec_prefix + mf.name), F.lit(""))
+        == F.coalesce(F.col(mem_prefix + mf.name), F.lit(""))
+        for mf in match_fields
+    ]
+    return reduce(lambda a, b: a & b, conds)

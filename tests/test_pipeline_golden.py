@@ -1,0 +1,134 @@
+"""Golden end-to-end: the reference's 3-pass gs config over its two
+famous-names sample files, asserted pair-for-pair and weight-for-weight
+against an independent pandas oracle implementing the same published
+semantics (Fellegi-Sunter weights over blocked candidate pairs)."""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+
+import pytest
+
+from bigmatch_utilities_spark.config import parse_datadict, parse_parmf
+from bigmatch_utilities_spark.operators.pipeline import normalize, run_match
+from bigmatch_utilities_spark.sources.fixed_width import read_fixed_width
+from tests.test_comparators import scalar_jaro_winkler
+
+GS = "/root/reference/samplefiles/gs"
+PARTIAL_FLOOR = 0.75
+
+
+def _load(spark, data, dct):
+    fields = parse_datadict(Path(f"{GS}/{dct}").read_text())
+    return read_fixed_width(spark, f"{GS}/{data}", fields)
+
+
+def _oracle_weight(match_fields, rrow, mrow):
+    w = 0.0
+    for mf in match_fields:
+        a, b = rrow[mf.name].strip(), mrow[mf.name].strip()
+        if not a or not b:
+            continue
+        assert mf.comparator == "uo"
+        sim = scalar_jaro_winkler(a, b)
+        agr = math.log2(mf.m / mf.u)
+        dis = math.log2((1 - mf.m) / (1 - mf.u))
+        if sim >= 1.0:
+            w += agr
+        elif sim >= PARTIAL_FLOOR:
+            w += dis + (agr - dis) * (sim - PARTIAL_FLOOR) / (1 - PARTIAL_FLOOR)
+        else:
+            w += dis
+    return w
+
+
+def _oracle_pairs(cfg, rec_rows, mem_rows):
+    """Independent multi-pass blocked join + FS scoring + first-pass-wins."""
+    best: dict[tuple[str, str], tuple[int, float, bool]] = {}
+    for k, spec in enumerate(cfg.passes):
+        for rrow in rec_rows:
+            for mrow in mem_rows:
+                ok = True
+                for bf in spec.block_fields:
+                    a, b = rrow[bf.name].strip(), mrow[bf.name].strip()
+                    if bf.blank_flag and (not a or not b):
+                        ok = False
+                        break
+                    if a != b:
+                        ok = False
+                        break
+                if not ok:
+                    continue
+                w = _oracle_weight(spec.match_fields, rrow, mrow)
+                if w < min(spec.cutoff.lo, spec.print_cutoff.lo):
+                    continue
+                key = (rrow["id"], mrow["id"])
+                if key not in best:
+                    exact = all(
+                        rrow[mf.name] == mrow[mf.name] for mf in spec.match_fields
+                    )
+                    best[key] = (k, w, exact)
+    return best
+
+
+@pytest.fixture(scope="module")
+def golden(spark):
+    cfg = parse_parmf(Path(f"{GS}/parmf.txt").read_text())
+    rec = normalize(_load(spark, "sample_fixedwidth.txt", "sample_fixed_width.dict.csv"))
+    mem = normalize(_load(spark, "sample2_fixedwidth.txt", "sample2_fixed_width.dict.csv"))
+    result = run_match(rec, mem, cfg, id_col="id")
+    rec_rows = [r.asDict() for r in rec.collect()]
+    mem_rows = [r.asDict() for r in mem.collect()]
+    oracle = _oracle_pairs(cfg, rec_rows, mem_rows)
+    return cfg, result, oracle
+
+
+def test_pair_set_matches_oracle(golden):
+    _, result, oracle = golden
+    got = {
+        (r["id_rec"], r["id_mem"]): (r["pass_id"], r["weight"], r["is_exact"])
+        for r in result.pairs.collect()
+    }
+    assert set(got) == set(oracle)
+    for key, (k, w, exact) in oracle.items():
+        gk, gw, gx = got[key]
+        assert gk == k, (key, gk, k)
+        assert gw == pytest.approx(w, abs=1e-9), (key, gw, w)
+        assert gx == exact, (key, gx, exact)
+
+
+def test_known_links_found(golden):
+    """Hand-checkable links from the fixture design (FORD, PITCHER, ...)."""
+    _, result, _ = golden
+    got = {(r["id_rec"], r["id_mem"]) for r in result.pairs.collect()}
+    # rec id 2 HENRY FORD ↔ mem id 2 HENRY FORD (pass 2 blocks fname+lname)
+    assert ("2", "2") in got
+    # rec 3 MOLLY PITCHER 17541013 ↔ mem 3 (same dob) — pass 1 exact block
+    assert ("3", "3") in got
+    # GEORGE WASHINGTON 17320222: rec 18 ↔ mem 19
+    assert ("18", "19") in got
+
+
+def test_exact_accepted_possible_partition(golden):
+    cfg, result, _ = golden
+    pairs = result.pairs.collect()
+    exact = {(r["id_rec"], r["id_mem"]) for r in result.exact.collect()}
+    accepted = {(r["id_rec"], r["id_mem"]) for r in result.accepted.collect()}
+    possible = {(r["id_rec"], r["id_mem"]) for r in result.possible.collect()}
+    assert not (exact & accepted) and not (accepted & possible) and not (exact & possible)
+    for r in pairs:
+        key = (r["id_rec"], r["id_mem"])
+        if r["is_exact"]:
+            assert key in exact
+        elif r["weight"] >= cfg.accept_threshold:
+            assert key in accepted
+        else:
+            assert key in possible
+
+
+def test_good_pairs_schema(golden):
+    _, result, _ = golden
+    gp = result.good_pairs()
+    assert gp.columns == ["pass_id", "weight", "id_rec", "id_mem"]
+    assert gp.count() == result.exact.count() + result.accepted.count()
