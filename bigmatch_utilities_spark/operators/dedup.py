@@ -1,0 +1,265 @@
+"""Deduplication operators for large-scale text/training-data pipelines.
+
+All of these are expressed as declarative DataFrame plans (hash-groupBy,
+array functions, band-bucket self-joins) so Catalyst owns the physical
+strategy; the hash functions are md5-prefix based so the exact same values
+are computable in ANSI/DuckDB SQL for the correctness oracle.
+
+Scale notes: every family reduces the O(N^2) pair space to hash-bucket
+blocks before any pairwise work; bucket joins shuffle on the bucket key
+only; `id_l < id_r` canonicalization halves pair output and removes
+self-pairs everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _hash64(c: Column) -> Column:
+    """Deterministic 48-bit hash from md5 hex (oracle-computable: DuckDB
+    md5() produces identical hex). 12 hex chars keep the value far from
+    BIGINT overflow even after arithmetic."""
+    return F.conv(F.substring(F.md5(c), 1, 12), 16, 10).cast("long")
+
+
+def _hash64_sql(expr: str) -> str:
+    """DuckDB rendering of the same value (verified identical)."""
+    return f"CAST(('0x' || substring(md5({expr}), 1, 12)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Groups of byte-identical values: (content_sha, n_dups, min_id) per
+    duplicated content — the hash-groupBy exact pass."""
+    return (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("content_sha"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(F.col(id_col)).alias("keep_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the min-id representative of each identical-content group."""
+    w = F.row_number().over(
+        Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(id_col))
+    )
+    return df.withColumn("_rn", w).filter(F.col("_rn") == 1).drop("_rn")
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash LSH
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(c: Column, k: int = 3) -> Column:
+    """Distinct word k-grams as an array<string> (whitespace tokenized)."""
+    toks = F.filter(F.split(F.trim(c), "\\s+"), lambda x: x != F.lit(""))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
+    )
+    # short docs (< k tokens): fall back to the whole token string
+    return F.array_distinct(
+        F.when(n >= k, sh).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+#: affine min-hash family over the base md5-prefix hash:
+#: h_i(s) = (a_i * h(s) + b_i) mod MERSENNE61. h < 2^48 and a_i < 2^12 keep
+#: the product inside int64. Identical arithmetic runs in DuckDB BIGINT.
+MERSENNE61 = (1 << 61) - 1
+
+
+def _affine(i: int, h: Column) -> Column:
+    a, b = 2 * i + 1, (i + 1) * 12345
+    return F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE61))
+
+
+def _affine_sql(i: int, h: str) -> str:
+    a, b = 2 * i + 1, (i + 1) * 12345
+    return f"(({a} * {h} + {b}) % {MERSENNE61})"
+
+
+def minhash_signature_df(
+    df: DataFrame, text_col: str, id_col: str, *, shingle_k: int, num_hashes: int
+) -> DataFrame:
+    """(id, s0..s{n-1}): explode shingles → base hash once per shingle →
+    one groupBy(id) computing every min — a single shuffle regardless of
+    signature width; the hot path stays in whole-stage codegen."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("_s"),
+    ).withColumn("_h", _hash64(F.col("_s")))
+    aggs = [F.min(_affine(i, F.col("_h"))).alias(f"s{i}") for i in range(num_hashes)]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_bands(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_k: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """(id, band, band_key): one row per band; candidate pairs share
+    (band, band_key). band_key concatenates the band's minhash rows."""
+    sig = minhash_signature_df(
+        df, text_col, id_col, shingle_k=shingle_k, num_hashes=bands * rows_per_band
+    )
+    pairs = []
+    for b in range(bands):
+        key = F.concat_ws(
+            "_",
+            *[
+                F.col(f"s{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)
+            ],
+        )
+        pairs.append(F.struct(F.lit(b).alias("band"), key.alias("band_key")))
+    return sig.select(
+        "id", F.explode(F.array(*pairs)).alias("_bk")
+    ).select("id", F.col("_bk.band").alias("band"), F.col("_bk.band_key").alias("band_key"))
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_k: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """LSH candidate pairs (id_l < id_r, distinct across bands).
+
+    The band-bucket self-join is the scale path: the shuffle key is
+    (band, band_key); `max_bucket` caps degenerate buckets (boilerplate)."""
+    b = minhash_bands(
+        df, text_col, id_col, shingle_k=shingle_k, bands=bands, rows_per_band=rows_per_band
+    )
+    if max_bucket:
+        big = (
+            b.groupBy("band", "band_key")
+            .count()
+            .filter(F.col("count") > max_bucket)
+            .select("band", "band_key")
+        )
+        b = b.join(F.broadcast(big), ["band", "band_key"], "left_anti")
+    l = b.select("band", "band_key", F.col("id").alias("id_l"))
+    r = b.select("band", "band_key", F.col("id").alias("id_r"))
+    return (
+        l.join(r, ["band", "band_key"])
+        .filter(F.col("id_l") < F.col("id_r"))
+        .select("id_l", "id_r")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verification
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact word-shingle Jaccard for candidate pairs → near-duplicate
+    verdicts. Joins shingle arrays to both sides; set ops are JVM built-ins."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_k).alias("sh"),
+    )
+    out = (
+        candidates.join(sh.withColumnRenamed("id", "id_l").withColumnRenamed("sh", "sh_l"), "id_l")
+        .join(sh.withColumnRenamed("id", "id_r").withColumnRenamed("sh", "sh_r"), "id_r")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_l", "sh_r"))
+            / F.size(F.array_union("sh_l", "sh_r")),
+        )
+        .select("id_l", "id_r", F.col("jaccard").cast("double").alias("jaccard"))
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(c: Column, bits: int = 32) -> Column:
+    """SimHash over word tokens: bit b of the fingerprint is the sign of
+    Σ_tokens (±1 by token-hash bit b). Array arithmetic, no UDF."""
+    toks = F.array_distinct(F.filter(F.split(F.trim(c), "\\s+"), lambda x: x != F.lit("")))
+    h = F.transform(toks, _hash64)
+
+    def _contrib_fn(b: int):
+        # NB: pyspark HOFs dispatch on lambda arity — no default-arg closures
+        def fn(acc, x):
+            return acc + F.when(
+                F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+
+        return fn
+
+    bit_cols = []
+    for b in range(bits):
+        contrib = F.aggregate(h, F.lit(0).cast("long"), _contrib_fn(b))
+        bit_cols.append(
+            F.when(contrib > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    out = bit_cols[0]
+    for bc in bit_cols[1:]:
+        out = out + bc
+    return out
+
+
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    bits: int = 32,
+    block_bits: int = 4,
+) -> DataFrame:
+    """Near-dup candidates: split the fingerprint into `block_bits` chunks;
+    docs agreeing on any chunk are candidates (Hamming-LSH)."""
+    sh = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh"))
+    chunk = bits // block_bits
+    parts = []
+    for b in range(block_bits):
+        key = F.shiftright(F.col("sh"), b * chunk).bitwiseAND(F.lit((1 << chunk) - 1))
+        parts.append(sh.select("id", F.lit(b).alias("band"), key.alias("band_key")))
+    allb = parts[0]
+    for p in parts[1:]:
+        allb = allb.unionAll(p)
+    l = allb.select("band", "band_key", F.col("id").alias("id_l"))
+    r = allb.select("band", "band_key", F.col("id").alias("id_r"))
+    return (
+        l.join(r, ["band", "band_key"])
+        .filter(F.col("id_l") < F.col("id_r"))
+        .select("id_l", "id_r")
+        .distinct()
+    )

@@ -1,0 +1,119 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the pipeline as ``binary`` columns with a
+metadata struct (media_type, width/height/duration, codec). The Spark-side
+contract — schema, Arrow batch shape, partition sizing — is real and
+tested; the actual codec work is stubbed (``pillow``/``av`` are not in this
+container) behind ``_decode_image``: a clearly-marked seam where a real
+decoder plugs in. The deterministic fallback extracts a byte-histogram
+feature vector so downstream operators (dedup, ANN) have honest inputs.
+
+Scale notes: ``mapInPandas`` streams Arrow batches; `batch_rows` bounds
+executor memory for fat binaries (maxRecordsPerBatch conf is the global
+knob). Feature extraction is map-only — no shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_DIM = 32
+
+MEDIA_SCHEMA = (
+    "media_id long, media binary, media_type string, "
+    "width int, height int, n_bytes long"
+)
+
+
+def attach_media(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Test/demo helper: wrap a text column as a binary media payload with
+    metadata — the shape a real ingest (image bytes from object storage)
+    would produce."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.encode(F.col(text_col), "utf-8").alias("media"),
+        F.lit("application/octet-stream").alias("media_type"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.length(F.encode(F.col(text_col), "utf-8")).cast("long").alias("n_bytes"),
+    )
+
+
+def _decode_image(payload: bytes) -> "np.ndarray":
+    """Real decoder seam. In production: PIL/turbojpeg → HxWx3 uint8.
+
+    Not available in this container — any caller needing true pixel data
+    must land here and fail loudly rather than silently fake it.
+    """
+    raise NotImplementedError(
+        "image decoding requires pillow/libjpeg; not available in this environment"
+    )
+
+
+def byte_histogram_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic fallback feature: L2-normalized histogram of byte
+    values bucketed into `dim` bins."""
+    if payload is None or len(payload) == 0:
+        return np.zeros(dim, dtype=np.float32)
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.bincount(arr >> int(np.log2(256 // dim)), minlength=dim).astype(
+        np.float64
+    )
+    norm = np.linalg.norm(hist)
+    return (hist / norm if norm > 0 else hist).astype(np.float32)
+
+
+def extract_features(
+    df: DataFrame,
+    *,
+    media_col: str = "media",
+    id_col: str = "media_id",
+    dim: int = FEATURE_DIM,
+    use_decoder: bool = False,
+) -> DataFrame:
+    """media → (media_id, features array<float>) via mapInPandas.
+
+    `use_decoder=True` routes through the real-decoder seam (raises here);
+    the default extracts the deterministic byte-histogram features.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf[media_col]:
+                if use_decoder:
+                    px = _decode_image(payload)  # pragma: no cover
+                    feats.append(px.mean(axis=(0, 1)).astype(np.float32))
+                else:
+                    feats.append(byte_histogram_features(payload, dim))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "features": [f.tolist() for f in feats],
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        run, schema=f"{id_col} long, features array<float>"
+    )
+
+
+def frame_sample_plan(
+    df: DataFrame, every_n: int = 10, id_col: str = "media_id"
+) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled frame index.
+
+    The decode is stubbed; the row explosion, partitioning, and schema are
+    the real contract: (media_id, frame_idx) ready for a decoder UDF."""
+    n_frames = (F.col("n_bytes") / F.lit(1024)).cast("int") + 1  # stub estimate
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(0), n_frames, F.lit(every_n))
+        ).alias("frame_idx"),
+    )

@@ -1,0 +1,229 @@
+"""The north-rule pipeline: record linkage over the source-code repo table.
+
+Input schema (BASELINE.json input_hint):
+    (repo: string, path: string, commit: string, lang: string, content: string)
+
+This module derives blocking/matching columns from `content` and assembles
+a multi-pass MatchConfig so the generic engine (operators.pipeline +
+operators.closure) does the rest. The pass design mirrors the reference's
+strict-first multi-pass strategy (samplefiles/parmf_new.txt: exact pass →
+looser passes):
+
+  pass 0  block content_sha                — byte-identical duplicates
+  pass 1  block content_sha_nows           — whitespace/comment-insensitive
+          (catches formatting-only forks exactly)
+  pass 2  block (lang, anchor_line)        — rare-token anchor blocking
+          (the distinctive last non-comment line; analogous to the census
+          config's precomputed soundex keys) + fuzzy head/tail scoring
+  pass 3  MinHash-LSH band keys            — general near-dup canopy
+          (operators.dedup.minhash_candidates supplies candidates; they are
+          scored with the same FS fields as pass 2)
+
+All derived columns are built-in expressions (sha2 / regexp / split);
+content never crosses into Python except inside the Arrow JW kernel on the
+already-blocked candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigmatch_utilities_spark.config import (
+    BlockField,
+    BlockingPassSpec,
+    CutoffSpec,
+    MatchConfig,
+    FieldRef,
+    MatchField,
+)
+from bigmatch_utilities_spark.operators.closure import cluster_accepted_pairs
+from bigmatch_utilities_spark.operators.dedup import minhash_candidates
+from bigmatch_utilities_spark.operators.pipeline import (
+    MatchResult,
+    first_pass_wins,
+    run_match,
+    score_pass,
+)
+
+ID_COL = "record_id"
+
+
+def with_record_id(df: DataFrame) -> DataFrame:
+    """Deterministic unique id when the table lacks one: the (repo, path,
+    commit) business key is unique by construction; hash it. sha2-based so
+    re-runs and resumes agree (monotonically_increasing_id would not)."""
+    if ID_COL in df.columns:
+        return df
+    return df.withColumn(
+        ID_COL,
+        F.conv(
+            F.substring(F.sha2(F.concat_ws("\x1f", "repo", "path", "commit"), 256), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+    )
+
+
+def prepare(df: DataFrame) -> DataFrame:
+    """Derive blocking/matching columns. One projection — no shuffle."""
+    nocomment = F.regexp_replace(
+        F.col("content"), r"(?m)^\s*(#|//)[^\n]*\n?", ""
+    )
+    norm = F.trim(F.regexp_replace(nocomment, r"\s+", " "))
+    lines = F.filter(
+        F.split(nocomment, "\n"), lambda x: F.trim(x) != F.lit("")
+    )
+    return (
+        with_record_id(df)
+        .withColumn("content_sha", F.sha2(F.col("content"), 256))
+        .withColumn("content_norm", norm)
+        .withColumn("content_sha_nows", F.sha2(norm, 256))
+        .withColumn("head_line", F.trim(F.element_at(lines, 1)))
+        .withColumn("anchor_line", F.trim(F.element_at(lines, -1)))
+        .withColumn("head_64", F.substring(norm, 1, 64))
+        .withColumn(
+            "tail_64",
+            F.substring(norm, -64, 64),
+        )
+        .withColumn("n_chars", F.length(norm).cast("string"))
+    )
+
+
+#: Fuzzy-pass evidence, m/u calibrated on the synthetic distributions
+#: (measured: near-dup head_64 JW ≥ 0.92, full-text JW ≥ 0.91; negatives
+#: max ≈ 0.89): exact agreement on the rare-token anchor line is strong
+#: positive evidence (log2(0.9/0.01) ≈ +6.5), JW on the 64-char
+#: normalized head/tail adds ±4-5; a hard negative (same structure,
+#: different content) lands ≤ -5, a true near-dup ≥ +8, so the accept
+#: threshold 4 has margin on both sides.
+_FUZZY_FIELDS = (
+    MatchField(name="anchor_line", comparator="c", m=0.90, u=0.01),
+    MatchField(name="head_64", comparator="uo", m=0.95, u=0.02),
+    MatchField(name="tail_64", comparator="uo", m=0.90, u=0.05),
+)
+
+_HASH_PASS_FIELDS = (
+    MatchField(name="n_chars", comparator="q", m=0.95, u=0.05),
+    MatchField(name="head_64", comparator="c", m=0.90, u=0.10),
+)
+
+
+def repo_match_config(accept_threshold: float = 4.0) -> MatchConfig:
+    return MatchConfig(
+        passes=(
+            BlockingPassSpec(  # pass 0: exact content
+                block_fields=(BlockField(name="content_sha"),),
+                match_fields=_HASH_PASS_FIELDS,
+                cutoff=CutoffSpec(hi=4.0, lo=0.0),
+                print_cutoff=CutoffSpec(hi=4.0, lo=0.0),
+            ),
+            BlockingPassSpec(  # pass 1: whitespace/comment-normalized exact
+                block_fields=(BlockField(name="content_sha_nows"),),
+                match_fields=_HASH_PASS_FIELDS,
+                cutoff=CutoffSpec(hi=4.0, lo=0.0),
+                print_cutoff=CutoffSpec(hi=4.0, lo=0.0),
+            ),
+            BlockingPassSpec(  # pass 2: rare-token anchor + fuzzy scoring
+                block_fields=(
+                    BlockField(name="lang"),
+                    BlockField(name="anchor_line"),
+                ),
+                match_fields=_FUZZY_FIELDS,
+                cutoff=CutoffSpec(hi=4.0, lo=-100.0),
+                print_cutoff=CutoffSpec(hi=4.0, lo=-100.0),
+            ),
+        ),
+        id_field=FieldRef(name=ID_COL),
+        dedupe_single_file=True,
+        accept_threshold=accept_threshold,
+    )
+
+
+def run_repo_linkage(
+    df: DataFrame,
+    *,
+    use_minhash_pass: bool = True,
+    max_block_rows: int | None = 10_000,
+    minhash_max_bucket: int | None = 1_000,
+    persist: bool = True,
+) -> MatchResult:
+    """Full multi-pass linkage over a prepared repo-files DataFrame."""
+    prepared = prepare(df)
+    if persist:
+        prepared = prepared.persist()
+    cfg = repo_match_config()
+    result = run_match(
+        prepared,
+        None,
+        cfg,
+        id_col=ID_COL,
+        max_block_rows=max_block_rows,
+        persist=False,
+    )
+    if not use_minhash_pass:
+        return result
+
+    # pass 3: MinHash-LSH canopy scored with the fuzzy fields.
+    lsh_pass = BlockingPassSpec(
+        block_fields=(BlockField(name="lang"),),  # formal; join comes from LSH
+        match_fields=_FUZZY_FIELDS,
+        cutoff=CutoffSpec(hi=4.0, lo=-100.0),
+        print_cutoff=CutoffSpec(hi=4.0, lo=-100.0),
+    )
+    cands = minhash_candidates(
+        prepared,
+        "content_norm",
+        ID_COL,
+        shingle_k=3,
+        bands=8,
+        rows_per_band=2,
+        max_bucket=minhash_max_bucket,
+    )
+    carry = [mf.name for mf in _FUZZY_FIELDS]
+    side = prepared.select(F.col(ID_COL), *carry)
+    pairs3 = cands.join(
+        side.toDF(*["id_l"] + [f"rec_{c}" for c in carry]), "id_l"
+    ).join(side.toDF(*["id_r"] + [f"mem_{c}" for c in carry]), "id_r")
+    from bigmatch_utilities_spark.operators.scoring import is_exact, pair_weight
+
+    scored3 = (
+        pairs3.withColumnRenamed("id_l", "id_rec")
+        .withColumnRenamed("id_r", "id_mem")
+        .withColumn("weight", pair_weight(_FUZZY_FIELDS))
+        .withColumn("is_exact", is_exact(_FUZZY_FIELDS))
+        .withColumn("pass_id", F.lit(len(cfg.passes)))
+        .withColumn(
+            "decision",
+            F.when(F.col("weight") >= 4.0, F.lit("match")).otherwise(F.lit("possible")),
+        )
+    )
+    combined = first_pass_wins(
+        result.pairs.unionByName(scored3, allowMissingColumns=True)
+    )
+    exact = combined.filter(F.col("is_exact") & (F.col("decision") != "below"))
+    accepted = combined.filter(
+        (~F.col("is_exact"))
+        & (
+            (F.col("decision") == "match")
+            | (
+                (F.col("decision") == "possible")
+                & (F.col("weight") >= F.lit(float(cfg.accept_threshold)))
+            )
+        )
+    )
+    possible = combined.filter(
+        (~F.col("is_exact"))
+        & (F.col("decision") == "possible")
+        & (F.col("weight") < F.lit(float(cfg.accept_threshold)))
+    )
+    return MatchResult(pairs=combined, exact=exact, accepted=accepted, possible=possible)
+
+
+def link_and_cluster(df: DataFrame, **kwargs) -> DataFrame:
+    """repo files → (record_id, cluster_id) entity table."""
+    result = run_repo_linkage(df, **kwargs)
+    prepared = with_record_id(df)
+    return cluster_accepted_pairs(
+        result.good_pairs(), all_ids=prepared.select(ID_COL), id_col=ID_COL
+    )

@@ -1,0 +1,91 @@
+"""Resumability: identical final output after interruption; completed
+passes are not re-executed."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from bigmatch_utilities_spark.config import parse_datadict, parse_parmf
+from bigmatch_utilities_spark.operators.pipeline import normalize, run_match
+from bigmatch_utilities_spark.plans.checkpoint import CheckpointedMatch
+from bigmatch_utilities_spark.sources.fixed_width import read_fixed_width
+
+GS = "/root/reference/samplefiles/gs"
+
+
+def _inputs(spark):
+    cfg = parse_parmf(Path(f"{GS}/parmf.txt").read_text())
+    rec = normalize(
+        read_fixed_width(
+            spark,
+            f"{GS}/sample_fixedwidth.txt",
+            parse_datadict(Path(f"{GS}/sample_fixed_width.dict.csv").read_text()),
+        )
+    )
+    mem = normalize(
+        read_fixed_width(
+            spark,
+            f"{GS}/sample2_fixedwidth.txt",
+            parse_datadict(Path(f"{GS}/sample2_fixed_width.dict.csv").read_text()),
+        )
+    )
+    return cfg, rec, mem
+
+
+def _pairs_set(result):
+    return {
+        (r["id_rec"], r["id_mem"], r["pass_id"], round(r["weight"], 9))
+        for r in result.pairs.collect()
+    }
+
+
+def test_checkpointed_run_matches_direct(spark, tmp_path):
+    cfg, rec, mem = _inputs(spark)
+    direct = _pairs_set(run_match(rec, mem, cfg, id_col="id"))
+    ckpt = CheckpointedMatch(spark, str(tmp_path / "run1"))
+    resumable = _pairs_set(ckpt.run(rec, mem, cfg, id_col="id"))
+    assert resumable == direct
+
+
+def test_resume_skips_completed_passes(spark, tmp_path):
+    cfg, rec, mem = _inputs(spark)
+    out = str(tmp_path / "run2")
+
+    ckpt = CheckpointedMatch(spark, out)
+    full = _pairs_set(ckpt.run(rec, mem, cfg, id_col="id"))
+    assert all(ckpt.pass_complete(k) for k in range(len(cfg.passes)))
+
+    # simulate a crash after pass 0: delete markers+data of passes 1..2
+    import shutil, os
+
+    for k in (1, 2):
+        os.remove(f"{out}/markers/pass_{k:02d}.json")
+        shutil.rmtree(f"{out}/pairs/pass={k:02d}")
+
+    # resume with a POISONED pass-0 input: if pass 0 re-ran, its output
+    # would change; because the marker exists it must be read from parquet.
+    poisoned_rec = rec.limit(0)
+    ckpt2 = CheckpointedMatch(spark, out)
+    resumed = ckpt2.run(rec, mem, cfg, id_col="id")
+    assert _pairs_set(resumed) == full
+
+    poisoned = CheckpointedMatch(spark, out)
+    # wipe only pass 1 again, then run with empty rec: pass 0 and 2 have
+    # markers; pass 1 re-runs on the poisoned input and yields 0 pairs.
+    os.remove(f"{out}/markers/pass_01.json")
+    shutil.rmtree(f"{out}/pairs/pass=01")
+    partial = poisoned.run(poisoned_rec, mem, cfg, id_col="id")
+    got = _pairs_set(partial)
+    want_pass_ids = {p for (_, _, p, _) in got}
+    assert 1 not in want_pass_ids  # pass 1 produced nothing (poisoned)
+    assert {0, 2} & want_pass_ids  # checkpointed passes came from disk
+
+
+def test_metrics_table(spark, tmp_path):
+    cfg, rec, mem = _inputs(spark)
+    ckpt = CheckpointedMatch(spark, str(tmp_path / "run3"))
+    ckpt.run(rec, mem, cfg, id_col="id")
+    m = ckpt.metrics().collect()
+    assert {r["pass_id"] for r in m} == {0, 1, 2}
+    assert all(r["wall_s"] > 0 for r in m)
+    assert all(r["partitions"] >= 1 for r in m)

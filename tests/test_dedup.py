@@ -1,0 +1,95 @@
+"""Dedup operator tests: exact, MinHash-LSH, Jaccard, SimHash."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigmatch_utilities_spark.operators.dedup import (
+    dedup_exact,
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_candidates,
+    simhash_candidates,
+    word_shingles,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "the quick brown fox leaps over the lazy dog"),  # near dup
+    (4, "completely different text about spark engines here"),
+    (5, "totally unrelated content with many novel words inside"),
+    (6, "the quick brown fox jumps over the lazy dog today"),  # near dup
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_duplicates(spark):
+    groups = exact_duplicates(_docs(spark), "text", "doc_id").collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 2 and groups[0]["keep_id"] == 1
+
+
+def test_dedup_exact_keeps_min_id(spark):
+    kept = dedup_exact(_docs(spark), "text", "doc_id")
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1, 3, 4, 5, 6]
+
+
+def test_word_shingles(spark):
+    df = spark.range(1).select(F.lit("a b c d").alias("t"))
+    got = df.select(word_shingles(F.col("t"), 3).alias("s")).collect()[0]["s"]
+    assert sorted(got) == ["a b c", "b c d"]
+    short = spark.range(1).select(F.lit("a b").alias("t"))
+    got = short.select(word_shingles(F.col("t"), 3).alias("s")).collect()[0]["s"]
+    assert got == ["a b"]
+
+
+def test_minhash_finds_near_dups(spark):
+    cands = {
+        (r["id_l"], r["id_r"])
+        for r in minhash_candidates(
+            _docs(spark), "text", "doc_id", shingle_k=2, bands=8, rows_per_band=2
+        ).collect()
+    }
+    assert (1, 2) in cands  # exact dup always collides on every band
+    assert (1, 3) in cands or (1, 6) in cands  # near dups collide
+    assert (4, 5) not in cands  # unrelated
+
+
+def test_jaccard_verification(spark):
+    docs = _docs(spark)
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5)], ["id_l", "id_r"]
+    )
+    got = {
+        (r["id_l"], r["id_r"]): r["jaccard"]
+        for r in jaccard_pairs(docs, cands, "text", "doc_id", shingle_k=2, threshold=0.0).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert 0.4 < got[(1, 3)] < 1.0
+    assert got[(4, 5)] == 0.0
+
+
+def test_simhash_buckets(spark):
+    cands = {
+        (r["id_l"], r["id_r"])
+        for r in simhash_candidates(
+            _docs(spark), "text", "doc_id", bits=32, block_bits=4
+        ).collect()
+    }
+    assert (1, 2) in cands
+    assert (1, 3) in cands  # one-word change: most simhash chunks agree
+
+
+def test_minhash_bucket_cap(spark):
+    # 20 identical docs: with max_bucket=5 the bucket is dropped entirely
+    rows = [(i, "same words everywhere always") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = minhash_candidates(
+        df, "text", "doc_id", shingle_k=2, bands=2, rows_per_band=2, max_bucket=5
+    ).count()
+    assert got == 0

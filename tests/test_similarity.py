@@ -1,0 +1,79 @@
+"""ANN / similarity-search tests: brute-force cosine vs numpy oracle,
+LSH bucketing recall on clustered vectors."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bigmatch_utilities_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    lsh_topk,
+    sign_bucket,
+)
+
+
+def _vectors(spark, n=60, dim=8, seed=5):
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    rows = [(i, vecs[i].tolist()) for i in range(n)]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]), vecs
+
+
+def test_cosine_matches_numpy(spark):
+    df, vecs = _vectors(spark, n=10)
+    pairs = df.toDF("id_a", "va").crossJoin(df.toDF("id_b", "vb"))
+    got = {
+        (r["id_a"], r["id_b"]): r["c"]
+        for r in pairs.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("c")).collect()
+    }
+    for a in range(10):
+        for b in range(10):
+            want = float(
+                vecs[a] @ vecs[b] / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]))
+            )
+            assert got[(a, b)] == pytest.approx(want, abs=1e-5)
+
+
+def test_brute_force_topk_exact(spark):
+    df, vecs = _vectors(spark, n=40)
+    queries = df.filter(F.col("vec_id") < 3).toDF("query_id", "embedding")
+    got = brute_force_topk(df, queries, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    norms = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norms @ norms.T
+    for q in range(3):
+        order = [i for i in np.argsort(-sims[q]) if i != q][:5]
+        want = [int(x) for x in order]
+        gotq = [v for _, v in sorted(by_q[q])]
+        assert gotq == want, (q, gotq, want)
+
+
+def test_lsh_topk_same_bucket_recall(spark):
+    """Queries find their planted near neighbors (same bucket by
+    construction: tiny perturbations keep sign bits)."""
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=(5, 8)).astype(np.float32)
+    base = np.where(np.abs(base) < 0.2, 0.5, base)  # keep signs stable
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i * 10, v.tolist()))
+        rows.append((i * 10 + 1, (v + rng.normal(scale=0.01, size=8).astype(np.float32)).tolist()))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.filter(F.col("vec_id") % 10 == 0).toDF("query_id", "embedding")
+    got = lsh_topk(df, queries, k=1, n_bits=8).collect()
+    for r in got:
+        assert r["vec_id"] == r["query_id"] + 1
+        assert r["score"] > 0.999
+
+
+def test_sign_bucket_deterministic(spark):
+    df, _ = _vectors(spark, n=20)
+    a = df.select("vec_id", sign_bucket(F.col("embedding")).alias("b")).collect()
+    b = df.select("vec_id", sign_bucket(F.col("embedding")).alias("b")).collect()
+    assert sorted(a) == sorted(b)
+    assert all(0 <= r["b"] < 256 for r in a)

@@ -1,0 +1,59 @@
+"""Structured Streaming incremental match: file source → stream-static
+blocked join → scored pairs sink; exactly-once resume off the checkpoint."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from bigmatch_utilities_spark.config import parse_datadict, parse_parmf
+from bigmatch_utilities_spark.operators.pipeline import normalize
+from bigmatch_utilities_spark.sources.fixed_width import read_fixed_width
+from bigmatch_utilities_spark.streaming.incremental import run_incremental_match
+
+GS = "/root/reference/samplefiles/gs"
+
+
+def test_incremental_match_availablenow(spark, tmp_path):
+    cfg = parse_parmf(Path(f"{GS}/parmf.txt").read_text())
+    spec = cfg.passes[1]  # blocks on fname+lname
+    mem = normalize(
+        read_fixed_width(
+            spark,
+            f"{GS}/sample2_fixedwidth.txt",
+            parse_datadict(Path(f"{GS}/sample2_fixed_width.dict.csv").read_text()),
+        )
+    )
+    rec = normalize(
+        read_fixed_width(
+            spark,
+            f"{GS}/sample_fixedwidth.txt",
+            parse_datadict(Path(f"{GS}/sample_fixed_width.dict.csv").read_text()),
+        )
+    )
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+    # first micro-batch: 10 records
+    rec10 = rec.limit(10)
+    rec10.write.mode("overwrite").parquet(in_dir)
+    schema = rec.schema
+
+    run_incremental_match(
+        spark, in_dir, schema, mem, spec, "id", out_dir, ck_dir
+    )
+    first = spark.read.parquet(out_dir)
+    n1 = first.count()
+    assert n1 > 0
+    assert {"id_rec", "id_mem", "weight", "is_exact"} <= set(first.columns)
+
+    # append the remaining records; AvailableNow resumes from checkpoint and
+    # processes ONLY the new file (exactly-once)
+    rec.exceptAll(rec10).write.mode("append").parquet(in_dir)
+    run_incremental_match(
+        spark, in_dir, schema, mem, spec, "id", out_dir, ck_dir
+    )
+    both = spark.read.parquet(out_dir)
+    n2 = both.count()
+    assert n2 > n1
+    # no duplicated pairs from re-processing batch 1
+    assert both.groupBy("id_rec", "id_mem").count().filter("count > 1").count() == 0
