@@ -1,38 +1,760 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the full multi-pass record-linkage pipeline
+(blocking → FS scoring → accept split) over the sf0.001 documents table
+recast as the north-rule repo-files schema.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2 (J/C/P/O/A/U rows) plus the training-data operators (dedup,
+MinHash-LSH, Jaccard, text analysis, ANN). Every oracle is value-identical
+ANSI SQL for DuckDB; float columns are rounded to 6dp on both sides and
+aggregates avoid order-dependent float sums.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigmatch_utilities_spark.config import MatchField
+from bigmatch_utilities_spark.operators.scoring import pair_weight, pair_weight_sql
+from bigmatch_utilities_spark.operators.similarity import (
+    cosine,
+    sign_bucket,
+    sign_bucket_sql,
+)
+from bigmatch_utilities_spark.operators.textanalysis import (
+    detected_lang,
+    detected_lang_sql,
+    fingerprint,
+    fingerprint_sql,
+    quality_score,
+    quality_score_sql,
+    token_count,
+    token_count_sql,
+)
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# shared building blocks (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + derived blocking keys (bucket, hash-block key)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+        F.floor(F.col("n_chars") / 16).cast("long").alias("bucket"),
+        F.substring(F.md5("text"), 1, 2).alias("hkey"),
+        F.substring("text", 1, 32).alias("text_32"),
+        F.col("n_chars").cast("string").alias("n_chars_s"),
+    )
+
+
+_DOCS_KEYED_SQL = """
+    SELECT doc_id, text, lang, source, n_chars,
+           CAST(floor(n_chars / 16) AS BIGINT) AS bucket,
+           substring(md5(text), 1, 2) AS hkey,
+           substring(text, 1, 32) AS text_32,
+           CAST(n_chars AS VARCHAR) AS n_chars_s
+    FROM documents
+"""
+
+#: FS match fields for the scored-pairs queries (C1/C3).
+_FS_FIELDS = (
+    MatchField(name="text_32", comparator="uo", m=0.90, u=0.10),
+    MatchField(name="n_chars_s", comparator="q", m=0.90, u=0.30),
+    MatchField(name="source", comparator="c", m=0.80, u=0.20),
+)
+
+
+def _blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join blocked on (lang, bucket), id_l < id_r (J1 + J3 canon)."""
+    d = _docs_keyed(spark, sf_dir)
+    l = d.select(
+        F.col("doc_id").alias("id_l"),
+        F.col("lang").alias("lang"),
+        F.col("bucket").alias("bucket"),
+        *[F.col(f.name).alias(f"rec_{f.name}") for f in _FS_FIELDS],
+    )
+    r = d.select(
+        F.col("doc_id").alias("id_r"),
+        F.col("lang").alias("lang_r"),
+        F.col("bucket").alias("bucket_r"),
+        *[F.col(f.name).alias(f"mem_{f.name}") for f in _FS_FIELDS],
+    )
+    return (
+        l.join(
+            r,
+            (F.col("lang") == F.col("lang_r"))
+            & (F.col("bucket") == F.col("bucket_r"))
+            & (F.col("id_l") < F.col("id_r")),
+        )
+        .drop("lang_r", "bucket_r")
+    )
+
+
+_BLOCKED_PAIRS_SQL = f"""
+    SELECT a.doc_id AS id_l, b.doc_id AS id_r, a.lang AS lang, a.bucket AS bucket,
+           a.text_32 AS rec_text_32, b.text_32 AS mem_text_32,
+           a.n_chars_s AS rec_n_chars_s, b.n_chars_s AS mem_n_chars_s,
+           a.source AS rec_source, b.source AS mem_source
+    FROM ({_DOCS_KEYED_SQL}) a JOIN ({_DOCS_KEYED_SQL}) b
+      ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked pairs + FS weight + exact flag (C1/C2/C3 + P2)."""
+    pairs = _blocked_pairs(spark, sf_dir)
+    return pairs.select(
+        "id_l",
+        "id_r",
+        F.round(pair_weight(_FS_FIELDS), 6).alias("weight"),
+        (
+            (F.col("rec_text_32") == F.col("mem_text_32"))
+            & (F.col("rec_source") == F.col("mem_source"))
+        ).alias("is_exact"),
+    )
+
+
+_WEIGHT_SQL = pair_weight_sql(_FS_FIELDS, rec_prefix="rec_", mem_prefix="mem_")
+
+_SCORED_PAIRS_SQL = f"""
+    SELECT id_l, id_r,
+           round({_WEIGHT_SQL}, 6) AS weight,
+           (rec_text_32 = mem_text_32 AND rec_source = mem_source) AS is_exact
+    FROM ({_BLOCKED_PAIRS_SQL})
+"""
+
+
+# ---------------------------------------------------------------------------
+# the flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the generic multi-pass engine (blocking self-join →
+    Arrow-batched Jaro-Winkler + exact comparators → Fellegi-Sunter weights
+    → cutoff decisions → first-pass-wins dedup) over sf0.001 documents."""
+    from bigmatch_utilities_spark.config import (
+        BlockField,
+        BlockingPassSpec,
+        CutoffSpec,
+        FieldRef,
+        MatchConfig,
+    )
+    from bigmatch_utilities_spark.operators.pipeline import run_match
+
+    docs = _docs_keyed(spark, SF_DEFAULT)
+    cfg = MatchConfig(
+        passes=(
+            BlockingPassSpec(  # strict: same lang + exact size
+                block_fields=(BlockField(name="lang"), BlockField(name="n_chars_s")),
+                match_fields=_FS_FIELDS,
+                cutoff=CutoffSpec(hi=3.0, lo=-100.0),
+                print_cutoff=CutoffSpec(hi=3.0, lo=-100.0),
+            ),
+            BlockingPassSpec(  # loose: same lang + size bucket
+                block_fields=(BlockField(name="lang"), BlockField(name="bucket_s")),
+                match_fields=_FS_FIELDS,
+                cutoff=CutoffSpec(hi=3.0, lo=-100.0),
+                print_cutoff=CutoffSpec(hi=3.0, lo=-100.0),
+            ),
+        ),
+        id_field=FieldRef(name="doc_id"),
+        dedupe_single_file=True,
+        accept_threshold=1.0,
+    )
+    result = run_match(
+        docs.withColumn("bucket_s", F.col("bucket").cast("string")),
+        None,
+        cfg,
+        id_col="doc_id",
+    )
+    return result.pairs.select(
+        "pass_id",
+        F.col("id_rec").alias("id_l"),
+        F.col("id_mem").alias("id_r"),
+        F.round("weight", 6).alias("weight"),
+        "is_exact",
+        "decision",
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- J1: blocked equi-join ------------------------------------------
+    def j1(spark, sf):
+        return _blocked_pairs(spark, sf).select("id_l", "id_r", "lang", "bucket")
+
+    q["j1_blocking_join"] = j1
+
+    # ---- J2: blank_flag semantics ---------------------------------------
+    def j2(spark, sf):
+        d = _docs_keyed(spark, sf).withColumn(
+            "bkey",
+            F.when(F.col("n_chars") % 3 == 0, F.lit("")).otherwise(F.col("lang")),
+        )
+        d = d.filter(F.trim(F.col("bkey")) != "")  # blank_flag = 1
+        l = d.select(F.col("doc_id").alias("id_l"), "bkey", "bucket")
+        r = d.select(F.col("doc_id").alias("id_r"), F.col("bkey").alias("bk2"), F.col("bucket").alias("bu2"))
+        return (
+            l.join(r, (F.col("bkey") == F.col("bk2")) & (F.col("bucket") == F.col("bu2")) & (F.col("id_l") < F.col("id_r")))
+            .select("id_l", "id_r", "bkey")
+        )
+
+    q["j2_blank_flag"] = j2
+
+    # ---- J3: hash-block dedupe self-join --------------------------------
+    def j3(spark, sf):
+        d = _docs_keyed(spark, sf)
+        l = d.select(F.col("doc_id").alias("id_l"), "hkey")
+        r = d.select(F.col("doc_id").alias("id_r"), F.col("hkey").alias("hk2"))
+        return (
+            l.join(r, (F.col("hkey") == F.col("hk2")) & (F.col("id_l") < F.col("id_r")))
+            .select("id_l", "id_r", "hkey")
+        )
+
+    q["j3_dedupe_selfjoin"] = j3
+
+    # ---- J4: multi-pass union + first-pass-wins dedup -------------------
+    def j4(spark, sf):
+        d = _docs_keyed(spark, sf)
+
+        def pairs_on(cols, pass_id):
+            l = d.select(F.col("doc_id").alias("id_l"), *cols)
+            r = d.select(
+                F.col("doc_id").alias("id_r"), *[F.col(c).alias(f"{c}_r") for c in cols]
+            )
+            cond = [F.col(c) == F.col(f"{c}_r") for c in cols]
+            return (
+                l.join(r, cond + [F.col("id_l") < F.col("id_r")])
+                .select("id_l", "id_r")
+                .withColumn("pass_id", F.lit(pass_id))
+            )
+
+        p0 = pairs_on(["lang", "n_chars"], 0)
+        p1 = pairs_on(["lang", "bucket"], 1)
+        both = p0.unionByName(p1)
+        return both.groupBy("id_l", "id_r").agg(F.min("pass_id").alias("pass_id"))
+
+    q["j4_multipass_first_wins"] = j4
+
+    # ---- C1/C2/C3: comparators + FS weights ------------------------------
+    def c3(spark, sf):
+        return _scored_pairs(spark, sf)
+
+    q["c3_fs_weights"] = c3
+
+    # ---- C4: cutoff decisions -------------------------------------------
+    def c4(spark, sf):
+        s = _scored_pairs(spark, sf)
+        decision = (
+            F.when(F.col("weight") >= 2.0, F.lit("match"))
+            .when(F.col("weight") >= -1.0, F.lit("possible"))
+            .otherwise(F.lit("below"))
+        )
+        return (
+            s.withColumn("decision", decision)
+            .groupBy("decision")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.min("weight"), 6).alias("w_min"),
+                F.round(F.max("weight"), 6).alias("w_max"),
+            )
+        )
+
+    q["c4_cutoff_decisions"] = c4
+
+    # ---- P2: exact/possible partition ------------------------------------
+    def p2(spark, sf):
+        return _scored_pairs(spark, sf).filter(F.col("is_exact")).select("id_l", "id_r", "weight")
+
+    q["p2_exact_partition"] = p2
+
+    # ---- P3: accept-threshold filter --------------------------------------
+    def p3(spark, sf):
+        return _scored_pairs(spark, sf).filter(F.col("weight") >= 1.0).select(
+            "id_l", "id_r", "weight"
+        )
+
+    q["p3_threshold_filter"] = p3
+
+    # ---- O1/O2: weight-desc sort + top-k ----------------------------------
+    def o1(spark, sf):
+        return (
+            _scored_pairs(spark, sf)
+            .orderBy(F.col("weight").desc(), F.col("id_l"), F.col("id_r"))
+            .limit(100)
+        )
+
+    q["o1_top_pairs_by_weight"] = o1
+
+    # ---- A2: max-width column scan ----------------------------------------
+    def a2(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.agg(
+            F.max(F.length("text")).alias("w_text"),
+            F.max(F.length("lang")).alias("w_lang"),
+            F.max(F.length("source")).alias("w_source"),
+        )
+
+    q["a2_max_width_scan"] = a2
+
+    # ---- A4: match statistics ---------------------------------------------
+    def a4(spark, sf):
+        return (
+            j4(spark, sf)
+            .groupBy("pass_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.countDistinct("id_l").alias("n_left"),
+                F.countDistinct("id_r").alias("n_right"),
+            )
+        )
+
+    q["a4_match_stats"] = a4
+
+    # ---- U2: good-pairs union ----------------------------------------------
+    def u2(spark, sf):
+        s = _scored_pairs(spark, sf)
+        exact = s.filter(F.col("is_exact")).select("id_l", "id_r")
+        accepted = s.filter(F.col("weight") >= 1.0).select("id_l", "id_r")
+        return exact.unionByName(accepted).distinct()
+
+    q["u2_good_pairs_union"] = u2
+
+    # ---- S1/S3: fixed-width round trip --------------------------------------
+    def s1(spark, sf):
+        c = _t(spark, sf, "customer")
+        line = F.concat(
+            F.rpad(F.col("c_name"), 25, " "),
+            F.rpad(F.col("c_mktsegment"), 12, " "),
+            F.lpad(F.col("c_custkey").cast("string"), 8, " "),
+        )
+        fw = c.select(line.alias("line"))
+        return fw.select(
+            F.trim(F.substring("line", 1, 25)).alias("name"),
+            F.trim(F.substring("line", 26, 12)).alias("segment"),
+            F.trim(F.substring("line", 38, 8)).alias("custkey"),
+        )
+
+    q["s1_fixed_width_roundtrip"] = s1
+
+    # ---- closure: connected components over derived edges -------------------
+    def cc(spark, sf):
+        from bigmatch_utilities_spark.operators.closure import connected_components
+
+        d = _docs_keyed(spark, sf)
+        a = d.select(F.col("doc_id").alias("src"), "lang", "n_chars")
+        b = d.select(
+            F.col("doc_id").alias("dst"),
+            F.col("lang").alias("lang2"),
+            F.col("n_chars").alias("nc2"),
+        )
+        edges = a.join(
+            b,
+            (F.col("lang") == F.col("lang2")) & (F.col("nc2") == F.col("n_chars") + 1),
+        ).select("src", "dst")
+        return connected_components(edges).select(
+            F.col("id").cast("long").alias("id"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+        )
+
+    q["cc_connected_components"] = cc
+
+    # ---- dedup: minhash signatures -------------------------------------------
+    def mh(spark, sf):
+        from bigmatch_utilities_spark.operators.dedup import minhash_signature_df
+
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+        return minhash_signature_df(
+            d, "text", "doc_id", shingle_k=3, num_hashes=4
+        ).select(F.col("id").cast("long").alias("id"), "s0", "s1", "s2", "s3")
+
+    q["dd_minhash_signatures"] = mh
+
+    # ---- dedup: LSH candidates ------------------------------------------------
+    def lsh(spark, sf):
+        from bigmatch_utilities_spark.operators.dedup import minhash_candidates
+
+        d = _t(spark, sf, "documents")
+        return minhash_candidates(
+            d, "text", "doc_id", shingle_k=3, bands=4, rows_per_band=1, max_bucket=None
+        )
+
+    q["dd_lsh_candidates"] = lsh
+
+    # ---- dedup: n-gram Jaccard --------------------------------------------------
+    def jac(spark, sf):
+        from bigmatch_utilities_spark.operators.dedup import jaccard_pairs
+
+        d = _t(spark, sf, "documents")
+        cands = j3(spark, sf).select("id_l", "id_r")
+        return jaccard_pairs(d, cands, "text", "doc_id", shingle_k=3, threshold=0.0).select(
+            "id_l", "id_r", F.round("jaccard", 6).alias("jaccard")
+        )
+
+    q["dd_jaccard_pairs"] = jac
+
+    # ---- text analysis ------------------------------------------------------------
+    def ta(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select(
+            "doc_id",
+            token_count(F.col("text")).alias("n_tokens"),
+            detected_lang(F.col("text")).alias("lang_detected"),
+            quality_score(F.col("text")).alias("quality"),
+            fingerprint(F.col("text")).alias("fp"),
+        )
+
+    q["ta_document_profile"] = ta
+
+    def ta_hist(spark, sf):
+        d = _t(spark, sf, "documents")
+        return (
+            d.select(detected_lang(F.col("text")).alias("lang_detected"))
+            .groupBy("lang_detected")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    q["ta_lang_histogram"] = ta_hist
+
+    # ---- ANN: brute-force cosine top-k -----------------------------------------------
+    def ann(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        qs = e.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        scored = (
+            e.crossJoin(F.broadcast(qs))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn(
+                "score",
+                F.round(cosine(F.col("embedding").cast("array<double>"), F.col("qvec").cast("array<double>")), 6),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "vec_id", "score", "rank")
+        )
+
+    q["ann_brute_force_topk"] = ann
+
+    # ---- ANN: sign-LSH bucketed -----------------------------------------------------
+    def ann_lsh(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        v = e.withColumn("bkt", sign_bucket(F.col("embedding"), 8))
+        qs = v.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            F.col("bkt").alias("qbkt"),
+        )
+        scored = (
+            v.join(F.broadcast(qs), F.col("bkt") == F.col("qbkt"))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn(
+                "score",
+                F.round(cosine(F.col("embedding").cast("array<double>"), F.col("qvec").cast("array<double>")), 6),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "vec_id", "score", "rank")
+        )
+
+    q["ann_lsh_topk"] = ann_lsh
+
+    # ---- multimodal plumbing (rows-only check: no SQL twin for Arrow UDF) -------------
+    def mm(spark, sf):
+        from bigmatch_utilities_spark.operators.multimodal import (
+            attach_media,
+            extract_features,
+        )
+
+        d = _t(spark, sf, "documents")
+        feats = extract_features(attach_media(d, "text", "doc_id"))
+        return feats.select(
+            "media_id", F.round(F.element_at("features", 1).cast("double"), 6).alias("f0")
+        )
+
+    q["mm_byte_features"] = mm
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+
+    o["j1_blocking_join"] = f"""
+        SELECT id_l, id_r, lang, bucket FROM ({_BLOCKED_PAIRS_SQL})
     """
-    return {}
+
+    o["j2_blank_flag"] = f"""
+        WITH d AS (
+            SELECT doc_id, bucket,
+                   CASE WHEN n_chars % 3 = 0 THEN '' ELSE lang END AS bkey
+            FROM ({_DOCS_KEYED_SQL})
+        ), f AS (SELECT * FROM d WHERE trim(bkey) <> '')
+        SELECT a.doc_id AS id_l, b.doc_id AS id_r, a.bkey AS bkey
+        FROM f a JOIN f b
+          ON a.bkey = b.bkey AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """
+
+    o["j3_dedupe_selfjoin"] = f"""
+        SELECT a.doc_id AS id_l, b.doc_id AS id_r, a.hkey AS hkey
+        FROM ({_DOCS_KEYED_SQL}) a JOIN ({_DOCS_KEYED_SQL}) b
+          ON a.hkey = b.hkey AND a.doc_id < b.doc_id
+    """
+
+    o["j4_multipass_first_wins"] = """
+        WITH p0 AS (
+            SELECT a.doc_id AS id_l, b.doc_id AS id_r, 0 AS pass_id
+            FROM documents a JOIN documents b
+              ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+        ), p1 AS (
+            SELECT a.doc_id AS id_l, b.doc_id AS id_r, 1 AS pass_id
+            FROM documents a JOIN documents b
+              ON a.lang = b.lang
+             AND CAST(floor(a.n_chars / 16) AS BIGINT) = CAST(floor(b.n_chars / 16) AS BIGINT)
+             AND a.doc_id < b.doc_id
+        )
+        SELECT id_l, id_r, min(pass_id) AS pass_id
+        FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1)
+        GROUP BY id_l, id_r
+    """
+
+    o["c3_fs_weights"] = _SCORED_PAIRS_SQL
+
+    o["c4_cutoff_decisions"] = f"""
+        SELECT decision, count(*) AS n,
+               round(min(weight), 6) AS w_min, round(max(weight), 6) AS w_max
+        FROM (
+            SELECT *, CASE WHEN weight >= 2.0 THEN 'match'
+                           WHEN weight >= -1.0 THEN 'possible'
+                           ELSE 'below' END AS decision
+            FROM ({_SCORED_PAIRS_SQL})
+        )
+        GROUP BY decision
+    """
+
+    o["p2_exact_partition"] = f"""
+        SELECT id_l, id_r, weight FROM ({_SCORED_PAIRS_SQL}) WHERE is_exact
+    """
+
+    o["p3_threshold_filter"] = f"""
+        SELECT id_l, id_r, weight FROM ({_SCORED_PAIRS_SQL}) WHERE weight >= 1.0
+    """
+
+    o["o1_top_pairs_by_weight"] = f"""
+        SELECT * FROM ({_SCORED_PAIRS_SQL})
+        ORDER BY weight DESC, id_l, id_r LIMIT 100
+    """
+
+    o["a2_max_width_scan"] = """
+        SELECT max(length(text)) AS w_text, max(length(lang)) AS w_lang,
+               max(length(source)) AS w_source
+        FROM documents
+    """
+
+    o["a4_match_stats"] = f"""
+        SELECT pass_id, count(*) AS n_pairs,
+               count(DISTINCT id_l) AS n_left, count(DISTINCT id_r) AS n_right
+        FROM ({o["j4_multipass_first_wins"]})
+        GROUP BY pass_id
+    """
+
+    o["u2_good_pairs_union"] = f"""
+        SELECT DISTINCT id_l, id_r FROM (
+            SELECT id_l, id_r FROM ({_SCORED_PAIRS_SQL}) WHERE is_exact
+            UNION ALL
+            SELECT id_l, id_r FROM ({_SCORED_PAIRS_SQL}) WHERE weight >= 1.0
+        )
+    """
+
+    o["s1_fixed_width_roundtrip"] = """
+        WITH fw AS (
+            SELECT rpad(c_name, 25, ' ') || rpad(c_mktsegment, 12, ' ')
+                   || lpad(CAST(c_custkey AS VARCHAR), 8, ' ') AS line
+            FROM customer
+        )
+        SELECT trim(substring(line, 1, 25)) AS name,
+               trim(substring(line, 26, 12)) AS segment,
+               trim(substring(line, 38, 8)) AS custkey
+        FROM fw
+    """
+
+    o["cc_connected_components"] = f"""
+        WITH RECURSIVE e AS (
+            SELECT a.doc_id AS s, b.doc_id AS d
+            FROM documents a JOIN documents b
+              ON a.lang = b.lang AND b.n_chars = a.n_chars + 1
+        ), und AS (
+            SELECT s, d FROM e UNION SELECT d AS s, s AS d FROM e
+        ), nodes AS (
+            SELECT DISTINCT s AS n FROM und
+        ), reach(n, m) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT u.d, r.m FROM reach r JOIN und u ON u.s = r.n
+        )
+        SELECT CAST(n AS BIGINT) AS id, CAST(min(m) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY n
+    """
+
+    # minhash: identical shingle + affine-hash arithmetic in DuckDB
+    shingles_sql = """
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                                       x -> x <> '') AS tk
+            FROM documents WHERE doc_id < 100
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(tk) >= 3 THEN
+                     list_distinct(list_transform(range(1, len(tk) - 1),
+                        i -> array_to_string(list_slice(tk, i, i + 2), ' ')))
+                   ELSE [array_to_string(tk, ' ')] END AS shingles
+            FROM toks
+        ), ex AS (
+            SELECT doc_id, unnest(shingles) AS s FROM sh
+        ), h AS (
+            SELECT doc_id,
+                   CAST(('0x' || substring(md5(s), 1, 12)) AS BIGINT) AS hv
+            FROM ex
+        )
+    """
+    m61 = (1 << 61) - 1
+    mins = ", ".join(
+        f"min(({2 * i + 1} * hv + {(i + 1) * 12345}) % {m61}) AS s{i}" for i in range(4)
+    )
+    o["dd_minhash_signatures"] = (
+        shingles_sql + f" SELECT CAST(doc_id AS BIGINT) AS id, {mins} FROM h GROUP BY doc_id"
+    )
+
+    # LSH candidates: 4 bands x 1 row over all documents
+    lsh_shingles = shingles_sql.replace("WHERE doc_id < 100", "")
+    band_keys = ", ".join(
+        f"CAST(min(({2 * i + 1} * hv + {(i + 1) * 12345}) % {m61}) AS VARCHAR) AS s{i}"
+        for i in range(4)
+    )
+    o["dd_lsh_candidates"] = (
+        lsh_shingles
+        + f""", sig AS (
+            SELECT doc_id, {band_keys} FROM h GROUP BY doc_id
+        ), bands AS (
+            SELECT doc_id, 0 AS band, s0 AS band_key FROM sig
+            UNION ALL SELECT doc_id, 1, s1 FROM sig
+            UNION ALL SELECT doc_id, 2, s2 FROM sig
+            UNION ALL SELECT doc_id, 3, s3 FROM sig
+        )
+        SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """
+    )
+
+    o["dd_jaccard_pairs"] = f"""
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                                       x -> x <> '') AS tk
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(tk) >= 3 THEN
+                     list_distinct(list_transform(range(1, len(tk) - 1),
+                        i -> array_to_string(list_slice(tk, i, i + 2), ' ')))
+                   ELSE [array_to_string(tk, ' ')] END AS s
+            FROM toks
+        ),
+        cands AS (
+            SELECT a.doc_id AS id_l, b.doc_id AS id_r
+            FROM ({_DOCS_KEYED_SQL}) a JOIN ({_DOCS_KEYED_SQL}) b
+              ON a.hkey = b.hkey AND a.doc_id < b.doc_id
+        )
+        SELECT c.id_l, c.id_r,
+               round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                     / len(list_distinct(list_concat(x.s, y.s))), 6) AS jaccard
+        FROM cands c JOIN sh x ON x.doc_id = c.id_l JOIN sh y ON y.doc_id = c.id_r
+    """
+
+    o["ta_document_profile"] = f"""
+        SELECT doc_id,
+               {token_count_sql('text')} AS n_tokens,
+               {detected_lang_sql('text')} AS lang_detected,
+               {quality_score_sql('text')} AS quality,
+               {fingerprint_sql('text')} AS fp
+        FROM documents
+    """
+
+    o["ta_lang_histogram"] = f"""
+        SELECT {detected_lang_sql('text')} AS lang_detected, count(*) AS n
+        FROM documents GROUP BY 1
+    """
+
+    cos = (
+        "round(CASE WHEN list_dot_product(a.emb, a.emb) > 0 "
+        "AND list_dot_product(q.emb, q.emb) > 0 "
+        "THEN list_dot_product(a.emb, q.emb) / "
+        "(sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(q.emb, q.emb))) "
+        "ELSE 0.0 END, 6)"
+    )
+    o["ann_brute_force_topk"] = f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        qs AS (SELECT vec_id AS query_id, emb FROM v WHERE vec_id < 10),
+        scored AS (
+            SELECT q.query_id, a.vec_id, {cos} AS score
+            FROM v a, qs q WHERE a.vec_id <> q.query_id
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, vec_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, score, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 5
+    """
+
+    o["ann_lsh_topk"] = f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                   {sign_bucket_sql('embedding', 8)} AS bkt
+            FROM embeddings
+        ),
+        qs AS (SELECT vec_id AS query_id, emb, bkt FROM v WHERE vec_id < 10),
+        scored AS (
+            SELECT q.query_id, a.vec_id, {cos} AS score
+            FROM v a JOIN qs q ON a.bkt = q.bkt
+            WHERE a.vec_id <> q.query_id
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, vec_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, score, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 5
+    """
+
+    # mm_byte_features intentionally omitted: Arrow-UDF feature extraction
+    # has no SQL twin → rows-only check.
+    return o

@@ -1,0 +1,153 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline queries over $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS]:
+
+  linkage_docs     full multi-pass linkage (4 passes incl. MinHash-LSH)
+                   over the documents table recast as repo-files
+  linkage_synth    linkage + transitive closure over the deterministic
+                   synthetic repo-files table (the north-rule input)
+  dedup_minhash    MinHash band candidates over documents
+  ann_topk         brute-force cosine top-10, 100 queries x all embeddings
+  ta_profile       language-ID + quality + fingerprint over documents
+  closure_chain    connected components over derived chain edges
+
+`value` is total wall seconds; `candidate_pairs_per_sec` is the
+throughput metric from BASELINE.json (candidate pairs scored / second
+during the linkage queries).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bigmatch_utilities_spark.operators.closure import connected_components
+from bigmatch_utilities_spark.operators.dedup import minhash_candidates
+from bigmatch_utilities_spark.operators.similarity import cosine
+from bigmatch_utilities_spark.operators.textanalysis import analyze_documents
+from bigmatch_utilities_spark.repo_linkage import link_and_cluster, run_repo_linkage
+from bigmatch_utilities_spark.session import get_spark
+from bigmatch_utilities_spark.synthdata import repo_files_df
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SYNTH_CLUSTERS = int(os.environ.get("BENCH_SYNTH_CLUSTERS", "4000"))
+
+
+def main() -> None:
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    timings: dict[str, float] = {}
+    counters: dict[str, int] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # -- linkage over documents-as-repo-files ------------------------------
+    repo_files = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.md5("text").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+
+    def q_linkage_docs():
+        r = run_repo_linkage(repo_files, use_minhash_pass=True)
+        return r.pairs.count()
+
+    counters["linkage_docs_pairs"] = timed("linkage_docs", q_linkage_docs)
+
+    # -- linkage + closure over the synthetic north-rule table -------------
+    def q_linkage_synth():
+        synth = repo_files_df(spark, seed=42, n_clusters=SYNTH_CLUSTERS, partitions=CPUS)
+        clusters = link_and_cluster(synth, use_minhash_pass=False)
+        return clusters.count()
+
+    counters["linkage_synth_rows"] = timed("linkage_synth", q_linkage_synth)
+
+    # -- dedup --------------------------------------------------------------
+    def q_minhash():
+        return minhash_candidates(
+            docs, "text", "doc_id", shingle_k=3, bands=8, rows_per_band=2
+        ).count()
+
+    counters["minhash_candidates"] = timed("dedup_minhash", q_minhash)
+
+    # -- ANN ------------------------------------------------------------------
+    def q_ann():
+        qs = emb.filter(F.col("vec_id") < 100).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        scored = (
+            emb.crossJoin(F.broadcast(qs))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn("score", cosine(F.col("embedding"), F.col("qvec")))
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .count()
+        )
+
+    counters["ann_rows"] = timed("ann_topk", q_ann)
+
+    # -- text analysis ----------------------------------------------------------
+    def q_ta():
+        return analyze_documents(docs, "text").select(
+            F.sum("n_tokens"), F.countDistinct("lang_detected")
+        ).collect()[0][0]
+
+    counters["ta_tokens"] = int(timed("ta_profile", q_ta) or 0)
+
+    # -- closure -------------------------------------------------------------------
+    def q_closure():
+        a = docs.select(F.col("doc_id").alias("src"), "lang", "n_chars")
+        b = docs.select(
+            F.col("doc_id").alias("dst"),
+            F.col("lang").alias("l2"),
+            F.col("n_chars").alias("n2"),
+        )
+        edges = a.join(
+            b, (F.col("lang") == F.col("l2")) & (F.col("n2") == F.col("n_chars") + 1)
+        ).select("src", "dst")
+        return connected_components(edges).count()
+
+    counters["closure_nodes"] = timed("closure_chain", q_closure)
+
+    total = round(sum(timings.values()), 3)
+    linkage_secs = timings["linkage_docs"] + timings["linkage_synth"]
+    pairs_scored = counters["linkage_docs_pairs"] + counters["linkage_synth_rows"]
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "cpus": CPUS,
+                "counters": counters,
+                "candidate_pairs_per_sec": round(pairs_scored / max(linkage_secs, 1e-9), 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

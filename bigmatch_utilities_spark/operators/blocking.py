@@ -96,10 +96,14 @@ def candidate_pairs(
     carry_rec = carry_rec if carry_rec is not None else [mf.name for mf in spec.match_fields]
     carry_mem = carry_mem if carry_mem is not None else [mf.name for mf in spec.match_fields]
 
+    same_side = rec is mem
     r = apply_blank_flags(rec, spec)
-    m = apply_blank_flags(mem, spec)
     r = cap_block_size(r, keys, max_block_rows)
-    m = cap_block_size(m, keys, max_block_rows)
+    if same_side:
+        m = r  # self-join: one blank-filter + one cap computation, not two
+    else:
+        m = apply_blank_flags(mem, spec)
+        m = cap_block_size(m, keys, max_block_rows)
 
     r = r.select(
         F.col(id_col).alias("id_rec"),

@@ -1,0 +1,68 @@
+"""spark-submit entrypoint: multi-pass match over a repo-files table.
+
+    spark-submit --py-files bigmatch_utilities_spark.zip jobs/run_match.py \
+        --input <parquet-or-iceberg-table> --output <dir> \
+        [--checkpoint <dir>] [--no-minhash] [--max-block-rows N]
+
+On a real cluster, --input is an Iceberg table (partitioned by lang /
+bucket(repo)) and --output/--checkpoint are object-store paths; the same
+code runs locally on parquet dirs. With --checkpoint, passes resume
+idempotently from per-pass markers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import SparkSession
+
+from bigmatch_utilities_spark.plans.checkpoint import CheckpointedMatch
+from bigmatch_utilities_spark.repo_linkage import (
+    ID_COL,
+    prepare,
+    repo_match_config,
+    run_repo_linkage,
+)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--no-minhash", action="store_true")
+    p.add_argument("--max-block-rows", type=int, default=100_000)
+    args = p.parse_args()
+
+    spark = SparkSession.builder.appName("bigmatch-run-match").getOrCreate()
+    df = (
+        spark.read.table(args.input)
+        if "." in args.input and "/" not in args.input
+        else spark.read.parquet(args.input)
+    )
+
+    if args.checkpoint:
+        ckpt = CheckpointedMatch(spark, args.checkpoint)
+        result = ckpt.run(
+            prepare(df), None, repo_match_config(), id_col=ID_COL,
+            max_block_rows=args.max_block_rows,
+        )
+    else:
+        result = run_repo_linkage(
+            df,
+            use_minhash_pass=not args.no_minhash,
+            max_block_rows=args.max_block_rows,
+        )
+
+    result.pairs.write.mode("overwrite").partitionBy("pass_id").parquet(
+        f"{args.output}/pairs"
+    )
+    result.good_pairs().write.mode("overwrite").parquet(f"{args.output}/good_pairs")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
