@@ -1,0 +1,110 @@
+"""Legacy text emitters reproducing the reference's file formats.
+
+Pairs-file row grammar (parsed by /root/reference/app/MatchReview.py:182-228):
+
+    weight  id_rec  id_mem  <blocking field values...> ?   ~ <rec match values> ~ <mem match values>
+
+with the separator constant ``"?   ~"`` (app/MatchReview.py:68), ``~``
+splitting the rec/mem halves (:213), weights printed to 3dp (+ stripped on
+parse, :198-202), and ``****`` lines separating blocking-pass sections
+(:141-142). Combined files prefix rows with ``bp:NN`` (:588-620); the
+good-pairs file is ``blkpass weight(rjust 9) id_rec id_mem``
+(app/MatchReview.py:580).
+
+All emitters are Column expressions — the legacy bytes are produced
+distributed and written with ``spark.write.text``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bigmatch_utilities_spark.config import BlockingPassSpec
+
+SEPARATOR = "?   ~"
+SECTION_LINE = "*" * 40
+
+
+def pairs_row(spec: BlockingPassSpec, with_pass_prefix: bool = False) -> Column:
+    """Render one scored candidate pair to the legacy row layout."""
+    parts: list[Column] = []
+    if with_pass_prefix:
+        parts.append(
+            F.concat(F.lit("bp:"), F.lpad(F.col("pass_id").cast("string"), 2, "0"))
+        )
+    parts.append(F.format_string("%.3f", F.col("weight")))  # no 1,234 grouping
+    parts.append(F.col("id_rec").cast("string"))
+    parts.append(F.col("id_mem").cast("string"))
+    for bf in spec.block_fields:
+        parts.append(F.coalesce(F.col(f"bk_{bf.name}").cast("string"), F.lit("")))
+    parts.append(F.lit(SEPARATOR))
+    rec_vals = [
+        F.coalesce(F.col(f"rec_{mf.name}").cast("string"), F.lit(""))
+        for mf in spec.match_fields
+    ]
+    mem_vals = [
+        F.coalesce(F.col(f"mem_{mf.name}").cast("string"), F.lit(""))
+        for mf in spec.match_fields
+    ]
+    parts.append(F.concat_ws(" ", *rec_vals))
+    parts.append(F.lit("~"))
+    parts.append(F.concat_ws(" ", *mem_vals))
+    return F.concat_ws("  ", *parts)
+
+
+def write_pairs_file(
+    scored: DataFrame, spec: BlockingPassSpec, path: str, pass_id: int
+) -> None:
+    """One pass's ``...Pairs_NN.dat`` analog: weight-descending rows
+    (cleanpairs:36 sorts -r before key extraction)."""
+    (
+        scored.filter(F.col("pass_id") == pass_id)
+        .orderBy(F.col("weight").desc())
+        .select(pairs_row(spec).alias("value"))
+        .write.mode("overwrite")
+        .text(path)
+    )
+
+
+def good_pairs_row() -> Column:
+    """Combined exact+accepted row: ``blkpass weight(rjust 9) id_rec id_mem``
+    (app/MatchReview.py:580)."""
+    return F.concat_ws(
+        " ",
+        F.col("pass_id").cast("string"),
+        F.lpad(F.format_string("%.3f", F.col("weight")), 9, " "),
+        F.col("id_rec").cast("string"),
+        F.col("id_mem").cast("string"),
+    )
+
+
+def combine_pairs_text(per_pass: list[tuple[int, DataFrame, BlockingPassSpec]]) -> DataFrame:
+    """The combined review file: ``bp:NN``-prefixed rows with ``****``
+    section separators between passes (app/MatchReview.py:588-620)."""
+    out: DataFrame | None = None
+    for pass_id, df, spec in per_pass:
+        rows = (
+            df.filter(F.col("pass_id") == pass_id)
+            .orderBy(F.col("weight").desc())
+            .select(pairs_row(spec, with_pass_prefix=True).alias("value"))
+        )
+        sep = df.sparkSession.createDataFrame([(SECTION_LINE,)], ["value"])
+        block = rows.unionAll(sep)
+        out = block if out is None else out.unionAll(block)
+    return out
+
+
+def segment_compare(rec: Column, mem: Column) -> Column:
+    """C5: tokenize both sides on spaces; per-token case-insensitive
+    equality verdicts (the review GUI's black/red coloring,
+    app/MatchReview.py:1411-1475) as an array<struct<rec,mem,same>>."""
+    rt = F.split(F.trim(rec), " +")
+    mt = F.split(F.trim(mem), " +")
+    return F.zip_with(
+        rt,
+        mt,
+        lambda a, b: F.struct(
+            a.alias("rec"), b.alias("mem"), (F.lower(a) == F.lower(b)).alias("same")
+        ),
+    )
