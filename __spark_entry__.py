@@ -502,6 +502,131 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mm_byte_features"] = mm
 
+    # ---- dedup: exact (hash-groupBy) over planted byte-identical copies ------
+    def dd_exact(spark, sf):
+        from bigmatch_utilities_spark.operators.dedup import exact_duplicates
+
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        copies = d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+        return exact_duplicates(d.unionByName(copies), "text", "doc_id")
+
+    q["dd_exact_duplicates"] = dd_exact
+
+    # ---- dedup: SimHash Hamming-LSH candidates --------------------------------
+    def dd_simhash(spark, sf):
+        from bigmatch_utilities_spark.operators.dedup import simhash_candidates
+
+        d = _t(spark, sf, "documents").filter(
+            (F.col("doc_id") < 1000) & (F.length(F.trim("text")) > 0)
+        )
+        return simhash_candidates(d, "text", "doc_id", bits=32, block_bits=4)
+
+    q["dd_simhash_candidates"] = dd_simhash
+
+    # ---- similarity: embedding-cosine near-dup pairs (sign-LSH blocked) -------
+    def ne_emb(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        v = e.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("emb"),
+            sign_bucket(F.col("embedding"), 8).alias("bkt"),
+        )
+        l = v.select(
+            F.col("vec_id").alias("id_l"), F.col("emb").alias("emb_l"), "bkt"
+        )
+        r = v.select(
+            F.col("vec_id").alias("id_r"), F.col("emb").alias("emb_r"),
+            F.col("bkt").alias("bkt_r"),
+        )
+        return (
+            l.join(r, (F.col("bkt") == F.col("bkt_r")) & (F.col("id_l") < F.col("id_r")))
+            .withColumn("score", F.round(cosine(F.col("emb_l"), F.col("emb_r")), 6))
+            .filter(F.col("score") >= 0.30)
+            .select("id_l", "id_r", "score")
+        )
+
+    q["ne_embedding_neardup"] = ne_emb
+
+    # ---- U1: combine per-pass pairs files with bp:NN tags ---------------------
+    def u1(spark, sf):
+        d = _docs_keyed(spark, sf)
+
+        def pairs_on(cols, tag):
+            l = d.select(F.col("doc_id").alias("id_l"), *cols)
+            r = d.select(
+                F.col("doc_id").alias("id_r"), *[F.col(c).alias(f"{c}_r") for c in cols]
+            )
+            cond = [F.col(c) == F.col(f"{c}_r") for c in cols]
+            return (
+                l.join(r, cond + [F.col("id_l") < F.col("id_r")])
+                .select(F.lit(tag).alias("bp"), "id_l", "id_r")
+            )
+
+        p0 = pairs_on(["lang", "n_chars"], "bp:00")
+        p1 = pairs_on(["lang", "bucket"], "bp:01")
+        return p0.unionByName(p1)
+
+    q["u1_combine_passes"] = u1
+
+    # ---- C5: segment-wise token compare (review display semantics) ------------
+    def c5(spark, sf):
+        d = _docs_keyed(spark, sf)
+        toks = F.filter(F.split(F.trim("text_32"), "\\s+"), lambda x: x != F.lit(""))
+        t = d.select("doc_id", "hkey", toks.alias("tk"))
+        l = t.select(F.col("doc_id").alias("id_l"), "hkey", F.col("tk").alias("tk_l"))
+        r = t.select(
+            F.col("doc_id").alias("id_r"), F.col("hkey").alias("hk2"),
+            F.col("tk").alias("tk_r"),
+        )
+        eq = F.zip_with(
+            F.col("tk_l"),
+            F.col("tk_r"),
+            lambda a, b: F.when(F.lower(a) == F.lower(b), F.lit(1)).otherwise(F.lit(0)),
+        )
+        return (
+            l.join(r, (F.col("hkey") == F.col("hk2")) & (F.col("id_l") < F.col("id_r")))
+            .select(
+                "id_l",
+                "id_r",
+                F.size("tk_l").alias("n_tok_l"),
+                F.size("tk_r").alias("n_tok_r"),
+                F.aggregate(eq, F.lit(0), lambda acc, x: acc + x).alias("n_eq"),
+            )
+        )
+
+    q["c5_segment_compare"] = c5
+
+    # ---- A3: display-width estimate over first 50 rows -------------------------
+    def a3(spark, sf):
+        d = (
+            _t(spark, sf, "documents")
+            .orderBy("doc_id")
+            .limit(50)
+        )
+        return d.agg(
+            F.max(F.length(F.col("doc_id").cast("string"))).alias("w_id"),
+            F.max(F.length("text")).alias("w_text"),
+        )
+
+    q["a3_display_width_estimate"] = a3
+
+    # ---- P6: blank-row skip -----------------------------------------------------
+    def p6(spark, sf):
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        blanks = d.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), F.lit("   ").alias("text")
+        )
+        u = d.unionByName(blanks)
+        kept = u.filter(F.length(F.trim("text")) > 0)
+        return kept.agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+
+    q["p6_blank_row_skip"] = p6
+
     return q
 
 
@@ -753,6 +878,118 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, vec_id, score, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= 5
+    """
+
+    o["dd_exact_duplicates"] = """
+        WITH u AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text FROM documents
+            WHERE doc_id % 10 = 0
+        )
+        SELECT sha256(text) AS content_sha, count(*) AS n_dups,
+               min(doc_id) AS keep_id
+        FROM u GROUP BY 1 HAVING count(*) > 1
+    """
+
+    # SimHash: identical token-hash + per-bit sign arithmetic in DuckDB
+    bit_terms = " + ".join(
+        f"(CASE WHEN coalesce(list_sum(list_transform(hs, "
+        f"x -> CASE WHEN ((x >> {b}) & 1) = 1 THEN 1 ELSE -1 END)), 0) > 0 "
+        f"THEN CAST({2 ** b} AS BIGINT) ELSE 0 END)"
+        for b in range(32)
+    )
+    o["dd_simhash_candidates"] = f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_distinct(list_filter(
+                       string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS tk
+            FROM documents
+            WHERE doc_id < 1000 AND trim(text) <> ''
+        ), h AS (
+            SELECT doc_id,
+                   list_transform(tk,
+                       s -> CAST(('0x' || substring(md5(s), 1, 12)) AS BIGINT)) AS hs
+            FROM toks
+        ), sh AS (
+            SELECT doc_id, ({bit_terms}) AS sh FROM h
+        ), bands AS (
+            SELECT doc_id, 0 AS band, ((sh >> 0) & 255) AS band_key FROM sh
+            UNION ALL SELECT doc_id, 1, ((sh >> 8) & 255) FROM sh
+            UNION ALL SELECT doc_id, 2, ((sh >> 16) & 255) FROM sh
+            UNION ALL SELECT doc_id, 3, ((sh >> 24) & 255) FROM sh
+        )
+        SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """
+
+    o["ne_embedding_neardup"] = f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                   {sign_bucket_sql('embedding', 8)} AS bkt
+            FROM embeddings
+        )
+        SELECT a.vec_id AS id_l, b.vec_id AS id_r,
+               round(CASE WHEN list_dot_product(a.emb, a.emb) > 0
+                           AND list_dot_product(b.emb, b.emb) > 0
+                     THEN list_dot_product(a.emb, b.emb) /
+                          (sqrt(list_dot_product(a.emb, a.emb))
+                           * sqrt(list_dot_product(b.emb, b.emb)))
+                     ELSE 0.0 END, 6) AS score
+        FROM v a JOIN v b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+        WHERE round(CASE WHEN list_dot_product(a.emb, a.emb) > 0
+                          AND list_dot_product(b.emb, b.emb) > 0
+                    THEN list_dot_product(a.emb, b.emb) /
+                         (sqrt(list_dot_product(a.emb, a.emb))
+                          * sqrt(list_dot_product(b.emb, b.emb)))
+                    ELSE 0.0 END, 6) >= 0.30
+    """
+
+    o["u1_combine_passes"] = """
+        SELECT 'bp:00' AS bp, a.doc_id AS id_l, b.doc_id AS id_r
+        FROM documents a JOIN documents b
+          ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT 'bp:01' AS bp, a.doc_id AS id_l, b.doc_id AS id_r
+        FROM documents a JOIN documents b
+          ON a.lang = b.lang
+         AND CAST(floor(a.n_chars / 16) AS BIGINT) = CAST(floor(b.n_chars / 16) AS BIGINT)
+         AND a.doc_id < b.doc_id
+    """
+
+    o["c5_segment_compare"] = f"""
+        WITH t AS (
+            SELECT doc_id, hkey,
+                   list_filter(string_split_regex(trim(text_32), '\\s+'),
+                               x -> x <> '') AS tk
+            FROM ({_DOCS_KEYED_SQL})
+        )
+        SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+               CAST(len(a.tk) AS INT) AS n_tok_l,
+               CAST(len(b.tk) AS INT) AS n_tok_r,
+               CAST(coalesce(list_sum(list_transform(
+                   range(1, greatest(len(a.tk), len(b.tk)) + 1),
+                   i -> CASE WHEN lower(a.tk[i]) = lower(b.tk[i])
+                        THEN 1 ELSE 0 END)), 0) AS INT) AS n_eq
+        FROM t a JOIN t b ON a.hkey = b.hkey AND a.doc_id < b.doc_id
+    """
+
+    o["a3_display_width_estimate"] = """
+        SELECT max(length(CAST(doc_id AS VARCHAR))) AS w_id,
+               max(length(text)) AS w_text
+        FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 50)
+    """
+
+    o["p6_blank_row_skip"] = """
+        WITH u AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 2000000 AS doc_id, '   ' AS text FROM documents
+            WHERE doc_id % 7 = 0
+        )
+        SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM u WHERE length(trim(text)) > 0
     """
 
     # mm_byte_features intentionally omitted: Arrow-UDF feature extraction
