@@ -627,6 +627,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["p6_blank_row_skip"] = p6
 
+    # ---- P4: jump-to-weight seek (first row with weight <= target, desc) -------
+    def p4(spark, sf):
+        return (
+            _scored_pairs(spark, sf)
+            .filter(F.col("weight") <= 0.5)
+            .orderBy(F.col("weight").desc(), F.col("id_l"), F.col("id_r"))
+            .limit(1)
+            .select("id_l", "id_r", "weight")
+        )
+
+    q["p4_jump_to_weight"] = p4
+
+    # ---- O5: key truncation (cleanpairs cut -c -> weight,id,id keys) -----------
+    def o5(spark, sf):
+        return (
+            _scored_pairs(spark, sf)
+            .select(F.round("weight", 3).alias("weight"), "id_l", "id_r")
+            .orderBy(F.col("weight").desc(), "id_l", "id_r")
+            .limit(200)
+        )
+
+    q["o5_key_truncation"] = o5
+
     return q
 
 
@@ -990,6 +1013,18 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
         FROM u WHERE length(trim(text)) > 0
+    """
+
+    o["p4_jump_to_weight"] = f"""
+        SELECT id_l, id_r, weight FROM ({_SCORED_PAIRS_SQL})
+        WHERE weight <= 0.5
+        ORDER BY weight DESC, id_l, id_r LIMIT 1
+    """
+
+    o["o5_key_truncation"] = f"""
+        SELECT round(weight, 3) AS weight, id_l, id_r
+        FROM ({_SCORED_PAIRS_SQL})
+        ORDER BY round(weight, 3) DESC, id_l, id_r LIMIT 200
     """
 
     # mm_byte_features intentionally omitted: Arrow-UDF feature extraction

@@ -97,6 +97,22 @@ class BlockingPassSpec:
     match_fields: tuple[MatchField, ...]
     cutoff: CutoffSpec = CutoffSpec()
     print_cutoff: CutoffSpec = CutoffSpec()
+    #: Self-join passes whose blocking key functionally determines the match
+    #: decision (e.g. blocking on a content hash) may declare a block-size
+    #: threshold above which the engine emits the min-id STAR of the block
+    #: (n-1 pairs) instead of the full clique (n(n-1)/2): transitive closure
+    #: recovers the identical entity, and a 10^5-row identical-content
+    #: boilerplate block costs O(n) instead of O(n^2) through one reducer.
+    #: None = always emit the full clique (reference pairs-file semantics).
+    star_block_rows: int | None = None
+    #: Fields whose equality on both sides means the pair was already found
+    #: by an earlier exact-hash pass: such candidates are dropped BEFORE the
+    #: (expensive, Arrow-batched) comparator scoring. E.g. a fuzzy pass in a
+    #: pipeline whose pass 0 blocks on content_sha can suppress
+    #: ("content_sha",) — every sha-equal pair is provably a pass-0 pair, so
+    #: re-scoring it only to lose first-pass-wins later is pure waste (and
+    #: the dominant waste when boilerplate blocks echo through loose keys).
+    suppress_equal: tuple[str, ...] = ()
 
 
 @dataclass(frozen=True)

@@ -70,6 +70,41 @@ def cap_block_size(
     return df.join(F.broadcast(big), on=keys, how="left_anti")
 
 
+def star_pairs(
+    df: DataFrame, keys: list[str], id_col: str, carry: list[str]
+) -> DataFrame:
+    """Min-id star of every block: (min_id, other_id) per block member.
+
+    Linear in block size where the clique is quadratic; valid whenever the
+    caller knows block-key agreement implies a match (exact-hash passes),
+    because transitive closure turns the star back into the clique's entity.
+    Output schema matches `candidate_pairs`' (id_rec/id_mem/bk_*/rec_*/mem_*).
+    """
+    minids = df.groupBy(*keys).agg(F.min(F.col(id_col)).alias("_min_id"))
+    rep = (
+        df.join(F.broadcast(minids), on=keys)
+        .filter(F.col(id_col) == F.col("_min_id"))
+        .select(
+            *[F.col(k) for k in keys],
+            F.col(id_col).alias("id_rec"),
+            *[F.col(c).alias(f"rec_{c}") for c in carry],
+        )
+    )
+    members = df.join(F.broadcast(minids), on=keys).filter(
+        F.col(id_col) != F.col("_min_id")
+    )
+    return (
+        members.join(F.broadcast(rep), on=keys)
+        .select(
+            F.col("id_rec"),
+            F.col(id_col).alias("id_mem"),
+            *[F.col(k).alias(f"bk_{k}") for k in keys],
+            *[F.col(f"rec_{c}") for c in carry],
+            *[F.col(c).alias(f"mem_{c}") for c in carry],
+        )
+    )
+
+
 def candidate_pairs(
     rec: DataFrame,
     mem: DataFrame,
@@ -80,6 +115,7 @@ def candidate_pairs(
     broadcast_mem: bool | None = None,
     salt: int | None = None,
     max_block_rows: int | None = None,
+    star_block_rows: int | None = None,
     carry_rec: list[str] | None = None,
     carry_mem: list[str] | None = None,
 ) -> DataFrame:
@@ -91,14 +127,40 @@ def candidate_pairs(
 
     dedupe=True self-join keeps only ``id_rec < id_mem`` — halves the pair
     space and drops self-pairs (reference single-file mode).
+
+    star_block_rows (self-join only): blocks larger than this emit the
+    min-id star instead of the quadratic clique — see `star_pairs`. The
+    AQE skew-join splitter can NOT save a same-key mega-block here: its
+    trigger is shuffle-partition *bytes*, and a 10^4-row identical-hash
+    block is only ~MBs in, exploding to 10^8 rows *out* — the explosion has
+    to be prevented before the join, not re-planned after it.
     """
     keys = [bf.name for bf in spec.block_fields]
     carry_rec = carry_rec if carry_rec is not None else [mf.name for mf in spec.match_fields]
     carry_mem = carry_mem if carry_mem is not None else [mf.name for mf in spec.match_fields]
+    star_block_rows = star_block_rows if star_block_rows is not None else spec.star_block_rows
+    if star_block_rows and not dedupe:
+        raise ValueError("star_block_rows requires a self-join (dedupe) pass")
 
     same_side = rec is mem
     r = apply_blank_flags(rec, spec)
+
+    # star split runs BEFORE the size cap: a mega-block on a star pass is
+    # linearized, not dropped; only the quadratic path gets capped.
+    star = None
+    if star_block_rows:
+        big = (
+            r.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > star_block_rows)
+            .select(*keys)
+        )
+        r_big = r.join(F.broadcast(big), on=keys, how="left_semi")
+        star = star_pairs(r_big, keys, id_col, carry_rec)
+        r = r.join(F.broadcast(big), on=keys, how="left_anti")
+
     r = cap_block_size(r, keys, max_block_rows)
+
     if same_side:
         m = r  # self-join: one blank-filter + one cap computation, not two
     else:
@@ -140,4 +202,7 @@ def candidate_pairs(
     drop = [f"bk_{k}_m" for k in keys] + (
         ["_salt", "_salt_m"] if salt and salt > 1 else []
     )
-    return joined.drop(*drop)
+    out = joined.drop(*drop)
+    if star is not None:
+        out = out.unionByName(star)  # star side already has id_rec < id_mem
+    return out

@@ -69,6 +69,8 @@ def score_pass(
     `decision` is 'match' for weight ≥ cutoff hi, else 'possible' for
     weight ≥ cutoff lo, else 'below'.
     """
+    carry = [mf.name for mf in spec.match_fields]
+    carry_sup = carry + [f for f in spec.suppress_equal if f not in carry]
     pairs = candidate_pairs(
         rec,
         mem,
@@ -78,6 +80,20 @@ def score_pass(
         broadcast_mem=broadcast_mem,
         salt=salt,
         max_block_rows=max_block_rows,
+        carry_rec=carry_sup,
+        carry_mem=carry_sup,
+    )
+    # Suppress pairs an earlier exact pass already decided (spec.suppress_equal)
+    # BEFORE any comparator UDF runs — the filter is a JVM predicate on the
+    # join output, so redundant mega-block echoes never reach Python.
+    for f in spec.suppress_equal:
+        pairs = pairs.filter(
+            (F.col(f"rec_{f}") != F.col(f"mem_{f}"))
+            | F.col(f"rec_{f}").isNull()
+            | F.col(f"mem_{f}").isNull()
+        )
+    pairs = pairs.drop(
+        *[c for f in spec.suppress_equal if f not in carry for c in (f"rec_{f}", f"mem_{f}")]
     )
     w = pair_weight(spec.match_fields)
     scored = (

@@ -117,12 +117,20 @@ def repo_match_config(accept_threshold: float = 4.0) -> MatchConfig:
                 match_fields=_HASH_PASS_FIELDS,
                 cutoff=CutoffSpec(hi=4.0, lo=0.0),
                 print_cutoff=CutoffSpec(hi=4.0, lo=0.0),
+                # identical-content boilerplate (license files vendored by
+                # 10^4+ repos) makes one hash block quadratic; the hash key
+                # determines the match, so the min-id star is
+                # closure-equivalent at O(n) cost.
+                star_block_rows=64,
             ),
             BlockingPassSpec(  # pass 1: whitespace/comment-normalized exact
                 block_fields=(BlockField(name="content_sha_nows"),),
                 match_fields=_HASH_PASS_FIELDS,
                 cutoff=CutoffSpec(hi=4.0, lo=0.0),
                 print_cutoff=CutoffSpec(hi=4.0, lo=0.0),
+                star_block_rows=64,
+                # sha-equal pairs are exactly pass 0's pairs
+                suppress_equal=("content_sha",),
             ),
             BlockingPassSpec(  # pass 2: rare-token anchor + fuzzy scoring
                 block_fields=(
@@ -132,6 +140,9 @@ def repo_match_config(accept_threshold: float = 4.0) -> MatchConfig:
                 match_fields=_FUZZY_FIELDS,
                 cutoff=CutoffSpec(hi=4.0, lo=-100.0),
                 print_cutoff=CutoffSpec(hi=4.0, lo=-100.0),
+                # content_sha_nows-equal ⊇ content_sha-equal: every such
+                # pair was found by pass 0 or 1; never JW-score it again.
+                suppress_equal=("content_sha_nows",),
             ),
         ),
         id_field=FieldRef(name=ID_COL),
@@ -144,7 +155,7 @@ def run_repo_linkage(
     df: DataFrame,
     *,
     use_minhash_pass: bool = True,
-    max_block_rows: int | None = 10_000,
+    max_block_rows: int | None = 2_000,
     minhash_max_bucket: int | None = 1_000,
     persist: bool = True,
 ) -> MatchResult:
@@ -171,20 +182,28 @@ def run_repo_linkage(
         cutoff=CutoffSpec(hi=4.0, lo=-100.0),
         print_cutoff=CutoffSpec(hi=4.0, lo=-100.0),
     )
+    # b=4 x r=4 (same 16 hashes as 8x2, sharply lower false-candidate rate:
+    # P(collide) at J=0.3 is 4*0.3^16-ish vs 8*0.3^2 — the candidate volume,
+    # and with it the whole pass-3 cost, drops an order of magnitude while
+    # true near-dups at J>=0.85 still collide with P >= 0.93).
     cands = minhash_candidates(
         prepared,
         "content_norm",
         ID_COL,
         shingle_k=3,
-        bands=8,
-        rows_per_band=2,
+        bands=4,
+        rows_per_band=4,
         max_bucket=minhash_max_bucket,
     )
-    carry = [mf.name for mf in _FUZZY_FIELDS]
+    carry = [mf.name for mf in _FUZZY_FIELDS] + ["content_sha_nows"]
     side = prepared.select(F.col(ID_COL), *carry)
     pairs3 = cands.join(
         side.toDF(*["id_l"] + [f"rec_{c}" for c in carry]), "id_l"
     ).join(side.toDF(*["id_r"] + [f"mem_{c}" for c in carry]), "id_r")
+    # suppress pairs already decided by the exact passes (see pass-2 note)
+    pairs3 = pairs3.filter(
+        F.col("rec_content_sha_nows") != F.col("mem_content_sha_nows")
+    ).drop("rec_content_sha_nows", "mem_content_sha_nows")
     from bigmatch_utilities_spark.operators.scoring import is_exact, pair_weight
 
     scored3 = (
