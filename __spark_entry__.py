@@ -650,6 +650,188 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["o5_key_truncation"] = o5
 
+    # ---- C1: the full comparator vocabulary (c/ci/uo/uoi/s/p/y/q) --------
+    def c1(spark, sf):
+        from bigmatch_utilities_spark.functions.comparators import similarity
+
+        d = _docs_keyed(spark, sf).filter(F.col("doc_id") < 200)
+        l = d.select(
+            F.col("doc_id").alias("id_l"),
+            "hkey",
+            F.col("text_32").alias("t_l"),
+            F.col("n_chars_s").alias("n_l"),
+        )
+        r = d.select(
+            F.col("doc_id").alias("id_r"),
+            F.col("hkey").alias("hk2"),
+            F.col("text_32").alias("t_r"),
+            F.col("n_chars_s").alias("n_r"),
+        )
+        pairs = l.join(r, (F.col("hkey") == F.col("hk2")) & (F.col("id_l") < F.col("id_r")))
+        cols = [
+            F.round(similarity(code, F.col("t_l"), F.col("t_r")), 6).alias(f"sim_{code}")
+            for code in ("c", "ci", "uo", "uoi", "s")
+        ] + [
+            F.round(similarity(code, F.col("n_l"), F.col("n_r")), 6).alias(f"sim_{code}")
+            for code in ("p", "y", "q")
+        ]
+        return pairs.select("id_l", "id_r", *cols)
+
+    q["c1_comparator_vocabulary"] = c1
+
+    # ---- O2: sort by (blocking pass, weight desc) -------------------------
+    def o2(spark, sf):
+        s = _scored_pairs(spark, sf)
+        pairs = _blocked_pairs(spark, sf).select(
+            "id_l",
+            "id_r",
+            F.when(F.col("rec_n_chars_s") == F.col("mem_n_chars_s"), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("pass_id"),
+        )
+        return (
+            s.join(pairs, ["id_l", "id_r"])
+            .orderBy("pass_id", F.col("weight").desc(), "id_l", "id_r")
+            .limit(100)
+            .select("pass_id", "id_l", "id_r", "weight")
+        )
+
+    q["o2_sort_pass_weight"] = o2
+
+    # ---- O4: pagination (page 2 of the weight-desc review list) -----------
+    def o4(spark, sf):
+        return (
+            _scored_pairs(spark, sf)
+            .orderBy(F.col("weight").desc(), "id_l", "id_r")
+            .offset(30)
+            .limit(30)
+            .select("id_l", "id_r", "weight")
+        )
+
+    q["o4_pagination"] = o4
+
+    # ---- S8: widen a fixed-width column in place --------------------------
+    def s8(spark, sf):
+        c = _t(spark, sf, "customer")
+        line = F.concat(
+            F.rpad(F.col("c_name"), 25, " "),
+            F.rpad(F.col("c_mktsegment"), 12, " "),
+            F.lpad(F.col("c_custkey").cast("string"), 8, " "),
+        )
+        fw = c.select(line.alias("line"))
+        widened = fw.select(
+            F.concat(
+                F.substring("line", 1, 25),
+                F.rpad(F.substring("line", 26, 12), 16, " "),
+                F.substring("line", 38, 8),
+            ).alias("line")
+        )
+        return widened.select(
+            F.length("line").alias("reclen"),
+            F.trim(F.substring("line", 1, 25)).alias("name"),
+            F.trim(F.substring("line", 26, 16)).alias("segment"),
+            F.trim(F.substring("line", 42, 8)).alias("custkey"),
+        )
+
+    q["s8_widen_column"] = s8
+
+    # ---- U3: master-key accumulation across runs (cleanpairs cat loop) ----
+    def u3(spark, sf):
+        s = _scored_pairs(spark, sf)
+        acc = None
+        for batch, floor in ((0, 1.0), (1, 0.0), (2, -2.0)):
+            keys = s.filter(F.col("weight") >= floor).select(
+                "id_l", "id_r", F.lit(batch).alias("batch")
+            )
+            acc = keys if acc is None else acc.unionByName(keys)
+        return acc.groupBy("id_l", "id_r").agg(F.min("batch").alias("batch"))
+
+    q["u3_master_key_accumulation"] = u3
+
+    # ---- A1: per-pass blocking/matching field counts (parmf rows 2-3) -----
+    def a1(spark, sf):
+        from bigmatch_utilities_spark.repo_linkage import repo_match_config
+
+        cfg = repo_match_config()
+        rows = [
+            (k, len(spec.block_fields), len(spec.match_fields))
+            for k, spec in enumerate(cfg.passes)
+        ]
+        return spark.createDataFrame(rows, "pass_id int, n_block int, n_match int")
+
+    q["a1_per_pass_counts"] = a1
+
+    # ---- S6: SELECT-only guarded SQL → padded flat-file export ------------
+    def s6(spark, sf):
+        from bigmatch_utilities_spark.sources.rdbms import guarded_select
+
+        _t(spark, sf, "nation").createOrReplaceTempView("nation_v")
+        out = guarded_select(
+            spark,
+            "SELECT n_nationkey, n_name FROM nation_v WHERE n_nationkey < 20",
+        )
+        return out.select(
+            F.concat(
+                F.lpad(F.col("n_nationkey").cast("string"), 4, " "),
+                F.rpad(F.col("n_name"), 20, " "),
+            ).alias("line")
+        )
+
+    q["s6_sql_export"] = s6
+
+    # ---- streaming: incremental stream-static match (rows-only) -----------
+    def st(spark, sf):
+        import tempfile
+
+        from bigmatch_utilities_spark.config import (
+            BlockField,
+            BlockingPassSpec,
+            CutoffSpec,
+        )
+        from bigmatch_utilities_spark.streaming.incremental import (
+            run_incremental_match,
+        )
+
+        d = _docs_keyed(spark, sf).select(
+            "doc_id",
+            "lang",
+            "bucket",
+            "text_32",
+            "n_chars_s",
+            "source",
+            F.col("bucket").cast("string").alias("bucket_s"),
+        )
+        base = tempfile.mkdtemp(prefix="st_incr_")
+        inp, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+        d.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(inp)
+        static = d.filter(F.col("doc_id") % 2 == 1)
+        spec = BlockingPassSpec(
+            block_fields=(BlockField(name="lang"), BlockField(name="bucket_s")),
+            match_fields=_FS_FIELDS,
+            cutoff=CutoffSpec(hi=3.0, lo=-100.0),
+            print_cutoff=CutoffSpec(hi=3.0, lo=-100.0),
+        )
+        schema = (
+            "doc_id long, lang string, bucket long, text_32 string, "
+            "n_chars_s string, source string, bucket_s string"
+        )
+        run_incremental_match(
+            spark,
+            inp,
+            schema,
+            static.withColumn("bucket_s", F.col("bucket").cast("string")),
+            spec,
+            "doc_id",
+            out,
+            ckpt,
+        )
+        got = spark.read.parquet(out)
+        return got.select(
+            "id_rec", "id_mem", F.round("weight", 6).alias("weight")
+        )
+
+    q["st_incremental_match"] = st
+
     return q
 
 
@@ -1027,6 +1209,83 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY round(weight, 3) DESC, id_l, id_r LIMIT 200
     """
 
+    from bigmatch_utilities_spark.functions.comparators import similarity_sql
+
+    str_sims = ",\n               ".join(
+        f"round({similarity_sql(code, 'a.text_32', 'b.text_32')}, 6) AS sim_{code}"
+        for code in ("c", "ci", "uo", "uoi", "s")
+    )
+    num_sims = ",\n               ".join(
+        f"round({similarity_sql(code, 'a.n_chars_s', 'b.n_chars_s')}, 6) AS sim_{code}"
+        for code in ("p", "y", "q")
+    )
+    o["c1_comparator_vocabulary"] = f"""
+        WITH d AS (SELECT * FROM ({_DOCS_KEYED_SQL}) WHERE doc_id < 200)
+        SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+               {str_sims},
+               {num_sims}
+        FROM d a JOIN d b ON a.hkey = b.hkey AND a.doc_id < b.doc_id
+    """
+
+    o["o2_sort_pass_weight"] = f"""
+        WITH s AS ({_SCORED_PAIRS_SQL}),
+        p AS (
+            SELECT id_l, id_r,
+                   CASE WHEN rec_n_chars_s = mem_n_chars_s THEN 0 ELSE 1 END AS pass_id
+            FROM ({_BLOCKED_PAIRS_SQL})
+        )
+        SELECT p.pass_id, s.id_l, s.id_r, s.weight
+        FROM s JOIN p ON s.id_l = p.id_l AND s.id_r = p.id_r
+        ORDER BY p.pass_id, s.weight DESC, s.id_l, s.id_r LIMIT 100
+    """
+
+    o["o4_pagination"] = f"""
+        SELECT id_l, id_r, weight FROM ({_SCORED_PAIRS_SQL})
+        ORDER BY weight DESC, id_l, id_r LIMIT 30 OFFSET 30
+    """
+
+    o["s8_widen_column"] = """
+        WITH fw AS (
+            SELECT rpad(c_name, 25, ' ') || rpad(c_mktsegment, 12, ' ')
+                   || lpad(CAST(c_custkey AS VARCHAR), 8, ' ') AS line
+            FROM customer
+        ), widened AS (
+            SELECT substring(line, 1, 25)
+                   || rpad(substring(line, 26, 12), 16, ' ')
+                   || substring(line, 38, 8) AS line
+            FROM fw
+        )
+        SELECT CAST(length(line) AS INT) AS reclen,
+               trim(substring(line, 1, 25)) AS name,
+               trim(substring(line, 26, 16)) AS segment,
+               trim(substring(line, 42, 8)) AS custkey
+        FROM widened
+    """
+
+    o["u3_master_key_accumulation"] = f"""
+        WITH s AS ({_SCORED_PAIRS_SQL}),
+        acc AS (
+            SELECT id_l, id_r, 0 AS batch FROM s WHERE weight >= 1.0
+            UNION ALL SELECT id_l, id_r, 1 FROM s WHERE weight >= 0.0
+            UNION ALL SELECT id_l, id_r, 2 FROM s WHERE weight >= -2.0
+        )
+        SELECT id_l, id_r, CAST(min(batch) AS INT) AS batch
+        FROM acc GROUP BY id_l, id_r
+    """
+
+    o["a1_per_pass_counts"] = """
+        SELECT * FROM (VALUES (0, 1, 2), (1, 1, 2), (2, 2, 3))
+            AS t(pass_id, n_block, n_match)
+    """
+
+    o["s6_sql_export"] = """
+        SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, ' ')
+               || rpad(n_name, 20, ' ') AS line
+        FROM nation WHERE n_nationkey < 20
+    """
+
     # mm_byte_features intentionally omitted: Arrow-UDF feature extraction
     # has no SQL twin → rows-only check.
+    # st_incremental_match intentionally omitted: Structured Streaming
+    # stream-static join has no DuckDB twin → rows-only check.
     return o

@@ -114,6 +114,7 @@ def candidate_pairs(
     dedupe: bool = False,
     broadcast_mem: bool | None = None,
     salt: int | None = None,
+    shard_rows: int | None = None,
     max_block_rows: int | None = None,
     star_block_rows: int | None = None,
     carry_rec: list[str] | None = None,
@@ -134,6 +135,17 @@ def candidate_pairs(
     trigger is shuffle-partition *bytes*, and a 10^4-row identical-hash
     block is only ~MBs in, exploding to 10^8 rows *out* — the explosion has
     to be prevented before the join, not re-planned after it.
+
+    shard_rows: adaptive output-skew salting for passes that must score the
+    full clique (fuzzy passes, where key agreement does NOT imply a match
+    so the star shortcut is invalid). A block of n rows generates n²/2
+    pairs inside ONE join task; AQE never splits it (input bytes look
+    fine). With shard_rows=t each block is split into ceil(n/t) shards by
+    rec-row hash, the mem side is replicated once per shard of ITS block
+    (cold blocks: 1 shard = no replication), and the join key becomes
+    (block key, shard) — so a hot block's pair generation and the
+    downstream comparator UDFs spread over ceil(n/t) tasks while cold
+    blocks pay nothing. Exact join semantics preserved.
     """
     keys = [bf.name for bf in spec.block_fields]
     carry_rec = carry_rec if carry_rec is not None else [mf.name for mf in spec.match_fields]
@@ -178,20 +190,44 @@ def candidate_pairs(
         *[F.col(c).alias(f"mem_{c}") for c in carry_mem],
     )
 
+    cond = [F.col(f"bk_{k}") == F.col(f"bk_{k}_m") for k in keys]
+    drop = [f"bk_{k}_m" for k in keys]
+
     if salt and salt > 1:
-        # Exact-semantics salting: split the rec side into `salt` shards by a
-        # hash of its id, replicate the mem side once per shard. The shuffle
-        # key becomes (block key, shard) so one hot key spreads over `salt`
-        # reducers. Only worth it when AQE skew-split isn't available.
+        # Uniform salting: split the rec side into `salt` shards by a hash
+        # of its id, replicate the WHOLE mem side once per shard. Simple but
+        # pays `salt`-fold replication on every block; prefer shard_rows.
         r = r.withColumn("_salt", F.pmod(F.xxhash64(F.col("id_rec")), F.lit(salt)))
         m = m.crossJoin(
             m.sparkSession.range(salt).select(F.col("id").cast("int").alias("_salt_m"))
         )
-        cond = [F.col(f"bk_{k}") == F.col(f"bk_{k}_m") for k in keys] + [
-            F.col("_salt") == F.col("_salt_m")
-        ]
-    else:
-        cond = [F.col(f"bk_{k}") == F.col(f"bk_{k}_m") for k in keys]
+        cond = cond + [F.col("_salt") == F.col("_salt_m")]
+        drop += ["_salt", "_salt_m"]
+    elif shard_rows:
+        # Adaptive output-skew salting: per-block shard count ∝ block size.
+        # The count table shares the main join's key, so Catalyst plans the
+        # attach joins on the same partitioning (AQE broadcasts it when
+        # small). Replication cost: a block of n rows adds n·ceil(n/t) mem
+        # rows — linear in its PAIR output / t, never a blind `salt`-fold.
+        cnt = r.groupBy(*[f"bk_{k}" for k in keys]).agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        cnt = cnt.select(
+            *[F.col(f"bk_{k}") for k in keys],
+            F.ceil(F.col("_bn") / F.lit(float(shard_rows))).cast("int").alias("_nsh"),
+        )
+        r = r.join(cnt, on=[f"bk_{k}" for k in keys]).withColumn(
+            "_shard", F.pmod(F.xxhash64(F.col("id_rec")), F.col("_nsh")).cast("int")
+        )
+        cnt_m = cnt.select(
+            *[F.col(f"bk_{k}").alias(f"bk_{k}_m") for k in keys],
+            F.col("_nsh").alias("_nsh_m"),
+        )
+        m = m.join(cnt_m, on=[f"bk_{k}_m" for k in keys]).withColumn(
+            "_shard_m", F.explode(F.sequence(F.lit(0), F.col("_nsh_m") - 1))
+        )
+        cond = cond + [F.col("_shard") == F.col("_shard_m")]
+        drop += ["_nsh", "_nsh_m", "_shard", "_shard_m"]
 
     mm = F.broadcast(m) if broadcast_mem else m
     joined = r.join(mm, on=cond, how="inner")
@@ -199,9 +235,6 @@ def candidate_pairs(
     if dedupe:
         joined = joined.filter(F.col("id_rec") < F.col("id_mem"))
 
-    drop = [f"bk_{k}_m" for k in keys] + (
-        ["_salt", "_salt_m"] if salt and salt > 1 else []
-    )
     out = joined.drop(*drop)
     if star is not None:
         out = out.unionByName(star)  # star side already has id_rec < id_mem

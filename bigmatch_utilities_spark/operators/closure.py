@@ -72,6 +72,19 @@ def _truncate(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _signature(e: DataFrame) -> tuple[int, int]:
+    """Order-insensitive identity of a distinct edge set: (count, sum of
+    64-bit row hashes). One cheap scan per iteration, vs. the two
+    anti-join jobs a symmetric exceptAll convergence test costs.
+    decimal(38,0) accumulator: ANSI mode (Spark 4 default) would throw on
+    long overflow, and 2^63-magnitude hash sums overflow immediately."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"] or 0)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -84,13 +97,16 @@ def connected_components(
     cluster_id = own id if needed)."""
     e = _canon(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
     e = _truncate(e)
+    sig = _signature(e)
     for _ in range(max_iterations):
         e2 = _truncate(_small_star(_large_star(e)))
-        # convergence: identical edge sets (both canonical + distinct)
-        changed = e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
+        # convergence: identical canonical+distinct edge sets ⇔ identical
+        # (count, hash-sum) signatures (collision odds ~2^-64 per run)
+        sig2 = _signature(e2)
         e = e2
-        if changed == 0:
+        if sig2 == sig:
             break
+        sig = sig2
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_iterations} rounds")
 

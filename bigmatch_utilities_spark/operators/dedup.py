@@ -145,26 +145,65 @@ def minhash_candidates(
     bands: int = 8,
     rows_per_band: int = 2,
     max_bucket: int | None = 1000,
+    shard_rows: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (id_l < id_r, distinct across bands).
 
     The band-bucket self-join is the scale path: the shuffle key is
-    (band, band_key); `max_bucket` caps degenerate buckets (boilerplate)."""
+    (band, band_key); `max_bucket` caps degenerate buckets (boilerplate).
+    `shard_rows` spreads a hot bucket's quadratic pair output over
+    ceil(n/shard_rows) join tasks (adaptive salting, same scheme as
+    operators.blocking.candidate_pairs) — a 1000-row bucket is ~KBs into
+    the join but 500k pairs out, invisible to AQE's byte-based skew split."""
     b = minhash_bands(
         df, text_col, id_col, shingle_k=shingle_k, bands=bands, rows_per_band=rows_per_band
     )
+    # the string band_key only matters as a grouping key — fold it to a
+    # long so the bucket shuffle moves 8-byte keys, not ~60-byte concats
+    # (collision odds across ~|buckets| keys are ~|buckets|²/2^65: nil).
+    # persist: the bands frame feeds the bucket-count table AND both join
+    # sides — without it the shingle-explode + hash + groupBy signature
+    # job (the most expensive map stage of the whole family) re-runs once
+    # per consumer.
+    b = b.select("id", "band", F.xxhash64("band_key").alias("band_key")).persist()
+    cnt = (
+        b.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") > 1)  # singleton buckets can't pair — drop early
+    )
     if max_bucket:
-        big = (
-            b.groupBy("band", "band_key")
-            .count()
-            .filter(F.col("count") > max_bucket)
-            .select("band", "band_key")
+        cnt = cnt.filter(F.col("_bn") <= max_bucket)
+    cnt = cnt.select(
+        "band",
+        "band_key",
+        (
+            F.ceil(F.col("_bn") / F.lit(float(shard_rows))).cast("int")
+            if shard_rows
+            else F.lit(1)
+        ).alias("_nsh"),
+    )
+    # inner join against the kept-buckets table applies the cap, the
+    # singleton drop, and the shard count in ONE pass over b
+    l = b.join(cnt, ["band", "band_key"]).select(
+        "band", "band_key", F.col("id").alias("id_l"), "_nsh"
+    )
+    r = b.join(cnt, ["band", "band_key"]).select(
+        F.col("band").alias("band_r"),
+        F.col("band_key").alias("band_key_r"),
+        F.col("id").alias("id_r"),
+        F.col("_nsh").alias("_nsh_r"),
+    )
+    on = [F.col("band") == F.col("band_r"), F.col("band_key") == F.col("band_key_r")]
+    if shard_rows:
+        l = l.withColumn(
+            "_shard", F.pmod(F.xxhash64("id_l"), F.col("_nsh")).cast("int")
         )
-        b = b.join(F.broadcast(big), ["band", "band_key"], "left_anti")
-    l = b.select("band", "band_key", F.col("id").alias("id_l"))
-    r = b.select("band", "band_key", F.col("id").alias("id_r"))
+        r = r.withColumn(
+            "_shard_r", F.explode(F.sequence(F.lit(0), F.col("_nsh_r") - 1))
+        )
+        on = on + [F.col("_shard") == F.col("_shard_r")]
     return (
-        l.join(r, ["band", "band_key"])
+        l.join(r, on)
         .filter(F.col("id_l") < F.col("id_r"))
         .select("id_l", "id_r")
         .distinct()

@@ -27,7 +27,6 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from bigmatch_utilities_spark.config import BlockingPassSpec, MatchConfig
 from bigmatch_utilities_spark.operators.blocking import candidate_pairs
@@ -50,25 +49,22 @@ def normalize(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     return out
 
 
-def score_pass(
+def pass_candidates(
     rec: DataFrame,
     mem: DataFrame,
     spec: BlockingPassSpec,
-    pass_id: int,
     id_col: str,
     *,
     dedupe: bool = False,
     broadcast_mem: bool | None = None,
     salt: int | None = None,
+    shard_rows: int | None = None,
     max_block_rows: int | None = None,
 ) -> DataFrame:
-    """One blocking pass → scored candidate pairs.
-
-    Emission floor: pairs below the *print* low cutoff are not emitted at
-    all (print-cutoff bounds what is written, BigMatchParmFile.py:529-549);
-    `decision` is 'match' for weight ≥ cutoff hi, else 'possible' for
-    weight ≥ cutoff lo, else 'below'.
-    """
+    """The pass's candidate pairs exactly as they enter the comparators:
+    blocked join output minus suppress_equal-decided pairs. Exposed so
+    benches can count candidate-pairs/sec (the BASELINE throughput unit)
+    on the same plan the scoring path consumes."""
     carry = [mf.name for mf in spec.match_fields]
     carry_sup = carry + [f for f in spec.suppress_equal if f not in carry]
     pairs = candidate_pairs(
@@ -79,6 +75,7 @@ def score_pass(
         dedupe=dedupe,
         broadcast_mem=broadcast_mem,
         salt=salt,
+        shard_rows=shard_rows,
         max_block_rows=max_block_rows,
         carry_rec=carry_sup,
         carry_mem=carry_sup,
@@ -92,8 +89,41 @@ def score_pass(
             | F.col(f"rec_{f}").isNull()
             | F.col(f"mem_{f}").isNull()
         )
-    pairs = pairs.drop(
+    return pairs.drop(
         *[c for f in spec.suppress_equal if f not in carry for c in (f"rec_{f}", f"mem_{f}")]
+    )
+
+
+def score_pass(
+    rec: DataFrame,
+    mem: DataFrame,
+    spec: BlockingPassSpec,
+    pass_id: int,
+    id_col: str,
+    *,
+    dedupe: bool = False,
+    broadcast_mem: bool | None = None,
+    salt: int | None = None,
+    shard_rows: int | None = None,
+    max_block_rows: int | None = None,
+) -> DataFrame:
+    """One blocking pass → scored candidate pairs.
+
+    Emission floor: pairs below the *print* low cutoff are not emitted at
+    all (print-cutoff bounds what is written, BigMatchParmFile.py:529-549);
+    `decision` is 'match' for weight ≥ cutoff hi, else 'possible' for
+    weight ≥ cutoff lo, else 'below'.
+    """
+    pairs = pass_candidates(
+        rec,
+        mem,
+        spec,
+        id_col,
+        dedupe=dedupe,
+        broadcast_mem=broadcast_mem,
+        salt=salt,
+        shard_rows=shard_rows,
+        max_block_rows=max_block_rows,
     )
     w = pair_weight(spec.match_fields)
     scored = (
@@ -132,12 +162,22 @@ class MatchResult:
 
 def first_pass_wins(all_pairs: DataFrame) -> DataFrame:
     """A pair reported by several passes keeps its earliest pass's row
-    (multi-pass union + dedup, app/MatchReview.py:41-50, cleanpairs:29-44)."""
-    w = Window.partitionBy(*PAIR_KEY).orderBy(F.col("pass_id").asc())
+    (multi-pass union + dedup, app/MatchReview.py:41-50, cleanpairs:29-44).
+
+    min_by-style groupBy, not a window: a window must shuffle EVERY pair
+    row then sort within partitions; min(struct(pass_id, row)) gets
+    map-side partial aggregation — duplicate reports collapse before the
+    shuffle, which at 10^8-pair scale is the difference between shuffling
+    the union and shuffling ~the result."""
+    others = [c for c in all_pairs.columns if c not in PAIR_KEY and c != "pass_id"]
+    packed = F.struct(F.col("pass_id"), *[F.col(c) for c in others])
     return (
-        all_pairs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        all_pairs.groupBy(*PAIR_KEY)
+        .agg(F.min(packed).alias("_row"))
+        .select(
+            *PAIR_KEY,
+            *[F.col(f"_row.{c}").alias(c) for c in ["pass_id"] + others],
+        )
     )
 
 
@@ -149,6 +189,7 @@ def run_match(
     *,
     broadcast_mem: bool | None = None,
     salt: int | None = None,
+    shard_rows: int | None = None,
     max_block_rows: int | None = None,
     persist: bool = True,
 ) -> MatchResult:
@@ -177,15 +218,21 @@ def run_match(
             dedupe=dedupe,
             broadcast_mem=broadcast_mem,
             salt=salt,
+            shard_rows=shard_rows,
             max_block_rows=max_block_rows,
         )
         for k, spec in enumerate(config.passes)
     ]
-    # Passes may carry different match fields → align on the shared core
-    # columns plus each pass's own fields, filling missing with nulls.
+    # Only the decision core crosses the multi-pass union: the carried
+    # rec_/mem_ field values are ~10x the bytes of the decision columns and
+    # nothing downstream of the union reads them (the legacy emit path
+    # formats per-pass frames BEFORE the union). At 10^8+ pairs this is the
+    # difference between shuffling ~50 B and ~500 B per row through the
+    # first-pass-wins aggregation.
     core = None
     for df in per_pass:
-        core = df if core is None else core.unionByName(df, allowMissingColumns=True)
+        slim = df.select(*PAIR_KEY, "pass_id", "weight", "is_exact", "decision")
+        core = slim if core is None else core.unionByName(slim)
     pairs = first_pass_wins(core)
 
     exact = pairs.filter(F.col("is_exact") & (F.col("decision") != "below"))

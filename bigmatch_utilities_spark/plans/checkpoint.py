@@ -56,8 +56,9 @@ class CheckpointedMatch:
         os.replace(tmp, path)  # atomic on POSIX
 
     # -- metrics ---------------------------------------------------------
-    def _append_metrics(self, payload: dict) -> None:
-        self.spark.createDataFrame([payload]).write.mode("append").json(
+    def _append_metrics(self, payload: dict | list[dict]) -> None:
+        rows = payload if isinstance(payload, list) else [payload]
+        self.spark.createDataFrame(rows).write.mode("append").json(
             f"{self.out}/metrics"
         )
 
@@ -93,18 +94,43 @@ class CheckpointedMatch:
             )
             scored.write.mode("overwrite").parquet(pairs_path)
             df = self.spark.read.parquet(pairs_path)
-            n_pairs = df.count()
+            # per-partition lineage: one metrics row per output partition
+            # (file) of the pass, so a resume/audit can account for every
+            # unit of completed work, not just the pass total.
+            part_rows = [
+                r.asDict()
+                for r in df.groupBy(
+                    F.spark_partition_id().alias("partition")
+                )
+                .agg(F.count(F.lit(1)).alias("rows"))
+                .collect()
+            ]
+            n_pairs = sum(p["rows"] for p in part_rows)
             wall = time.time() - t0
-            n_parts = df.rdd.getNumPartitions()
-            self._append_metrics(
+            ts = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+            rows = [
                 {
+                    "kind": "pass",
                     "pass_id": k,
-                    "pairs": n_pairs,
+                    "partition": -1,
+                    "rows": n_pairs,
                     "wall_s": float(wall),
-                    "partitions": int(n_parts),
-                    "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                    "partitions": int(len(part_rows)),
+                    "ts": ts,
                 }
-            )
+            ] + [
+                {
+                    "kind": "partition",
+                    "pass_id": k,
+                    "partition": int(p["partition"]),
+                    "rows": int(p["rows"]),
+                    "wall_s": float(wall),
+                    "partitions": int(len(part_rows)),
+                    "ts": ts,
+                }
+                for p in part_rows
+            ]
+            self._append_metrics(rows)
             self._write_marker(k, {"pairs": n_pairs, "wall_s": wall})
             per_pass.append(df)
 

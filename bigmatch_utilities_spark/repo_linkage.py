@@ -156,10 +156,23 @@ def run_repo_linkage(
     *,
     use_minhash_pass: bool = True,
     max_block_rows: int | None = 2_000,
-    minhash_max_bucket: int | None = 1_000,
-    persist: bool = True,
+    minhash_max_bucket: int | None = 256,
+    shard_rows: int | None = 192,
+    persist: bool = False,
 ) -> MatchResult:
-    """Full multi-pass linkage over a prepared repo-files DataFrame."""
+    """Full multi-pass linkage over a prepared repo-files DataFrame.
+
+    minhash_max_bucket: LSH buckets above this are template/boilerplate
+    canopies, not duplicate evidence — their members' true duplicates are
+    exact/nows/anchor-pass catches. The cap bounds the canopy pass's pair
+    volume (a 1000-row bucket is 500k pairs in ONE bucket); 256 keeps the
+    worst bucket ~32k pairs pre-shard.
+
+    shard_rows: adaptive hot-block salting target (see operators.blocking):
+    fuzzy blocks and LSH buckets bigger than this get their quadratic pair
+    output spread over proportionally many join tasks. The 100 TB scaling
+    property depends on it — without it a handful of boilerplate anchor
+    blocks serialize the whole comparator stage onto a few cores."""
     prepared = prepare(df)
     if persist:
         prepared = prepared.persist()
@@ -170,6 +183,7 @@ def run_repo_linkage(
         cfg,
         id_col=ID_COL,
         max_block_rows=max_block_rows,
+        shard_rows=shard_rows,
         persist=False,
     )
     if not use_minhash_pass:
@@ -194,6 +208,7 @@ def run_repo_linkage(
         bands=4,
         rows_per_band=4,
         max_bucket=minhash_max_bucket,
+        shard_rows=shard_rows,
     )
     carry = [mf.name for mf in _FUZZY_FIELDS] + ["content_sha_nows"]
     side = prepared.select(F.col(ID_COL), *carry)
@@ -218,7 +233,11 @@ def run_repo_linkage(
         )
     )
     combined = first_pass_wins(
-        result.pairs.unionByName(scored3, allowMissingColumns=True)
+        result.pairs.unionByName(
+            scored3.select(
+                "id_rec", "id_mem", "pass_id", "weight", "is_exact", "decision"
+            )
+        )
     )
     exact = combined.filter(F.col("is_exact") & (F.col("decision") != "below"))
     accepted = combined.filter(
@@ -237,6 +256,51 @@ def run_repo_linkage(
         & (F.col("weight") < F.lit(float(cfg.accept_threshold)))
     )
     return MatchResult(pairs=combined, exact=exact, accepted=accepted, possible=possible)
+
+
+def count_candidates(
+    df: DataFrame,
+    *,
+    use_minhash_pass: bool = True,
+    max_block_rows: int | None = 2_000,
+    minhash_max_bucket: int | None = 256,
+) -> int:
+    """Candidate pairs entering the comparator stage across every pass —
+    the denominator of the BASELINE candidate-pairs/sec throughput metric.
+    Counts run on the same candidate plans `run_repo_linkage` scores (post
+    blank/suppress filtering), but without the scoring UDFs, so the count
+    job is cheap relative to the pipeline it calibrates."""
+    from bigmatch_utilities_spark.operators.pipeline import pass_candidates
+
+    prepared = prepare(df)
+    cfg = repo_match_config()
+    total = 0
+    for spec in cfg.passes:
+        total += pass_candidates(
+            prepared,
+            prepared,
+            spec,
+            ID_COL,
+            dedupe=True,
+            max_block_rows=max_block_rows,
+        ).count()
+    if use_minhash_pass:
+        cands = minhash_candidates(
+            prepared,
+            "content_norm",
+            ID_COL,
+            shingle_k=3,
+            bands=4,
+            rows_per_band=4,
+            max_bucket=minhash_max_bucket,
+            shard_rows=None,
+        )
+        side = prepared.select(F.col(ID_COL), "content_sha_nows")
+        pairs3 = cands.join(
+            side.toDF("id_l", "sha_l"), "id_l"
+        ).join(side.toDF("id_r", "sha_r"), "id_r")
+        total += pairs3.filter(F.col("sha_l") != F.col("sha_r")).count()
+    return total
 
 
 def link_and_cluster(df: DataFrame, **kwargs) -> DataFrame:

@@ -32,10 +32,19 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    # Shuffle/spill dirs: prefer RAM-backed tmpfs in local mode. On a real
+    # cluster every executor brings its own local disks, so aggregate
+    # shuffle bandwidth scales with the cluster; a single box has ONE disk
+    # — an artificial serial resource that would otherwise cap scaling
+    # measurements. Honors SPARK_LOCAL_DIRS when the operator sets it.
+    if not os.environ.get("SPARK_LOCAL_DIRS") and os.path.isdir("/dev/shm"):
+        shm = "/dev/shm/spark-local"
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -30,7 +30,7 @@ import json, sys, time
 sys.path.insert(0, {repo!r})
 from pyspark.sql import functions as F
 from bigmatch_utilities_spark.session import get_spark
-from bigmatch_utilities_spark.repo_linkage import run_repo_linkage
+from bigmatch_utilities_spark.repo_linkage import count_candidates, run_repo_linkage
 
 cpus = {cpus}
 spark = get_spark("scale-%d" % cpus, master="local[%d]" % cpus,
@@ -44,8 +44,13 @@ t0 = time.time()
 result = run_repo_linkage(df, use_minhash_pass=True)
 n_pairs = result.pairs.count()
 wall = time.time() - t0
-print(json.dumps({{"cpus": cpus, "pairs": n_pairs, "wall_s": round(wall, 2),
-                  "pairs_per_sec": round(n_pairs / wall, 1)}}))
+# BASELINE unit: candidate pairs entering the comparators per second;
+# counted outside the timed window (input-determined, identical at every
+# parallelism level).
+n_cand = count_candidates(df, use_minhash_pass=True)
+print(json.dumps({{"cpus": cpus, "pairs": n_pairs, "candidates": n_cand,
+                  "wall_s": round(wall, 2),
+                  "pairs_per_sec": round(n_cand / wall, 1)}}))
 spark.stop()
 """
 
