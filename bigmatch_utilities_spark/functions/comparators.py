@@ -65,7 +65,12 @@ def jaro_winkler_np(
     boost_threshold: float = WINKLER_BOOST_THRESHOLD,
 ) -> np.ndarray:
     """Batched Jaro-Winkler similarity: loops over char positions (≤ field
-    width), vectorized across the batch dimension."""
+    width), vectorized across the batch dimension.
+
+    Fast path: rows whose two sides are byte-identical score 1.0 without
+    entering the O(L·window) match loop. Candidate pairs from blocking are
+    dominated by near-duplicates, where exact agreement on a match field
+    is the COMMON case — skipping them typically halves kernel time."""
     A, la = _char_matrix(s1)
     B, lb = _char_matrix(s2)
     n = len(la)
@@ -74,6 +79,30 @@ def jaro_winkler_np(
     alive = (la > 0) & (lb > 0)
     if La == 0 or Lb == 0 or not alive.any():
         return out
+
+    W0 = min(La, Lb)
+    eq = alive & (la == lb) & (A[:, :W0] == B[:, :W0]).all(axis=1)
+    out[eq] = 1.0
+    todo = alive & ~eq
+    if not todo.any():
+        return out
+    out[todo] = _jw_core(
+        A[todo], la[todo], B[todo], lb[todo], prefix_scale, boost_threshold
+    )
+    return out
+
+
+def _jw_core(
+    A: np.ndarray,
+    la: np.ndarray,
+    B: np.ndarray,
+    lb: np.ndarray,
+    prefix_scale: float,
+    boost_threshold: float,
+) -> np.ndarray:
+    """The general-case kernel over rows known non-blank and non-equal."""
+    n = len(la)
+    La, Lb = A.shape[1], B.shape[1]
 
     # match window per row
     d = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
@@ -129,9 +158,9 @@ def jaro_winkler_np(
     for i in range(P):
         still = still & (A[:, i] == B[:, i]) & (A[:, i] != 0)
         prefix += still
-    jw = np.where(jaro > boost_threshold, jaro + prefix * prefix_scale * (1.0 - jaro), jaro)
-    out = np.where(alive, jw, 0.0)
-    return out
+    return np.where(
+        jaro > boost_threshold, jaro + prefix * prefix_scale * (1.0 - jaro), jaro
+    )
 
 
 # DoubleType() (not the DDL string "double"): a DDL-typed pandas_udf needs an

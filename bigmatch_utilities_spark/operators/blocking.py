@@ -105,6 +105,104 @@ def star_pairs(
     )
 
 
+def _self_candidate_pairs(
+    df: DataFrame,
+    spec: BlockingPassSpec,
+    id_col: str,
+    *,
+    dedupe: bool,
+    shard_rows: int | None,
+    max_block_rows: int | None,
+    star_block_rows: int | None,
+    carry_rec: list[str],
+    carry_mem: list[str],
+) -> DataFrame:
+    """Self-join candidate generation with ONE window computation.
+
+    The block-size cap, the star/clique split, and the adaptive shard
+    count all need per-block statistics. The generic path computes them
+    with separate groupBy jobs + broadcast materializations per pass —
+    3-5 extra stage barriers of pure latency on the critical path. Here a
+    single ``Window.partitionBy(block keys)`` attaches the block count AND
+    the min-id representative row in one shuffle; both join sides branch
+    from the same windowed frame, so Catalyst's ReuseExchange serves them
+    from one exchange, and the un-sharded join reuses the window's hash
+    partitioning outright (no re-shuffle)."""
+    from pyspark.sql.window import Window
+
+    keys = [bf.name for bf in spec.block_fields]
+    carry_all = list(dict.fromkeys([*carry_rec, *carry_mem]))
+    r0 = apply_blank_flags(df, spec)
+    w = Window.partitionBy(*keys)
+    # id first in the struct → min(struct) is the min-id row of the block
+    packed = F.struct(
+        F.col(id_col).alias("_id"),
+        *[F.col(c).alias(f"_c_{c}") for c in carry_all],
+    )
+    cols = list(dict.fromkeys([id_col, *keys, *carry_all]))
+    rw = (
+        r0.select(*cols)
+        .withColumn("_bn", F.count(F.lit(1)).over(w))
+        .withColumn("_rep", F.min(packed).over(w))
+    )
+
+    star = None
+    if star_block_rows:
+        sb = rw.filter(F.col("_bn") > star_block_rows)
+        star = sb.filter(F.col(id_col) != F.col("_rep._id")).select(
+            F.col("_rep._id").alias("id_rec"),
+            F.col(id_col).alias("id_mem"),
+            *[F.col(k).alias(f"bk_{k}") for k in keys],
+            *[F.col(f"_rep._c_{c}").alias(f"rec_{c}") for c in carry_rec],
+            *[F.col(c).alias(f"mem_{c}") for c in carry_mem],
+        )
+        rw = rw.filter(F.col("_bn") <= star_block_rows)
+    if max_block_rows:
+        rw = rw.filter(F.col("_bn") <= max_block_rows)
+    if shard_rows:
+        rw = rw.withColumn(
+            "_nsh", F.ceil(F.col("_bn") / F.lit(float(shard_rows))).cast("int")
+        )
+
+    r = rw.select(
+        F.col(id_col).alias("id_rec"),
+        *[F.col(k).alias(f"bk_{k}") for k in keys],
+        *[F.col(c).alias(f"rec_{c}") for c in carry_rec],
+        *(
+            [
+                F.pmod(F.xxhash64(F.col(id_col)), F.col("_nsh"))
+                .cast("int")
+                .alias("_shard")
+            ]
+            if shard_rows
+            else []
+        ),
+    )
+    m = rw.select(
+        F.col(id_col).alias("id_mem"),
+        *[F.col(k).alias(f"bk_{k}_m") for k in keys],
+        *[F.col(c).alias(f"mem_{c}") for c in carry_mem],
+        *(
+            [F.explode(F.sequence(F.lit(0), F.col("_nsh") - 1)).alias("_shard_m")]
+            if shard_rows
+            else []
+        ),
+    )
+    cond = [F.col(f"bk_{k}") == F.col(f"bk_{k}_m") for k in keys]
+    if shard_rows:
+        cond.append(F.col("_shard") == F.col("_shard_m"))
+    joined = r.join(m, on=cond, how="inner")
+    if dedupe:
+        joined = joined.filter(F.col("id_rec") < F.col("id_mem"))
+    out = joined.drop(
+        *[f"bk_{k}_m" for k in keys],
+        *(["_shard", "_shard_m"] if shard_rows else []),
+    )
+    if star is not None:
+        out = out.unionByName(star)
+    return out
+
+
 def candidate_pairs(
     rec: DataFrame,
     mem: DataFrame,
@@ -155,6 +253,21 @@ def candidate_pairs(
         raise ValueError("star_block_rows requires a self-join (dedupe) pass")
 
     same_side = rec is mem
+    if same_side and not (salt and salt > 1) and broadcast_mem is not True:
+        # the windowed one-shuffle plan (see _self_candidate_pairs);
+        # the generic path below remains for two-file runs, explicit
+        # uniform salting, and forced-broadcast memory files.
+        return _self_candidate_pairs(
+            rec,
+            spec,
+            id_col,
+            dedupe=dedupe,
+            shard_rows=shard_rows,
+            max_block_rows=max_block_rows,
+            star_block_rows=star_block_rows,
+            carry_rec=carry_rec,
+            carry_mem=carry_mem,
+        )
     r = apply_blank_flags(rec, spec)
 
     # star split runs BEFORE the size cap: a mega-block on a star pass is
@@ -204,30 +317,45 @@ def candidate_pairs(
         cond = cond + [F.col("_salt") == F.col("_salt_m")]
         drop += ["_salt", "_salt_m"]
     elif shard_rows:
-        # Adaptive output-skew salting: per-block shard count ∝ block size.
-        # The count table shares the main join's key, so Catalyst plans the
-        # attach joins on the same partitioning (AQE broadcasts it when
-        # small). Replication cost: a block of n rows adds n·ceil(n/t) mem
-        # rows — linear in its PAIR output / t, never a blind `salt`-fold.
-        cnt = r.groupBy(*[f"bk_{k}" for k in keys]).agg(
-            F.count(F.lit(1)).alias("_bn")
+        # Adaptive output-skew salting: per-block shard count ∝ block size,
+        # but ONLY hot blocks (n > shard_rows) carry a count row — by
+        # definition there are few of them, so the attach is a broadcast
+        # left-join (no extra shuffle of either full side); cold blocks
+        # default to 1 shard. Replication cost: a hot block of n rows adds
+        # n·ceil(n/t) mem rows — linear in its PAIR output / t, never a
+        # blind `salt`-fold.
+        hot = (
+            r.groupBy(*[f"bk_{k}" for k in keys])
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") > shard_rows)
+            .select(
+                *[F.col(f"bk_{k}") for k in keys],
+                F.ceil(F.col("_bn") / F.lit(float(shard_rows)))
+                .cast("int")
+                .alias("_nsh_h"),
+            )
         )
-        cnt = cnt.select(
-            *[F.col(f"bk_{k}") for k in keys],
-            F.ceil(F.col("_bn") / F.lit(float(shard_rows))).cast("int").alias("_nsh"),
+        r = (
+            r.join(F.broadcast(hot), on=[f"bk_{k}" for k in keys], how="left")
+            .withColumn("_nsh", F.coalesce(F.col("_nsh_h"), F.lit(1)))
+            .withColumn(
+                "_shard",
+                F.pmod(F.xxhash64(F.col("id_rec")), F.col("_nsh")).cast("int"),
+            )
         )
-        r = r.join(cnt, on=[f"bk_{k}" for k in keys]).withColumn(
-            "_shard", F.pmod(F.xxhash64(F.col("id_rec")), F.col("_nsh")).cast("int")
-        )
-        cnt_m = cnt.select(
+        hot_m = hot.select(
             *[F.col(f"bk_{k}").alias(f"bk_{k}_m") for k in keys],
-            F.col("_nsh").alias("_nsh_m"),
+            F.col("_nsh_h").alias("_nsh_hm"),
         )
-        m = m.join(cnt_m, on=[f"bk_{k}_m" for k in keys]).withColumn(
-            "_shard_m", F.explode(F.sequence(F.lit(0), F.col("_nsh_m") - 1))
+        m = (
+            m.join(F.broadcast(hot_m), on=[f"bk_{k}_m" for k in keys], how="left")
+            .withColumn("_nsh_m", F.coalesce(F.col("_nsh_hm"), F.lit(1)))
+            .withColumn(
+                "_shard_m", F.explode(F.sequence(F.lit(0), F.col("_nsh_m") - 1))
+            )
         )
         cond = cond + [F.col("_shard") == F.col("_shard_m")]
-        drop += ["_nsh", "_nsh_m", "_shard", "_shard_m"]
+        drop += ["_nsh", "_nsh_h", "_nsh_m", "_nsh_hm", "_shard", "_shard_m"]
 
     mm = F.broadcast(m) if broadcast_mem else m
     joined = r.join(mm, on=cond, how="inner")

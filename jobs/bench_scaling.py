@@ -81,6 +81,14 @@ def main() -> None:
     p.add_argument("--low", type=int, default=8)
     p.add_argument("--high", type=int, default=32)
     p.add_argument("--input", default=None, help="reuse an existing input parquet")
+    p.add_argument(
+        "--repeats",
+        type=int,
+        default=1,
+        help="runs per level; best (min) wall is kept. The sandbox VM shows "
+        "0-20%% hypervisor steal that varies minute-to-minute; min-wall per "
+        "level is the least-interfered estimate of true capability",
+    )
     args = p.parse_args()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -92,10 +100,14 @@ def main() -> None:
         print(f"generated {n} rows -> {inp}", file=sys.stderr)
 
     results = {}
-    for cpus in (args.low, args.high):
-        line = run_py(WORKER.format(repo=repo, cpus=cpus, inp=inp))
-        results[cpus] = json.loads(line)
-        print(f"local[{cpus}]: {results[cpus]}", file=sys.stderr)
+    for rep in range(args.repeats):
+        # alternate levels within each repeat so slow host phases hit both
+        for cpus in (args.low, args.high):
+            line = run_py(WORKER.format(repo=repo, cpus=cpus, inp=inp))
+            r = json.loads(line)
+            print(f"rep{rep} local[{cpus}]: {r}", file=sys.stderr)
+            if cpus not in results or r["wall_s"] < results[cpus]["wall_s"]:
+                results[cpus] = r
 
     lo, hi = results[args.low], results[args.high]
     ratio = args.high / args.low

@@ -35,7 +35,15 @@ def main() -> None:
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--no-minhash", action="store_true")
     p.add_argument("--max-block-rows", type=int, default=100_000)
+    p.add_argument(
+        "--shard-rows",
+        type=int,
+        default=192,
+        help="adaptive hot-block salting target (0 disables): blocks/buckets "
+        "bigger than this spread their pair output over ceil(n/target) tasks",
+    )
     args = p.parse_args()
+    shard_rows = args.shard_rows or None
 
     spark = SparkSession.builder.appName("bigmatch-run-match").getOrCreate()
     df = (
@@ -48,13 +56,14 @@ def main() -> None:
         ckpt = CheckpointedMatch(spark, args.checkpoint)
         result = ckpt.run(
             prepare(df), None, repo_match_config(), id_col=ID_COL,
-            max_block_rows=args.max_block_rows,
+            max_block_rows=args.max_block_rows, shard_rows=shard_rows,
         )
     else:
         result = run_repo_linkage(
             df,
             use_minhash_pass=not args.no_minhash,
             max_block_rows=args.max_block_rows,
+            shard_rows=shard_rows,
         )
 
     result.pairs.write.mode("overwrite").partitionBy("pass_id").parquet(
