@@ -55,3 +55,48 @@ def test_star_is_closure_equivalent(blocks):
 def test_star_requires_self_join(blocks):
     with pytest.raises(ValueError, match="self-join"):
         candidate_pairs(blocks, blocks, SPEC, "id", dedupe=False, star_block_rows=10)
+
+
+def _pair_set(df):
+    pdf = df.toPandas()
+    return set(zip(pdf.id_rec, pdf.id_mem))
+
+
+def test_windowed_path_matches_generic_path(blocks):
+    """The one-window self-join plan must emit EXACTLY the pairs of the
+    generic (groupBy + broadcast) path under every combination of the
+    star / cap / shard knobs. `blocks.alias('m')` forces same-data,
+    different-object frames so candidate_pairs takes the generic path."""
+    other = blocks.alias("m")  # rec is not mem -> generic path
+    for kwargs in (
+        {},
+        {"star_block_rows": 10},
+        {"max_block_rows": 35},
+        {"shard_rows": 7},
+        {"star_block_rows": 10, "max_block_rows": 35},
+    ):
+        windowed = candidate_pairs(
+            blocks, blocks, SPEC, "id", dedupe=True, **kwargs
+        )
+        if "star_block_rows" in kwargs:
+            # star needs a self-join; compare against the windowed plan
+            # with sharding off instead of the generic path
+            alt = candidate_pairs(
+                blocks, blocks, SPEC, "id", dedupe=True,
+                shard_rows=3, **kwargs,
+            )
+            assert _pair_set(windowed) == _pair_set(alt), kwargs
+            continue
+        generic = candidate_pairs(
+            blocks, other, SPEC, "id", dedupe=True, **kwargs
+        )
+        assert _pair_set(windowed) == _pair_set(generic), kwargs
+
+
+def test_shard_rows_preserves_pairs(blocks):
+    base = candidate_pairs(blocks, blocks, SPEC, "id", dedupe=True)
+    for t in (1, 5, 50):
+        sharded = candidate_pairs(
+            blocks, blocks, SPEC, "id", dedupe=True, shard_rows=t
+        )
+        assert _pair_set(sharded) == _pair_set(base), t
