@@ -93,3 +93,24 @@ def test_minhash_bucket_cap(spark):
         df, "text", "doc_id", shingle_k=2, bands=2, rows_per_band=2, max_bucket=5
     ).count()
     assert got == 0
+
+
+def test_minhash_shard_rows_preserves_candidates(spark):
+    """Adaptive bucket sharding must never change the candidate set."""
+    docs = _docs(spark)
+    base = {
+        (r["id_l"], r["id_r"])
+        for r in minhash_candidates(
+            docs, "text", "doc_id", shingle_k=2, bands=8, rows_per_band=2
+        ).collect()
+    }
+    assert base
+    for t in (1, 2, 100):
+        sharded = {
+            (r["id_l"], r["id_r"])
+            for r in minhash_candidates(
+                docs, "text", "doc_id", shingle_k=2, bands=8, rows_per_band=2,
+                shard_rows=t,
+            ).collect()
+        }
+        assert sharded == base, t
