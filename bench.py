@@ -70,8 +70,12 @@ def main() -> None:
     )
 
     def q_linkage_docs():
-        r = run_repo_linkage(repo_files, use_minhash_pass=True)
-        return r.pairs.count()
+        caches: list = []
+        r = run_repo_linkage(repo_files, use_minhash_pass=True, cache_handle=caches)
+        n = r.pairs.count()
+        for c in caches:
+            c.unpersist()
+        return n
 
     counters["linkage_docs_pairs"] = timed("linkage_docs", q_linkage_docs)
 
@@ -95,9 +99,14 @@ def main() -> None:
 
     # -- dedup --------------------------------------------------------------
     def q_minhash():
-        return minhash_candidates(
-            docs, "text", "doc_id", shingle_k=3, bands=8, rows_per_band=2
+        caches: list = []
+        n = minhash_candidates(
+            docs, "text", "doc_id", shingle_k=3, bands=8, rows_per_band=2,
+            cache_handle=caches,
         ).count()
+        for c in caches:
+            c.unpersist()
+        return n
 
     counters["minhash_candidates"] = timed("dedup_minhash", q_minhash)
 

@@ -90,6 +90,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 50,
+    verify_convergence: bool = True,
 ) -> DataFrame:
     """Edges → (id, cluster_id) where cluster_id = min member id.
 
@@ -99,12 +100,22 @@ def connected_components(
     e = _truncate(e)
     sig = _signature(e)
     for _ in range(max_iterations):
+        prev = e
         e2 = _truncate(_small_star(_large_star(e)))
         # convergence: identical canonical+distinct edge sets ⇔ identical
-        # (count, hash-sum) signatures (collision odds ~2^-64 per run)
+        # (count, hash-sum) signatures (collision odds ~2^-64 per run).
+        # When signatures first match, verify_convergence runs ONE exact
+        # exceptAll check over the two (already materialized, checkpointed)
+        # frames — a hash collision then costs one extra iteration instead
+        # of silently wrong clusters, and the exact check runs once per
+        # call, not once per round. One-sided exceptAll suffices: both
+        # sets are distinct and the matched signature pins equal counts.
         sig2 = _signature(e2)
         e = e2
         if sig2 == sig:
+            if verify_convergence and prev.exceptAll(e2).limit(1).count() > 0:
+                sig = sig2
+                continue
             break
         sig = sig2
     else:

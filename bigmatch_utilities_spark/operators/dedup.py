@@ -146,6 +146,7 @@ def minhash_candidates(
     rows_per_band: int = 2,
     max_bucket: int | None = 1000,
     shard_rows: int | None = None,
+    cache_handle: list | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (id_l < id_r, distinct across bands).
 
@@ -154,7 +155,13 @@ def minhash_candidates(
     `shard_rows` spreads a hot bucket's quadratic pair output over
     ceil(n/shard_rows) join tasks (adaptive salting, same scheme as
     operators.blocking.candidate_pairs) — a 1000-row bucket is ~KBs into
-    the join but 500k pairs out, invisible to AQE's byte-based skew split."""
+    the join but 500k pairs out, invisible to AQE's byte-based skew split.
+
+    `cache_handle`: the bands frame is persisted (it feeds the bucket-count
+    table AND both join sides). The result is lazy, so this function cannot
+    know when to unpersist; callers that materialize the candidates (bench
+    loops, count jobs) pass a list here and `unpersist()` every appended
+    frame afterwards — otherwise the cache entry lives until session end."""
     b = minhash_bands(
         df, text_col, id_col, shingle_k=shingle_k, bands=bands, rows_per_band=rows_per_band
     )
@@ -166,6 +173,8 @@ def minhash_candidates(
     # job (the most expensive map stage of the whole family) re-runs once
     # per consumer.
     b = b.select("id", "band", F.xxhash64("band_key").alias("band_key")).persist()
+    if cache_handle is not None:
+        cache_handle.append(b)
     cnt = (
         b.groupBy("band", "band_key")
         .agg(F.count(F.lit(1)).alias("_bn"))

@@ -143,7 +143,15 @@ def score_pass(
 
 @dataclass
 class MatchResult:
-    """All products of a run, as (lazy) DataFrames."""
+    """All products of a run, as (lazy) DataFrames.
+
+    Output contract: ``pairs`` (and its exact/accepted/possible splits) is
+    the decision core — (id_rec, id_mem, pass_id, weight, is_exact,
+    decision) — in both the direct and checkpointed paths. The carried
+    rec_*/mem_* match-field values are a per-pass product (score_pass
+    output / the checkpoint's per-pass parquet); legacy review emitters
+    format those per-pass frames BEFORE the multi-pass union.
+    """
 
     pairs: DataFrame        # one row per (id_rec, id_mem), first-pass-wins
     exact: DataFrame        # is_exact subset (reference *_EXACT.dat)

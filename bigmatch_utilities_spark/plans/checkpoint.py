@@ -134,9 +134,17 @@ class CheckpointedMatch:
             self._write_marker(k, {"pairs": n_pairs, "wall_s": wall})
             per_pass.append(df)
 
+        # Same slim union as pipeline.run_match: the per-pass parquet keeps
+        # the full carried rec_*/mem_* values (that's what review emitters
+        # and resumes read), but MatchResult.pairs is the decision core in
+        # BOTH modes — one output contract, and the first-pass-wins shuffle
+        # moves ~50 B rows instead of ~500 B.
         core = None
         for df in per_pass:
-            core = df if core is None else core.unionByName(df, allowMissingColumns=True)
+            slim = df.select(
+                "id_rec", "id_mem", "pass_id", "weight", "is_exact", "decision"
+            )
+            core = slim if core is None else core.unionByName(slim)
         pairs = first_pass_wins(core)
         exact = pairs.filter(F.col("is_exact") & (F.col("decision") != "below"))
         accepted = pairs.filter(

@@ -159,6 +159,7 @@ def run_repo_linkage(
     minhash_max_bucket: int | None = 256,
     shard_rows: int | None = 192,
     persist: bool = False,
+    cache_handle: list | None = None,
 ) -> MatchResult:
     """Full multi-pass linkage over a prepared repo-files DataFrame.
 
@@ -172,10 +173,16 @@ def run_repo_linkage(
     fuzzy blocks and LSH buckets bigger than this get their quadratic pair
     output spread over proportionally many join tasks. The 100 TB scaling
     property depends on it — without it a handful of boilerplate anchor
-    blocks serialize the whole comparator stage onto a few cores."""
+    blocks serialize the whole comparator stage onto a few cores.
+
+    cache_handle: receives every frame this run persists (the LSH bands,
+    plus `prepared` when persist=True); callers that materialize the result
+    unpersist them afterwards (see operators.dedup.minhash_candidates)."""
     prepared = prepare(df)
     if persist:
         prepared = prepared.persist()
+        if cache_handle is not None:
+            cache_handle.append(prepared)
     cfg = repo_match_config()
     result = run_match(
         prepared,
@@ -209,6 +216,7 @@ def run_repo_linkage(
         rows_per_band=4,
         max_bucket=minhash_max_bucket,
         shard_rows=shard_rows,
+        cache_handle=cache_handle,
     )
     carry = [mf.name for mf in _FUZZY_FIELDS] + ["content_sha_nows"]
     side = prepared.select(F.col(ID_COL), *carry)
@@ -285,6 +293,7 @@ def count_candidates(
             max_block_rows=max_block_rows,
         ).count()
     if use_minhash_pass:
+        caches: list = []
         cands = minhash_candidates(
             prepared,
             "content_norm",
@@ -294,12 +303,15 @@ def count_candidates(
             rows_per_band=4,
             max_bucket=minhash_max_bucket,
             shard_rows=None,
+            cache_handle=caches,
         )
         side = prepared.select(F.col(ID_COL), "content_sha_nows")
         pairs3 = cands.join(
             side.toDF("id_l", "sha_l"), "id_l"
         ).join(side.toDF("id_r", "sha_r"), "id_r")
         total += pairs3.filter(F.col("sha_l") != F.col("sha_r")).count()
+        for c in caches:
+            c.unpersist()
     return total
 
 

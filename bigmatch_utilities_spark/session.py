@@ -36,12 +36,20 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
-    # Shuffle/spill dirs: prefer RAM-backed tmpfs in local mode. On a real
-    # cluster every executor brings its own local disks, so aggregate
+    # Shuffle/spill dirs: prefer RAM-backed tmpfs in LOCAL mode only. On a
+    # real cluster every executor brings its own local disks, so aggregate
     # shuffle bandwidth scales with the cluster; a single box has ONE disk
     # — an artificial serial resource that would otherwise cap scaling
-    # measurements. Honors SPARK_LOCAL_DIRS when the operator sets it.
-    if not os.environ.get("SPARK_LOCAL_DIRS") and os.path.isdir("/dev/shm"):
+    # measurements. Gated on local masters because tmpfs is typically capped
+    # at 50% of RAM: a cluster job spilling into /dev/shm would trade disk
+    # spill for memory pressure / no-space failures. Honors SPARK_LOCAL_DIRS
+    # when the operator sets it; SPARK_GRAFT_TMPFS=0 opts out entirely.
+    if (
+        master.startswith("local")
+        and not os.environ.get("SPARK_LOCAL_DIRS")
+        and os.environ.get("SPARK_GRAFT_TMPFS", "1") != "0"
+        and os.path.isdir("/dev/shm")
+    ):
         shm = "/dev/shm/spark-local"
         os.makedirs(shm, exist_ok=True)
         builder = builder.config("spark.local.dir", shm)

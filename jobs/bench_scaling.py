@@ -5,7 +5,10 @@ to 4N executors) cannot use a real cluster in this sandbox; per the round
 instructions it is evidenced by running the SAME job on the SAME input at
 local[N] and local[4N] and reporting throughput at both:
 
-    efficiency = (pairs_per_sec[4N] / pairs_per_sec[N]) / 4
+    efficiency = (candidates_per_sec[4N] / candidates_per_sec[N]) / 4
+
+(candidates_per_sec = candidate pairs entering the comparators / wall —
+the BASELINE unit; the emitted-pairs count is reported alongside.)
 
 Each level runs in a fresh subprocess (one JVM per SparkSession) strictly
 sequentially, on a pre-generated shared parquet input, so measurements
@@ -50,7 +53,7 @@ wall = time.time() - t0
 n_cand = count_candidates(df, use_minhash_pass=True)
 print(json.dumps({{"cpus": cpus, "pairs": n_pairs, "candidates": n_cand,
                   "wall_s": round(wall, 2),
-                  "pairs_per_sec": round(n_cand / wall, 1)}}))
+                  "candidates_per_sec": round(n_cand / wall, 1)}}))
 spark.stop()
 """
 
@@ -99,24 +102,34 @@ def main() -> None:
         n = run_py(GEN.format(repo=repo, clusters=args.clusters, inp=inp))
         print(f"generated {n} rows -> {inp}", file=sys.stderr)
 
-    results = {}
+    results: dict[int, dict] = {}
+    walls: dict[int, list[float]] = {args.low: [], args.high: []}
     for rep in range(args.repeats):
         # alternate levels within each repeat so slow host phases hit both
         for cpus in (args.low, args.high):
             line = run_py(WORKER.format(repo=repo, cpus=cpus, inp=inp))
             r = json.loads(line)
             print(f"rep{rep} local[{cpus}]: {r}", file=sys.stderr)
+            walls[cpus].append(r["wall_s"])
             if cpus not in results or r["wall_s"] < results[cpus]["wall_s"]:
                 results[cpus] = r
 
+    # headline = min wall per level (least hypervisor-steal interference);
+    # median is reported alongside so the best-case nature is visible.
+    for cpus, r in results.items():
+        ws = sorted(walls[cpus])
+        r["wall_s_median"] = ws[len(ws) // 2]
+        r["wall_s_all"] = ws
     lo, hi = results[args.low], results[args.high]
     ratio = args.high / args.low
-    eff = (hi["pairs_per_sec"] / lo["pairs_per_sec"]) / ratio
+    eff = (hi["candidates_per_sec"] / lo["candidates_per_sec"]) / ratio
+    eff_median = (lo["wall_s_median"] / hi["wall_s_median"]) / ratio
     print(
         json.dumps(
             {
                 "metric": "scaling_efficiency",
                 "value": round(eff, 3),
+                "value_median": round(eff_median, 3),
                 "unit": f"x (local[{args.low}] -> local[{args.high}])",
                 "low": lo,
                 "high": hi,
