@@ -521,30 +521,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents").filter(
             (F.col("doc_id") < 1000) & (F.length(F.trim("text")) > 0)
         )
-        return simhash_candidates(d, "text", "doc_id", bits=32, block_bits=4)
+        # production guardrails on: the bucket cap is mirrored in the oracle
+        # SQL (HAVING ... <= 1000) and sharding is result-invariant.
+        return simhash_candidates(
+            d, "text", "doc_id", bits=32, block_bits=4, max_bucket=1000, shard_rows=64
+        )
 
     q["dd_simhash_candidates"] = dd_simhash
 
-    # ---- similarity: embedding-cosine near-dup pairs (sign-LSH blocked) -------
+    # ---- similarity: embedding-cosine near-dup pairs (banded RH-LSH) ----------
     def ne_emb(spark, sf):
+        from bigmatch_utilities_spark.operators.similarity import embedding_neardup
+
         e = _t(spark, sf, "embeddings")
-        v = e.select(
-            "vec_id",
-            F.col("embedding").cast("array<double>").alias("emb"),
-            sign_bucket(F.col("embedding"), 8).alias("bkt"),
-        )
-        l = v.select(
-            F.col("vec_id").alias("id_l"), F.col("emb").alias("emb_l"), "bkt"
-        )
-        r = v.select(
-            F.col("vec_id").alias("id_r"), F.col("emb").alias("emb_r"),
-            F.col("bkt").alias("bkt_r"),
-        )
-        return (
-            l.join(r, (F.col("bkt") == F.col("bkt_r")) & (F.col("id_l") < F.col("id_r")))
-            .withColumn("score", F.round(cosine(F.col("emb_l"), F.col("emb_r")), 6))
-            .filter(F.col("score") >= 0.30)
-            .select("id_l", "id_r", "score")
+        # production shape: 2 random-hyperplane bands × 8 bits, bucket cap
+        # mirrored in the oracle, sharding result-invariant.
+        return embedding_neardup(
+            e,
+            threshold=0.30,
+            n_bands=2,
+            bits_per_band=8,
+            dim=64,
+            max_bucket=10_000,
+            shard_rows=64,
         )
 
     q["ne_embedding_neardup"] = ne_emb
@@ -1123,32 +1122,52 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT doc_id, 1, ((sh >> 8) & 255) FROM sh
             UNION ALL SELECT doc_id, 2, ((sh >> 16) & 255) FROM sh
             UNION ALL SELECT doc_id, 3, ((sh >> 24) & 255) FROM sh
+        ), kept AS (
+            -- the Spark plan's bucket guardrail: singleton drop + max_bucket
+            SELECT band, band_key FROM bands
+            GROUP BY band, band_key HAVING count(*) > 1 AND count(*) <= 1000
         )
         SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r
-        FROM bands a JOIN bands b
+        FROM bands a
+        JOIN kept k ON a.band = k.band AND a.band_key = k.band_key
+        JOIN bands b
           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     """
+
+    from bigmatch_utilities_spark.operators.similarity import rh_bucket_sql
 
     o["ne_embedding_neardup"] = f"""
         WITH v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-                   {sign_bucket_sql('embedding', 8)} AS bkt
+                   {rh_bucket_sql('embedding', 8, 64, offset=0)} AS bkt0,
+                   {rh_bucket_sql('embedding', 8, 64, offset=8)} AS bkt1
             FROM embeddings
+        ), bands AS (
+            SELECT vec_id, emb, 0 AS band, bkt0 AS band_key FROM v
+            UNION ALL SELECT vec_id, emb, 1, bkt1 FROM v
+        ), kept AS (
+            SELECT band, band_key FROM bands
+            GROUP BY band, band_key HAVING count(*) > 1 AND count(*) <= 10000
+        ), cand AS (
+            SELECT DISTINCT a.vec_id AS id_l, b.vec_id AS id_r
+            FROM bands a
+            JOIN kept k ON a.band = k.band AND a.band_key = k.band_key
+            JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.vec_id < b.vec_id
+        ), scored AS (
+            SELECT c.id_l, c.id_r,
+                   round(CASE WHEN list_dot_product(x.emb, x.emb) > 0
+                               AND list_dot_product(y.emb, y.emb) > 0
+                         THEN list_dot_product(x.emb, y.emb) /
+                              (sqrt(list_dot_product(x.emb, x.emb))
+                               * sqrt(list_dot_product(y.emb, y.emb)))
+                         ELSE 0.0 END, 6) AS score
+            FROM cand c
+            JOIN v x ON x.vec_id = c.id_l
+            JOIN v y ON y.vec_id = c.id_r
         )
-        SELECT a.vec_id AS id_l, b.vec_id AS id_r,
-               round(CASE WHEN list_dot_product(a.emb, a.emb) > 0
-                           AND list_dot_product(b.emb, b.emb) > 0
-                     THEN list_dot_product(a.emb, b.emb) /
-                          (sqrt(list_dot_product(a.emb, a.emb))
-                           * sqrt(list_dot_product(b.emb, b.emb)))
-                     ELSE 0.0 END, 6) AS score
-        FROM v a JOIN v b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
-        WHERE round(CASE WHEN list_dot_product(a.emb, a.emb) > 0
-                          AND list_dot_product(b.emb, b.emb) > 0
-                    THEN list_dot_product(a.emb, b.emb) /
-                         (sqrt(list_dot_product(a.emb, a.emb))
-                          * sqrt(list_dot_product(b.emb, b.emb)))
-                    ELSE 0.0 END, 6) >= 0.30
+        SELECT id_l, id_r, score FROM scored WHERE score >= 0.30
     """
 
     o["u1_combine_passes"] = """

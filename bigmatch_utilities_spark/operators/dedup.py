@@ -175,6 +175,25 @@ def minhash_candidates(
     b = b.select("id", "band", F.xxhash64("band_key").alias("band_key")).persist()
     if cache_handle is not None:
         cache_handle.append(b)
+    return _bucket_pairs(b, max_bucket=max_bucket, shard_rows=shard_rows)
+
+
+def _bucket_pairs(
+    b: DataFrame, *, max_bucket: int | None, shard_rows: int | None
+) -> DataFrame:
+    """(id, band, band_key) rows → distinct candidate pairs (id_l < id_r).
+
+    The guardrail set every LSH family shares (MinHash, SimHash, embedding
+    sign buckets):
+
+    * singleton buckets are dropped before the join (can't pair);
+    * `max_bucket` caps degenerate buckets — a hot bucket's pair output is
+      quadratic in its size, and AQE's byte-based skew split can't see
+      output-side blowup;
+    * `shard_rows` spreads a kept-but-hot bucket's pair output over
+      ceil(n/shard_rows) join tasks (probe side hashed to a shard, build
+      side replicated to every shard — candidate set provably unchanged).
+    """
     cnt = (
         b.groupBy("band", "band_key")
         .agg(F.count(F.lit(1)).alias("_bn"))
@@ -259,29 +278,40 @@ def jaccard_pairs(
 
 def simhash(c: Column, bits: int = 32) -> Column:
     """SimHash over word tokens: bit b of the fingerprint is the sign of
-    Σ_tokens (±1 by token-hash bit b). Array arithmetic, no UDF."""
+    Σ_tokens (±1 by token-hash bit b). Array arithmetic, no UDF.
+
+    Single traversal: ONE ``aggregate`` over the token-hash array carries an
+    array of `bits` counters (each token's ±1 contributions merged with
+    ``zip_with``), instead of `bits` separate codegen'd array scans — the
+    map cost is O(tokens × bits) either way, but the array is read once and
+    the whole expression stays in one whole-stage-codegen span."""
     toks = F.array_distinct(F.filter(F.split(F.trim(c), "\\s+"), lambda x: x != F.lit("")))
     h = F.transform(toks, _hash64)
-
-    def _contrib_fn(b: int):
-        # NB: pyspark HOFs dispatch on lambda arity — no default-arg closures
-        def fn(acc, x):
-            return acc + F.when(
-                F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1))
-
-        return fn
-
-    bit_cols = []
-    for b in range(bits):
-        contrib = F.aggregate(h, F.lit(0).cast("long"), _contrib_fn(b))
-        bit_cols.append(
-            F.when(contrib > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
-        )
-    out = bit_cols[0]
-    for bc in bit_cols[1:]:
-        out = out + bc
-    return out
+    idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    counters = F.aggregate(
+        h,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, x: F.zip_with(
+            acc,
+            F.transform(
+                idx,
+                lambda b: F.when(F.getbit(x, b) == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("long"),
+            ),
+            lambda a, cb: a + cb,
+        ),
+    )
+    # fold the counter signs into the fingerprint long. pow(2.0, b) is exact
+    # for b ≤ 52 (binary powers are representable), so the cast is lossless.
+    weighted = F.zip_with(
+        counters,
+        idx,
+        lambda cnt, b: F.when(cnt > 0, F.pow(F.lit(2.0), b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    return F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x)
 
 
 def simhash_candidates(
@@ -291,23 +321,41 @@ def simhash_candidates(
     *,
     bits: int = 32,
     block_bits: int = 4,
+    max_bucket: int | None = 1000,
+    shard_rows: int | None = None,
+    cache_handle: list | None = None,
 ) -> DataFrame:
     """Near-dup candidates: split the fingerprint into `block_bits` chunks;
-    docs agreeing on any chunk are candidates (Hamming-LSH)."""
+    docs agreeing on any chunk are candidates (Hamming-LSH).
+
+    Same scale guardrails as `minhash_candidates` (`_bucket_pairs`): a hot
+    chunk value — short/boilerplate docs collapsing to the same 8-bit chunk
+    — would otherwise make one join task emit O(n²) pairs that AQE's
+    byte-based skew split can't see. The fingerprint frame is persisted
+    (it feeds the bucket-count table and both join sides; recomputing it
+    re-runs the tokenise+hash scan, the family's most expensive map stage);
+    see `minhash_candidates` for the `cache_handle` contract."""
     sh = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh"))
     chunk = bits // block_bits
-    parts = []
-    for b in range(block_bits):
-        key = F.shiftright(F.col("sh"), b * chunk).bitwiseAND(F.lit((1 << chunk) - 1))
-        parts.append(sh.select("id", F.lit(b).alias("band"), key.alias("band_key")))
-    allb = parts[0]
-    for p in parts[1:]:
-        allb = allb.unionAll(p)
-    l = allb.select("band", "band_key", F.col("id").alias("id_l"))
-    r = allb.select("band", "band_key", F.col("id").alias("id_r"))
-    return (
-        l.join(r, ["band", "band_key"])
-        .filter(F.col("id_l") < F.col("id_r"))
-        .select("id_l", "id_r")
-        .distinct()
+    # one fingerprint computation per row, exploded into block_bits band
+    # rows — NOT a union of per-band selects, which would re-run the
+    # tokenise+hash+simhash expression once per band.
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("sh"), b * chunk)
+                .bitwiseAND(F.lit((1 << chunk) - 1))
+                .alias("band_key"),
+            )
+            for b in range(block_bits)
+        ]
     )
+    allb = (
+        sh.select("id", F.explode(bands_arr).alias("_bk"))
+        .select("id", F.col("_bk.band").alias("band"), F.col("_bk.band_key").alias("band_key"))
+        .persist()
+    )
+    if cache_handle is not None:
+        cache_handle.append(allb)
+    return _bucket_pairs(allb, max_bucket=max_bucket, shard_rows=shard_rows)

@@ -12,6 +12,8 @@ set); the LSH variant turns the shuffle into a bucket-key equi-join.
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -84,6 +86,121 @@ def sign_bucket_sql(vec: str, n_bits: int = 8) -> str:
         for i in range(n_bits)
     )
     return f"CAST(({terms}) AS INT)"
+
+
+def rh_signs(n_bits: int, dim: int, seed: int = 7) -> list[list[int]]:
+    """Seeded Rademacher (±1) hyperplanes for sign-LSH. Generated driver-side
+    and embedded as literals in both the Spark plan and the SQL twin, so the
+    hash family is deterministic and engine-independent."""
+    rng = random.Random(seed)
+    return [[rng.choice((-1, 1)) for _ in range(dim)] for _ in range(n_bits)]
+
+
+#: quantization scale for the hyperplane dot product: embeddings are scaled
+#: and floored to integers first so the dot product is EXACT integer
+#: arithmetic — identical in Spark and any SQL oracle, with no
+#: floating-point-accumulation-order hazard at the sign boundary.
+RH_SCALE = 1000
+
+
+def rh_bucket(
+    vec: Column, n_bits: int, dim: int, seed: int = 7, offset: int = 0
+) -> Column:
+    """Random-hyperplane LSH bucket id: bit b = sign of <quantize(vec), r_b>
+    with r_b a seeded ±1 hyperplane. `offset` selects a disjoint hyperplane
+    block so multiple bands draw independent hyperplanes from one seed."""
+    signs = rh_signs(offset + n_bits, dim, seed)[offset:]
+    q = F.transform(vec, lambda x: F.floor(x.cast("double") * RH_SCALE))
+    out = None
+    for b, sv in enumerate(signs):
+        sv_col = F.array(*[F.lit(s).cast("long") for s in sv])
+        dot = F.aggregate(
+            F.zip_with(q, sv_col, lambda x, s: x * s),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        out = bit if out is None else out + bit
+    return out.cast("int")
+
+
+def rh_bucket_sql(
+    vec: str, n_bits: int, dim: int, seed: int = 7, offset: int = 0
+) -> str:
+    """DuckDB twin of `rh_bucket` — same hyperplanes, same integer math."""
+    signs = rh_signs(offset + n_bits, dim, seed)[offset:]
+    terms = []
+    for b, sv in enumerate(signs):
+        lit = "[" + ",".join(str(s) for s in sv) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST(floor({vec}[i] * {RH_SCALE}) AS BIGINT) * ({lit})[i]))"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << b} ELSE 0 END)")
+    return "CAST((" + " + ".join(terms) + ") AS INT)"
+
+
+def embedding_neardup(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    n_bands: int = 2,
+    bits_per_band: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    max_bucket: int | None = 10_000,
+    shard_rows: int | None = None,
+    cache_handle: list | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, sign-LSH blocked.
+
+    The scale path for all-pairs near-dup at 10^9+ vectors: `n_bands`
+    independent random-hyperplane bands (any-band collision ⇒ candidate, so
+    recall compounds across bands exactly like MinHash banding), then the
+    shared `_bucket_pairs` guardrails — singleton drop, `max_bucket` cap on
+    degenerate buckets (a popular embedding region would otherwise go
+    quadratic inside one join task), `shard_rows` salting for hot kept
+    buckets. Exact cosine verifies every candidate; `threshold` filters.
+
+    See `operators.dedup.minhash_candidates` for the `cache_handle`
+    contract (the banded frame is persisted: it feeds the bucket-count
+    table and both join sides)."""
+    from bigmatch_utilities_spark.operators.dedup import _bucket_pairs
+
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("emb"),
+        *[
+            rh_bucket(
+                F.col(vec_col), bits_per_band, dim, seed, offset=b * bits_per_band
+            ).alias(f"_bkt{b}")
+            for b in range(n_bands)
+        ],
+    )
+    bands_arr = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), F.col(f"_bkt{b}").alias("band_key"))
+            for b in range(n_bands)
+        ]
+    )
+    b = (
+        v.select("id", F.explode(bands_arr).alias("_bk"))
+        .select("id", F.col("_bk.band").alias("band"), F.col("_bk.band_key").alias("band_key"))
+        .persist()
+    )
+    if cache_handle is not None:
+        cache_handle.append(b)
+    cands = _bucket_pairs(b, max_bucket=max_bucket, shard_rows=shard_rows)
+    side = v.select("id", "emb")
+    return (
+        cands.join(side.toDF("id_l", "emb_l"), "id_l")
+        .join(side.toDF("id_r", "emb_r"), "id_r")
+        .withColumn("score", F.round(cosine(F.col("emb_l"), F.col("emb_r")), 6))
+        .filter(F.col("score") >= F.lit(threshold))
+        .select("id_l", "id_r", "score")
+    )
 
 
 def lsh_topk(

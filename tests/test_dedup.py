@@ -95,6 +95,37 @@ def test_minhash_bucket_cap(spark):
     assert got == 0
 
 
+def test_simhash_bucket_cap(spark):
+    # 20 identical docs collapse to one bucket per band; max_bucket=5 drops
+    # every one of those degenerate buckets → zero candidates.
+    rows = [(i, "same words everywhere always") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = simhash_candidates(
+        df, "text", "doc_id", bits=32, block_bits=4, max_bucket=5
+    ).count()
+    assert got == 0
+
+
+def test_simhash_shard_rows_preserves_candidates(spark):
+    """Adaptive bucket sharding must never change the SimHash candidate set."""
+    docs = _docs(spark)
+    base = {
+        (r["id_l"], r["id_r"])
+        for r in simhash_candidates(
+            docs, "text", "doc_id", bits=32, block_bits=4
+        ).collect()
+    }
+    assert base
+    for t in (1, 2, 100):
+        sharded = {
+            (r["id_l"], r["id_r"])
+            for r in simhash_candidates(
+                docs, "text", "doc_id", bits=32, block_bits=4, shard_rows=t
+            ).collect()
+        }
+        assert sharded == base, t
+
+
 def test_minhash_shard_rows_preserves_candidates(spark):
     """Adaptive bucket sharding must never change the candidate set."""
     docs = _docs(spark)

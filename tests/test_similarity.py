@@ -10,7 +10,9 @@ from pyspark.sql import functions as F
 from bigmatch_utilities_spark.operators.similarity import (
     brute_force_topk,
     cosine,
+    embedding_neardup,
     lsh_topk,
+    rh_signs,
     sign_bucket,
 )
 
@@ -69,6 +71,70 @@ def test_lsh_topk_same_bucket_recall(spark):
     for r in got:
         assert r["vec_id"] == r["query_id"] + 1
         assert r["score"] > 0.999
+
+
+def _neardup_input(spark, dim=8, seed=11):
+    """5 well-separated base vectors, each with a near-identical twin."""
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(5, dim)).astype(np.float32)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i * 10, v.tolist()))
+        rows.append(
+            (i * 10 + 1, (v + rng.normal(scale=0.005, size=dim).astype(np.float32)).tolist())
+        )
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_embedding_neardup_finds_planted_twins(spark):
+    df = _neardup_input(spark)
+    got = {
+        (r["id_l"], r["id_r"]): r["score"]
+        for r in embedding_neardup(
+            df, threshold=0.99, n_bands=2, bits_per_band=4, dim=8
+        ).collect()
+    }
+    for i in range(5):
+        assert (i * 10, i * 10 + 1) in got, (i, got)
+        assert got[(i * 10, i * 10 + 1)] > 0.999
+
+
+def test_embedding_neardup_bucket_cap(spark):
+    # 20 identical vectors collapse into one bucket per band; a cap of 5
+    # drops the degenerate bucket entirely.
+    v = [0.5] * 8
+    df = spark.createDataFrame([(i, v) for i in range(20)], ["vec_id", "embedding"])
+    got = embedding_neardup(
+        df, threshold=0.0, n_bands=2, bits_per_band=4, dim=8, max_bucket=5
+    ).count()
+    assert got == 0
+
+
+def test_embedding_neardup_shard_invariant(spark):
+    df = _neardup_input(spark)
+    base = {
+        (r["id_l"], r["id_r"])
+        for r in embedding_neardup(
+            df, threshold=0.9, n_bands=2, bits_per_band=4, dim=8
+        ).collect()
+    }
+    assert base
+    for t in (1, 3):
+        sharded = {
+            (r["id_l"], r["id_r"])
+            for r in embedding_neardup(
+                df, threshold=0.9, n_bands=2, bits_per_band=4, dim=8, shard_rows=t
+            ).collect()
+        }
+        assert sharded == base, t
+
+
+def test_rh_signs_deterministic_blocks():
+    # band b's hyperplanes = rows [offset, offset+n) of the seeded stream:
+    # the same (seed, dim) must yield identical planes for any prefix length.
+    all16 = rh_signs(16, 8, seed=7)
+    assert rh_signs(8, 8, seed=7) == all16[:8]
+    assert all(s in (-1, 1) for row in all16 for s in row)
 
 
 def test_sign_bucket_deterministic(spark):
