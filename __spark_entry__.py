@@ -487,7 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh_topk"] = ann_lsh
 
-    # ---- multimodal plumbing (rows-only check: no SQL twin for Arrow UDF) -------------
+    # ---- multimodal plumbing: byte-histogram features via mapInPandas ----------
     def mm(spark, sf):
         from bigmatch_utilities_spark.operators.multimodal import (
             attach_media,
@@ -495,9 +495,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         d = _t(spark, sf, "documents")
-        feats = extract_features(attach_media(d, "text", "doc_id"))
+        # normalize=False → exact integer bin counts cross the Arrow
+        # boundary, which the DuckDB hex-expansion oracle twins exactly
+        # (the normalized variant's values depend on norm summation order).
+        feats = extract_features(attach_media(d, "text", "doc_id"), normalize=False)
         return feats.select(
-            "media_id", F.round(F.element_at("features", 1).cast("double"), 6).alias("f0")
+            "media_id",
+            F.element_at("features", 1).cast("long").alias("bin0"),
+            F.element_at("features", 5).cast("long").alias("bin4"),
+            F.element_at("features", 16).cast("long").alias("bin15"),
+            F.aggregate(
+                "features", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            )
+            .cast("long")
+            .alias("n_bytes"),
         )
 
     q["mm_byte_features"] = mm
@@ -1303,8 +1314,61 @@ def oracle_sql() -> dict[str, str]:
         FROM nation WHERE n_nationkey < 20
     """
 
-    # mm_byte_features intentionally omitted: Arrow-UDF feature extraction
-    # has no SQL twin → rows-only check.
-    # st_incremental_match intentionally omitted: Structured Streaming
-    # stream-static join has no DuckDB twin → rows-only check.
+    # mm: the Arrow-UDF byte histogram, twinned via hex expansion — each
+    # byte of the UTF-8 payload is a 2-hex-char slice; bin = byte >> 3.
+    o["mm_byte_features"] = """
+        WITH b AS (
+            SELECT doc_id, encode(text) AS blob FROM documents
+        ), e AS (
+            SELECT doc_id, blob,
+                   unnest(range(1, octet_length(blob) + 1)) AS i
+            FROM b
+        ), v AS (
+            SELECT doc_id,
+                   (CAST(('0x' || substring(hex(blob), 2 * i - 1, 2)) AS BIGINT) // 8) AS bin
+            FROM e
+        ), h AS (
+            SELECT doc_id,
+                   sum(CASE WHEN bin = 0 THEN 1 ELSE 0 END) AS bin0,
+                   sum(CASE WHEN bin = 4 THEN 1 ELSE 0 END) AS bin4,
+                   sum(CASE WHEN bin = 15 THEN 1 ELSE 0 END) AS bin15,
+                   count(*) AS n_bytes
+            FROM v GROUP BY doc_id
+        )
+        SELECT b.doc_id AS media_id,
+               CAST(coalesce(h.bin0, 0) AS BIGINT) AS bin0,
+               CAST(coalesce(h.bin4, 0) AS BIGINT) AS bin4,
+               CAST(coalesce(h.bin15, 0) AS BIGINT) AS bin15,
+               CAST(coalesce(h.n_bytes, 0) AS BIGINT) AS n_bytes
+        FROM b LEFT JOIN h ON b.doc_id = h.doc_id
+    """
+
+    # st: the AvailableNow streaming output is deterministic — its oracle is
+    # the batch twin of the same blocked stream-static join + FS weight
+    # (even doc_ids stream against the odd-id static side; blank_flag
+    # filters on both block keys; emission floor on the unrounded weight).
+    o["st_incremental_match"] = f"""
+        WITH d AS ({_DOCS_KEYED_SQL}),
+        rec AS (
+            SELECT * FROM d
+            WHERE doc_id % 2 = 0
+              AND lang IS NOT NULL AND trim(lang) <> ''
+              AND trim(CAST(bucket AS VARCHAR)) <> ''
+        ),
+        mem AS (
+            SELECT * FROM d
+            WHERE doc_id % 2 = 1
+              AND lang IS NOT NULL AND trim(lang) <> ''
+              AND trim(CAST(bucket AS VARCHAR)) <> ''
+        ),
+        p AS (
+            SELECT r.doc_id AS id_rec, m.doc_id AS id_mem,
+                   r.text_32 AS rec_text_32, m.text_32 AS mem_text_32,
+                   r.n_chars_s AS rec_n_chars_s, m.n_chars_s AS mem_n_chars_s,
+                   r.source AS rec_source, m.source AS mem_source
+            FROM rec r JOIN mem m ON r.lang = m.lang AND r.bucket = m.bucket
+        )
+        SELECT id_rec, id_mem, round({_WEIGHT_SQL}, 6) AS weight
+        FROM p WHERE {_WEIGHT_SQL} >= -100.0
+    """
     return o

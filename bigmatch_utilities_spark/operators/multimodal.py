@@ -55,15 +55,22 @@ def _decode_image(payload: bytes) -> "np.ndarray":
     )
 
 
-def byte_histogram_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
-    """Deterministic fallback feature: L2-normalized histogram of byte
-    values bucketed into `dim` bins."""
+def byte_histogram_features(
+    payload: bytes, dim: int = FEATURE_DIM, normalize: bool = True
+) -> np.ndarray:
+    """Deterministic fallback feature: histogram of byte values bucketed
+    into `dim` bins; L2-normalized by default. ``normalize=False`` returns
+    the raw integer counts (exactly representable in float32 up to 2^24) —
+    the oracle-checkable mode: integer counts are engine-independent, while
+    the normalized values depend on the norm's summation order."""
     if payload is None or len(payload) == 0:
         return np.zeros(dim, dtype=np.float32)
     arr = np.frombuffer(payload, dtype=np.uint8)
     hist = np.bincount(arr >> int(np.log2(256 // dim)), minlength=dim).astype(
         np.float64
     )
+    if not normalize:
+        return hist.astype(np.float32)
     norm = np.linalg.norm(hist)
     return (hist / norm if norm > 0 else hist).astype(np.float32)
 
@@ -75,11 +82,14 @@ def extract_features(
     id_col: str = "media_id",
     dim: int = FEATURE_DIM,
     use_decoder: bool = False,
+    normalize: bool = True,
 ) -> DataFrame:
     """media → (media_id, features array<float>) via mapInPandas.
 
     `use_decoder=True` routes through the real-decoder seam (raises here);
     the default extracts the deterministic byte-histogram features.
+    `normalize=False` yields raw integer bin counts (see
+    byte_histogram_features) — the mode the DuckDB oracle twins exactly.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -90,7 +100,7 @@ def extract_features(
                     px = _decode_image(payload)  # pragma: no cover
                     feats.append(px.mean(axis=(0, 1)).astype(np.float32))
                 else:
-                    feats.append(byte_histogram_features(payload, dim))
+                    feats.append(byte_histogram_features(payload, dim, normalize))
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
