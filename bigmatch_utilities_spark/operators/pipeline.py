@@ -168,6 +168,67 @@ class MatchResult:
         )
 
 
+def with_accept_flags(
+    pairs: DataFrame,
+    accept_threshold: float,
+    decisions: DataFrame | None = None,
+) -> DataFrame:
+    """Attach the reference's review-state flags to scored pairs
+    (meta_row, /root/reference/app/MatchReview.py:223-227):
+
+    * ``accept_wgt`` — 1 iff weight ≥ the accept threshold (the spinner
+      cutoff that default-checks a row);
+    * ``accept_usr`` — the user's checkbox state from ``decisions``
+      (id_rec, id_mem, accept boolean): 1 checked, 0 explicitly unchecked,
+      null untouched.
+
+    ``decisions`` is human-click sized — broadcast by construction."""
+    out = pairs.withColumn(
+        "accept_wgt",
+        (F.col("weight") >= F.lit(float(accept_threshold))).cast("int"),
+    )
+    if decisions is None:
+        return out.withColumn("accept_usr", F.lit(None).cast("int"))
+    d = decisions.select(
+        *PAIR_KEY, F.col("accept").cast("boolean").alias("_acc")
+    ).dropDuplicates(PAIR_KEY)
+    return (
+        out.join(F.broadcast(d), PAIR_KEY, "left")
+        .withColumn("accept_usr", F.col("_acc").cast("int"))
+        .drop("_acc")
+    )
+
+
+def apply_manual_accepts(
+    result: MatchResult,
+    decisions: DataFrame,
+    accept_threshold: float,
+) -> MatchResult:
+    """Fold clerical-review decisions into the accepted/possible split
+    (write_accepted_pairs, /root/reference/app/MatchReview.py:392-439): a
+    pair lands in the accepted set iff its final check state is 1 — the
+    default comes from the engine (auto-``match`` decision or
+    ``accept_wgt``), and the user's click overrides it in EITHER direction:
+    a below-threshold pair the user checked is accepted; an
+    above-threshold pair the user unchecked is not.
+
+    Returns a MatchResult whose frames carry the accept_wgt/accept_usr
+    columns; ``good_pairs()`` then persists manual accepts exactly like the
+    reference's ACCEPTED file."""
+    flagged = with_accept_flags(result.pairs, accept_threshold, decisions)
+    default_accept = (F.col("decision") == "match") | (F.col("accept_wgt") == 1)
+    final_accept = F.when(
+        F.col("accept_usr").isNotNull(), F.col("accept_usr") == 1
+    ).otherwise(default_accept)
+    emittable = F.col("decision") != "below"
+    exact = flagged.filter(F.col("is_exact") & emittable)
+    accepted = flagged.filter((~F.col("is_exact")) & emittable & final_accept)
+    possible = flagged.filter(
+        (~F.col("is_exact")) & (F.col("decision") == "possible") & (~final_accept)
+    )
+    return MatchResult(pairs=flagged, exact=exact, accepted=accepted, possible=possible)
+
+
 def first_pass_wins(all_pairs: DataFrame) -> DataFrame:
     """A pair reported by several passes keeps its earliest pass's row
     (multi-pass union + dedup, app/MatchReview.py:41-50, cleanpairs:29-44).

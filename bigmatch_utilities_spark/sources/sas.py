@@ -80,18 +80,21 @@ def read_sas(
     chunksize: int = 50_000,
     reader=None,
 ) -> DataFrame:
-    """One SAS file → DataFrame (driver-side sequential decode, chunked so
-    the driver never holds more than `chunksize` rows)."""
+    """One SAS file → DataFrame. The chunked decode bounds the reader's
+    working set, but every decoded chunk is driver-resident here anyway, so
+    they are concatenated into ONE pandas frame before createDataFrame — a
+    per-chunk unionByName would grow the logical plan linearly with file
+    size at identical peak memory. Files too big for the driver go through
+    `read_sas_dir` (executor-side decode)."""
     chunks = [
         _decode_bytes(pdf, encoding)
         for pdf in _read_sas_pdf(path, chunksize, reader)
     ]
     if not chunks:
         raise ValueError(f"empty SAS file: {path}")
-    df = spark.createDataFrame(chunks[0])
-    for pdf in chunks[1:]:
-        df = df.unionByName(spark.createDataFrame(pdf))
-    return df
+    return spark.createDataFrame(
+        chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+    )
 
 
 def read_sas_dir(

@@ -140,3 +140,102 @@ def test_load_table_and_list(spark):
     back = spark.table("g_loaded")
     assert dict(back.dtypes)["k"] == "bigint"
     assert back.count() == 2
+
+
+# ---------------------------------------------------------------------------
+# SQLite ingest (reference store: samplefiles/sample.db,
+# app/RDBMS_Read_Export_UI.py:139-221)
+# ---------------------------------------------------------------------------
+
+SAMPLE_DB = "/root/reference/samplefiles/sample.db"
+
+
+def test_read_sqlite_reference_sample_db(spark):
+    from bigmatch_utilities_spark.sources.rdbms import (
+        list_sqlite_tables,
+        read_sqlite,
+    )
+
+    assert "sample" in list_sqlite_tables(SAMPLE_DB)
+    df = read_sqlite(spark, SAMPLE_DB, table="sample")
+    assert df.columns == ["fname", "mname", "lname", "race", "gender", "dob"]
+    assert df.count() == 35
+    row = df.filter(F.col("lname") == "EDISON").collect()[0]
+    assert row["fname"] == "THOMAS" and row["dob"] == "19660607"
+
+
+def test_read_sqlite_empty_table_keeps_schema(spark):
+    from bigmatch_utilities_spark.sources.rdbms import read_sqlite
+
+    df = read_sqlite(spark, SAMPLE_DB, table="sample_fixed_width")
+    assert df.count() == 0
+    assert df.columns == ["fname", "mname", "lname", "race", "gender", "dob"]
+
+
+def test_read_sqlite_query_guard(spark):
+    from bigmatch_utilities_spark.sources.rdbms import read_sqlite
+
+    got = read_sqlite(
+        spark, SAMPLE_DB, query="SELECT fname, lname FROM sample WHERE gender = 'F'"
+    )
+    assert got.columns == ["fname", "lname"] and got.count() > 0
+    for bad in ("DROP TABLE sample", "DELETE FROM sample", "SELECT 1; SELECT 2"):
+        with pytest.raises(ValueError):
+            read_sqlite(spark, SAMPLE_DB, query=bad)
+    with pytest.raises(ValueError):
+        read_sqlite(spark, SAMPLE_DB, table="sample; drop")
+
+
+def test_sqlite_to_fixed_width_export_roundtrip(spark, tmp_path):
+    """The reference UI flow: sample.db SELECT → padded flat file
+    (app/RDBMS_Read_Export_UI.py:223-241), re-parsed by our own reader."""
+    from bigmatch_utilities_spark.sources.fixed_width import read_fixed_width
+    from bigmatch_utilities_spark.sources.rdbms import (
+        export_query_to_fixed_width,
+        read_sqlite,
+    )
+
+    read_sqlite(spark, SAMPLE_DB, table="sample").createOrReplaceTempView(
+        "sqlite_sample"
+    )
+    fields = [
+        DictField(name="fname", start_pos=1, width=16),
+        DictField(name="lname", start_pos=17, width=20),
+        DictField(name="dob", start_pos=37, width=8),
+    ]
+    out = str(tmp_path / "sample_fw.txt")
+    export_query_to_fixed_width(
+        spark,
+        "SELECT fname, lname, dob FROM sqlite_sample ORDER BY lname, fname",
+        out,
+        fields,
+    )
+    back = read_fixed_width(spark, out, fields)
+    assert back.count() == 35
+    ed = back.filter(F.col("lname") == "EDISON").collect()[0]
+    assert ed["fname"] == "THOMAS" and ed["dob"] == "19660607"
+
+
+def test_read_sqlite_dir_parallel(spark, tmp_path):
+    """Executor-side decode across a fleet of SQLite files."""
+    import sqlite3
+
+    from bigmatch_utilities_spark.sources.rdbms import read_sqlite_dir
+
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"part{i}.db")
+        con = sqlite3.connect(p)
+        con.execute("CREATE TABLE t (id INTEGER, name TEXT)")
+        con.executemany(
+            "INSERT INTO t VALUES (?, ?)",
+            [(i * 10 + j, f"row{i}_{j}") for j in range(5)],
+        )
+        con.commit()
+        con.close()
+        paths.append(p)
+    df = read_sqlite_dir(spark, paths, "t", "id long, name string")
+    assert df.count() == 15
+    assert df.agg(F.sum("id")).collect()[0][0] == sum(
+        i * 10 + j for i in range(3) for j in range(5)
+    )

@@ -132,3 +132,52 @@ def test_good_pairs_schema(golden):
     gp = result.good_pairs()
     assert gp.columns == ["pass_id", "weight", "id_rec", "id_mem"]
     assert gp.count() == result.exact.count() + result.accepted.count()
+
+
+def test_manual_accepts_override_threshold(golden, spark):
+    """MatchReview.py:392-439: the user's click overrides the weight
+    default in either direction — a below-threshold pair the user checked
+    lands in good_pairs, an above-threshold pair the user unchecked does
+    not."""
+    from bigmatch_utilities_spark.operators.pipeline import apply_manual_accepts
+
+    cfg, result, _ = golden
+    # pick a review threshold strictly between two distinct non-exact
+    # weights so the fixture yields both a default-unchecked pair (below)
+    # and a default-checked pair (above) to override.
+    rows = sorted(
+        (r for r in result.pairs.collect() if not r["is_exact"]),
+        key=lambda r: r["weight"],
+    )
+    below = rows[0]
+    above = rows[-1]
+    assert below["weight"] < above["weight"]
+    threshold = (below["weight"] + above["weight"]) / 2
+    decisions = spark.createDataFrame(
+        [
+            (below["id_rec"], below["id_mem"], True),   # user checks a low pair
+            (above["id_rec"], above["id_mem"], False),  # user unchecks a high one
+        ],
+        ["id_rec", "id_mem", "accept"],
+    )
+    reviewed = apply_manual_accepts(result, decisions, threshold)
+    good = {(r["id_rec"], r["id_mem"]) for r in reviewed.good_pairs().collect()}
+    assert (below["id_rec"], below["id_mem"]) in good
+    assert (above["id_rec"], above["id_mem"]) not in good
+    # flags carried per meta_row semantics (MatchReview.py:223-227)
+    flags = {
+        (r["id_rec"], r["id_mem"]): (r["accept_wgt"], r["accept_usr"])
+        for r in reviewed.pairs.collect()
+    }
+    assert flags[(below["id_rec"], below["id_mem"])] == (0, 1)
+    assert flags[(above["id_rec"], above["id_mem"])][1] == 0
+    # untouched pairs keep the engine's split (same threshold, no clicks)
+    unreviewed = apply_manual_accepts(result, decisions.limit(0), threshold)
+    base_good = {
+        (r["id_rec"], r["id_mem"]) for r in unreviewed.good_pairs().collect()
+    }
+    touched = {
+        (below["id_rec"], below["id_mem"]),
+        (above["id_rec"], above["id_mem"]),
+    }
+    assert good - touched == base_good - touched
