@@ -26,14 +26,22 @@ SEPARATOR = "?   ~"
 SECTION_LINE = "*" * 40
 
 
-def pairs_row(spec: BlockingPassSpec, with_pass_prefix: bool = False) -> Column:
-    """Render one scored candidate pair to the legacy row layout."""
+def pairs_row(
+    spec: BlockingPassSpec, with_pass_prefix: bool = False, signed: bool = False
+) -> Column:
+    """Render one scored candidate pair to the legacy row layout.
+
+    ``signed=True`` prints ``+`` on positive weights for byte-identical
+    compatibility with raw engine output (the review tool strips the sign
+    on parse, app/MatchReview.py:198-202 ``weight.replace("+", "")``);
+    the default unsigned form matches the post-processed files."""
     parts: list[Column] = []
     if with_pass_prefix:
         parts.append(
             F.concat(F.lit("bp:"), F.lpad(F.col("pass_id").cast("string"), 2, "0"))
         )
-    parts.append(F.format_string("%.3f", F.col("weight")))  # no 1,234 grouping
+    fmt = "%+.3f" if signed else "%.3f"
+    parts.append(F.format_string(fmt, F.col("weight")))  # no 1,234 grouping
     parts.append(F.col("id_rec").cast("string"))
     parts.append(F.col("id_mem").cast("string"))
     for bf in spec.block_fields:
@@ -54,14 +62,15 @@ def pairs_row(spec: BlockingPassSpec, with_pass_prefix: bool = False) -> Column:
 
 
 def write_pairs_file(
-    scored: DataFrame, spec: BlockingPassSpec, path: str, pass_id: int
+    scored: DataFrame, spec: BlockingPassSpec, path: str, pass_id: int,
+    signed: bool = False,
 ) -> None:
     """One pass's ``...Pairs_NN.dat`` analog: weight-descending rows
     (cleanpairs:36 sorts -r before key extraction)."""
     (
         scored.filter(F.col("pass_id") == pass_id)
         .orderBy(F.col("weight").desc())
-        .select(pairs_row(spec).alias("value"))
+        .select(pairs_row(spec, signed=signed).alias("value"))
         .write.mode("overwrite")
         .text(path)
     )

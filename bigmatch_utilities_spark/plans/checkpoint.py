@@ -20,7 +20,6 @@ recomputed: resume cost is O(completed output), not O(input).
 from __future__ import annotations
 
 import json
-import os
 import time
 import uuid
 
@@ -36,24 +35,62 @@ from bigmatch_utilities_spark.operators.pipeline import (
 
 
 class CheckpointedMatch:
+    """Markers and metrics go through the Hadoop FileSystem API (resolved
+    from the path's scheme), NOT driver-local ``os`` calls — so the same
+    code resumes off ``file:``, ``hdfs:`` or ``s3a:`` paths on a real
+    cluster. Marker commit = write tmp + rename (rename is atomic per
+    FileSystem contract on HDFS and local FS)."""
+
     def __init__(self, spark: SparkSession, out_dir: str):
         self.spark = spark
         self.out = out_dir.rstrip("/")
-        os.makedirs(f"{self.out}/markers", exist_ok=True)
+        self._jvm = spark._jvm
+        self._hconf = spark._jsc.hadoopConfiguration()
+        self._fs(f"{self.out}/markers").mkdirs(self._hpath(f"{self.out}/markers"))
+
+    # -- Hadoop FS plumbing ----------------------------------------------
+    def _hpath(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def _fs(self, path: str):
+        return self._hpath(path).getFileSystem(self._hconf)
 
     # -- markers ---------------------------------------------------------
     def _marker_path(self, pass_id: int) -> str:
         return f"{self.out}/markers/pass_{pass_id:02d}.json"
 
     def pass_complete(self, pass_id: int) -> bool:
-        return os.path.exists(self._marker_path(pass_id))
+        p = self._marker_path(pass_id)
+        return self._fs(p).exists(self._hpath(p))
+
+    def read_marker(self, pass_id: int) -> dict | None:
+        p = self._marker_path(pass_id)
+        fs = self._fs(p)
+        if not fs.exists(self._hpath(p)):
+            return None
+        stream = fs.open(self._hpath(p))
+        try:
+            ioutils = self._jvm.org.apache.commons.io.IOUtils
+            data = bytes(ioutils.toByteArray(stream))
+        finally:
+            stream.close()
+        return json.loads(data.decode("utf-8"))
 
     def _write_marker(self, pass_id: int, payload: dict) -> None:
         path = self._marker_path(pass_id)
         tmp = f"{path}.tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(payload, f)
-        os.replace(tmp, path)  # atomic on POSIX
+        fs = self._fs(path)
+        out = fs.create(self._hpath(tmp), True)
+        try:
+            out.write(bytearray(json.dumps(payload).encode("utf-8")))
+        finally:
+            out.close()
+        # HDFS rename refuses to overwrite: clear any stale marker first
+        # (a marker is only rewritten when the pass re-ran after a crash
+        # BETWEEN data commit and marker rename, which is idempotent).
+        fs.delete(self._hpath(path), False)
+        if not fs.rename(self._hpath(tmp), self._hpath(path)):
+            raise IOError(f"marker rename failed: {tmp} -> {path}")
 
     # -- metrics ---------------------------------------------------------
     def _append_metrics(self, payload: dict | list[dict]) -> None:

@@ -81,6 +81,25 @@ def test_resume_skips_completed_passes(spark, tmp_path):
     assert {0, 2} & want_pass_ids  # checkpointed passes came from disk
 
 
+def test_file_uri_markers_via_hadoop_fs(spark, tmp_path):
+    """Markers must work through the Hadoop FileSystem layer (file: URI —
+    the same code path hdfs:/s3a: paths take on a cluster), not driver
+    os.* calls."""
+    cfg, rec, mem = _inputs(spark)
+    out = f"file://{tmp_path}/run_uri"
+    ckpt = CheckpointedMatch(spark, out)
+    full = _pairs_set(ckpt.run(rec, mem, cfg, id_col="id"))
+    assert full
+    assert all(ckpt.pass_complete(k) for k in range(len(cfg.passes)))
+    # marker payloads are readable back through the FS API
+    for k in range(len(cfg.passes)):
+        m = ckpt.read_marker(k)
+        assert m is not None and m["pairs"] >= 0 and m["wall_s"] > 0
+    # resume off the URI path skips completed passes even with poisoned input
+    resumed = CheckpointedMatch(spark, out).run(rec.limit(0), mem, cfg, id_col="id")
+    assert _pairs_set(resumed) == full
+
+
 def test_metrics_table(spark, tmp_path):
     cfg, rec, mem = _inputs(spark)
     ckpt = CheckpointedMatch(spark, str(tmp_path / "run3"))

@@ -239,3 +239,26 @@ def test_read_sqlite_dir_parallel(spark, tmp_path):
     assert df.agg(F.sum("id")).collect()[0][0] == sum(
         i * 10 + j for i in range(3) for j in range(5)
     )
+
+
+def test_signed_weight_rows_byte_compat(spark, scored):
+    """signed=True prints '+' on positive weights exactly as raw engine
+    output does; the reference parser strips it (MatchReview.py:198-202),
+    so signed and unsigned rows parse to identical records."""
+    spec, df = scored
+    signed_rows = [
+        r["value"]
+        for r in df.select(pairs_row(spec, signed=True).alias("value")).collect()
+    ]
+    plain_rows = [
+        r["value"] for r in df.select(pairs_row(spec).alias("value")).collect()
+    ]
+    assert signed_rows
+    saw_plus = False
+    for s_row in signed_rows:
+        w = s_row.split()[0]
+        assert w[0] in "+-"  # every weight carries an explicit sign
+        saw_plus = saw_plus or w[0] == "+"
+    assert saw_plus
+    # byte-identical golden: strip-sign(signed) == unsigned, line for line
+    assert sorted(r.replace("+", "", 1) if r.split()[0][0] == "+" else r for r in signed_rows) == sorted(plain_rows)
