@@ -789,6 +789,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["s6_sql_export"] = s6
 
+    # ---- U4: clerical-review manual accepts over the threshold split ------
+    def u4(spark, sf):
+        from bigmatch_utilities_spark.operators.pipeline import with_accept_flags
+
+        s = _scored_pairs(spark, sf).withColumnRenamed("id_l", "id_rec").withColumnRenamed(
+            "id_r", "id_mem"
+        )
+        # deterministic synthetic review session: check every 5th pair key,
+        # uncheck every 7th (check wins the overlap, like a later click)
+        decisions = s.select(
+            "id_rec",
+            "id_mem",
+            F.when((F.col("id_rec") + F.col("id_mem")) % 5 == 0, F.lit(True))
+            .when((F.col("id_rec") + F.col("id_mem")) % 7 == 0, F.lit(False))
+            .otherwise(F.lit(None).cast("boolean"))
+            .alias("accept"),
+        ).filter(F.col("accept").isNotNull())
+        flagged = with_accept_flags(s, 1.0, decisions)
+        final = F.when(
+            F.col("accept_usr").isNotNull(), F.col("accept_usr") == 1
+        ).otherwise(F.col("accept_wgt") == 1)
+        return flagged.filter(final & (~F.col("is_exact"))).select(
+            "id_rec", "id_mem", "weight", "accept_wgt",
+            F.coalesce("accept_usr", F.lit(-1)).alias("accept_usr"),
+        )
+
+    q["u4_manual_accepts"] = u4
+
     # ---- streaming: incremental stream-static match (rows-only) -----------
     def st(spark, sf):
         import tempfile
@@ -1312,6 +1340,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, ' ')
                || rpad(n_name, 20, ' ') AS line
         FROM nation WHERE n_nationkey < 20
+    """
+
+    o["u4_manual_accepts"] = f"""
+        WITH s AS (
+            SELECT id_l AS id_rec, id_r AS id_mem, weight, is_exact
+            FROM ({_SCORED_PAIRS_SQL})
+        ), flagged AS (
+            SELECT id_rec, id_mem, weight, is_exact,
+                   CAST(weight >= 1.0 AS INT) AS accept_wgt,
+                   CASE WHEN (id_rec + id_mem) % 5 = 0 THEN 1
+                        WHEN (id_rec + id_mem) % 7 = 0 THEN 0
+                        ELSE NULL END AS accept_usr
+            FROM s
+        )
+        SELECT id_rec, id_mem, weight, accept_wgt,
+               coalesce(accept_usr, -1) AS accept_usr
+        FROM flagged
+        WHERE (NOT is_exact)
+          AND (CASE WHEN accept_usr IS NOT NULL THEN accept_usr = 1
+                    ELSE accept_wgt = 1 END)
     """
 
     # mm: the Arrow-UDF byte histogram, twinned via hex expansion — each
