@@ -461,29 +461,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_brute_force_topk"] = ann
 
-    # ---- ANN: sign-LSH bucketed -----------------------------------------------------
+    # ---- ANN: banded random-hyperplane LSH top-k ------------------------------------
     def ann_lsh(spark, sf):
-        e = _t(spark, sf, "embeddings")
-        v = e.withColumn("bkt", sign_bucket(F.col("embedding"), 8))
-        qs = v.filter(F.col("vec_id") < 10).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qvec"),
-            F.col("bkt").alias("qbkt"),
+        from bigmatch_utilities_spark.operators.similarity import rh_lsh_topk
+
+        e = _t(spark, sf, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
         )
-        scored = (
-            v.join(F.broadcast(qs), F.col("bkt") == F.col("qbkt"))
-            .filter(F.col("vec_id") != F.col("query_id"))
-            .withColumn(
-                "score",
-                F.round(cosine(F.col("embedding").cast("array<double>"), F.col("qvec").cast("array<double>")), 6),
-            )
+        qs = e.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
         )
-        w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 5)
-            .select("query_id", "vec_id", "score", "rank")
-        )
+        return rh_lsh_topk(e, qs, 5, n_bands=2, bits_per_band=8, dim=64, score_round=6)
 
     q["ann_lsh_topk"] = ann_lsh
 
@@ -1103,17 +1091,40 @@ def oracle_sql() -> dict[str, str]:
         FROM ranked WHERE rank <= 5
     """
 
+    from bigmatch_utilities_spark.operators.similarity import (
+        rh_bucket_sql as _rh_sql,
+    )
+
     o["ann_lsh_topk"] = f"""
         WITH v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-                   {sign_bucket_sql('embedding', 8)} AS bkt
+                   {_rh_sql('embedding', 8, 64, offset=0)} AS bkt0,
+                   {_rh_sql('embedding', 8, 64, offset=8)} AS bkt1
             FROM embeddings
+        ), vb AS (
+            SELECT vec_id, 0 AS band, bkt0 AS band_key FROM v
+            UNION ALL SELECT vec_id, 1, bkt1 FROM v
         ),
-        qs AS (SELECT vec_id AS query_id, emb, bkt FROM v WHERE vec_id < 10),
-        scored AS (
-            SELECT q.query_id, a.vec_id, {cos} AS score
-            FROM v a JOIN qs q ON a.bkt = q.bkt
+        qs AS (SELECT vec_id AS query_id, emb FROM v WHERE vec_id < 10),
+        qb AS (
+            SELECT vec_id AS query_id, band, band_key FROM vb WHERE vec_id < 10
+        ),
+        cand AS (
+            SELECT DISTINCT q.query_id, a.vec_id
+            FROM vb a JOIN qb q ON a.band = q.band AND a.band_key = q.band_key
             WHERE a.vec_id <> q.query_id
+        ),
+        scored AS (
+            SELECT c.query_id, c.vec_id,
+                   round(CASE WHEN list_dot_product(a.emb, a.emb) > 0
+                               AND list_dot_product(q.emb, q.emb) > 0
+                         THEN list_dot_product(a.emb, q.emb) /
+                              (sqrt(list_dot_product(a.emb, a.emb))
+                               * sqrt(list_dot_product(q.emb, q.emb)))
+                         ELSE 0.0 END, 6) AS score
+            FROM cand c
+            JOIN v a ON a.vec_id = c.vec_id
+            JOIN qs q ON q.query_id = c.query_id
         ), ranked AS (
             SELECT *, row_number() OVER (PARTITION BY query_id
                         ORDER BY score DESC, vec_id) AS rank

@@ -203,6 +203,76 @@ def embedding_neardup(
     )
 
 
+def rh_lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    *,
+    n_bands: int = 2,
+    bits_per_band: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    score_round: int | None = None,
+) -> DataFrame:
+    """Approximate top-k with banded random-hyperplane LSH — the
+    recall-corrected scale path (axis-aligned `lsh_topk` below is the
+    simpler legacy variant): a vector is a candidate for a query if they
+    collide in ANY of `n_bands` independent hyperplane bands, so recall
+    compounds per band exactly like MinHash banding; candidates are
+    deduped before the (exact cosine) scoring + ranking.
+
+    `score_round`: round the cosine BEFORE ranking (cross-engine
+    comparisons need identical tie-breaking — raw float sums differ in
+    the last ulp between engines); None ranks on the full-precision
+    score."""
+
+    def banded(df: DataFrame, idc: str) -> DataFrame:
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    rh_bucket(
+                        F.col(vec_col), bits_per_band, dim, seed,
+                        offset=b * bits_per_band,
+                    ).alias("band_key"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+        return df.select(F.col(idc), F.explode(arr).alias("_bk")).select(
+            idc, F.col("_bk.band").alias("band"), F.col("_bk.band_key").alias("band_key")
+        )
+
+    vb = banded(vectors, id_col)
+    qb = banded(queries, query_id_col)
+    cands = (
+        vb.join(F.broadcast(qb), ["band", "band_key"])
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col)
+        .distinct()
+    )
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    score = cosine(F.col(vec_col), F.col("_qvec"))
+    if score_round is not None:
+        score = F.round(score, score_round)
+    scored = (
+        cands.join(vectors.select(id_col, vec_col), id_col)
+        .join(F.broadcast(q), query_id_col)
+        .withColumn("score", score)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("score", 6).alias("score"), "rank")
+    )
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,

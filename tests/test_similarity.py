@@ -12,6 +12,7 @@ from bigmatch_utilities_spark.operators.similarity import (
     cosine,
     embedding_neardup,
     lsh_topk,
+    rh_lsh_topk,
     rh_signs,
     sign_bucket,
 )
@@ -127,6 +128,22 @@ def test_embedding_neardup_shard_invariant(spark):
             ).collect()
         }
         assert sharded == base, t
+
+
+def test_rh_lsh_topk_finds_planted_neighbors(spark):
+    """Banded RH-LSH must recover every planted near-identical twin as its
+    query's top-1 (any-band collision: a twin this close collides in at
+    least one of the bands with overwhelming probability)."""
+    df = _neardup_input(spark, dim=8, seed=23)
+    queries = df.filter(F.col("vec_id") % 10 == 0).toDF("query_id", "embedding")
+    got = {
+        r["query_id"]: r["vec_id"]
+        for r in rh_lsh_topk(
+            df, queries, 1, n_bands=2, bits_per_band=4, dim=8
+        ).collect()
+    }
+    for q in (0, 10, 20, 30, 40):
+        assert got.get(q) == q + 1, (q, got)
 
 
 def test_rh_signs_deterministic_blocks():
