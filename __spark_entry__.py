@@ -475,6 +475,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh_topk"] = ann_lsh
 
+    # ---- ANN: IVF coarse-quantizer top-k --------------------------------------
+    def ann_ivf(spark, sf):
+        from bigmatch_utilities_spark.operators.similarity import ivf_topk
+
+        e = _t(spark, sf, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        qs = e.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return ivf_topk(e, qs, 5, n_pivots=16, nprobe=2, score_round=6)
+
+    q["ann_ivf_topk"] = ann_ivf
+
     # ---- multimodal plumbing: byte-histogram features via mapInPandas ----------
     def mm(spark, sf):
         from bigmatch_utilities_spark.operators.multimodal import (
@@ -1351,6 +1365,62 @@ def oracle_sql() -> dict[str, str]:
         SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, ' ')
                || rpad(n_name, 20, ' ') AS line
         FROM nation WHERE n_nationkey < 20
+    """
+
+    o["ann_ivf_topk"] = """
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        ), pivots AS (
+            SELECT vec_id AS pivot_id, emb AS pivot_vec
+            FROM v
+            ORDER BY CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 12))
+                          AS BIGINT), vec_id
+            LIMIT 16
+        ), vp AS (
+            SELECT a.vec_id, p.pivot_id,
+                   round(CASE WHEN list_dot_product(a.emb, a.emb) > 0
+                               AND list_dot_product(p.pivot_vec, p.pivot_vec) > 0
+                         THEN list_dot_product(a.emb, p.pivot_vec) /
+                              (sqrt(list_dot_product(a.emb, a.emb))
+                               * sqrt(list_dot_product(p.pivot_vec, p.pivot_vec)))
+                         ELSE 0.0 END, 6) AS sim,
+                   row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY (CASE WHEN list_dot_product(a.emb, a.emb) > 0
+                               AND list_dot_product(p.pivot_vec, p.pivot_vec) > 0
+                         THEN round(list_dot_product(a.emb, p.pivot_vec) /
+                              (sqrt(list_dot_product(a.emb, a.emb))
+                               * sqrt(list_dot_product(p.pivot_vec, p.pivot_vec))), 6)
+                         ELSE 0.0 END) DESC, p.pivot_id) AS rnk
+            FROM v a CROSS JOIN pivots p
+        ), cells AS (
+            SELECT vec_id, pivot_id AS cell FROM vp WHERE rnk = 1
+        ), probes AS (
+            SELECT vec_id AS query_id, pivot_id AS cell
+            FROM vp WHERE vec_id < 10 AND rnk <= 2
+        ), cand AS (
+            SELECT DISTINCT p.query_id, c.vec_id
+            FROM cells c JOIN probes p ON c.cell = p.cell
+            WHERE c.vec_id <> p.query_id
+        ), qs AS (
+            SELECT vec_id AS query_id, emb FROM v WHERE vec_id < 10
+        ), scored AS (
+            SELECT cd.query_id, cd.vec_id,
+                   round(CASE WHEN list_dot_product(a.emb, a.emb) > 0
+                               AND list_dot_product(q.emb, q.emb) > 0
+                         THEN list_dot_product(a.emb, q.emb) /
+                              (sqrt(list_dot_product(a.emb, a.emb))
+                               * sqrt(list_dot_product(q.emb, q.emb)))
+                         ELSE 0.0 END, 6) AS score
+            FROM cand cd
+            JOIN v a ON a.vec_id = cd.vec_id
+            JOIN qs q ON q.query_id = cd.query_id
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, vec_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, score, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 5
     """
 
     o["u4_manual_accepts"] = f"""

@@ -273,6 +273,102 @@ def rh_lsh_topk(
     )
 
 
+def ivf_pivots(
+    vectors: DataFrame, n_pivots: int, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse-quantizer pivots: the `n_pivots` vectors with
+    the smallest md5(id) — a seeded uniform sample that any engine can
+    reproduce (classic IVF trains k-means centroids; hash-sampled pivots
+    trade a little cell balance for exact cross-engine determinism, and a
+    Lloyd refinement can be layered on the same assignment plan)."""
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10).cast(
+        "long"
+    )
+    return (
+        vectors.select(
+            F.col(id_col).alias("pivot_id"), F.col(vec_col).alias("pivot_vec"), h.alias("_h")
+        )
+        .orderBy("_h", "pivot_id")
+        .limit(n_pivots)
+        .drop("_h")
+    )
+
+
+def _cell_ranked(
+    side: DataFrame, pivots: DataFrame, idc: str, vec_col: str
+) -> DataFrame:
+    """(id, pivot_id, rank) — pivots ranked per row by rounded cosine
+    (6dp, ties → pivot_id): rank 1 is the IVF cell; rank ≤ nprobe are the
+    probe cells. The pivot table is broadcast (it is k rows by design)."""
+    sim = F.round(cosine(F.col(vec_col), F.col("pivot_vec")), 6)
+    scored = side.crossJoin(F.broadcast(pivots)).select(
+        F.col(idc), F.col("pivot_id"), sim.alias("_sim")
+    )
+    w = Window.partitionBy(idc).orderBy(F.col("_sim").desc(), F.col("pivot_id"))
+    return scored.withColumn("rank", F.row_number().over(w))
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    *,
+    n_pivots: int = 16,
+    nprobe: int = 2,
+    score_round: int | None = None,
+) -> DataFrame:
+    """IVF-style approximate top-k: assign every vector to its nearest
+    pivot's cell (inverted list), search only the query's `nprobe` nearest
+    cells. The candidate join is an equi-join on cell id — shuffle ∝ cell
+    sizes, the classic IVF trade: larger nprobe → recall, smaller → cost.
+
+    At 10^9+ vectors this is the partition-pruning ANN path: cells map to
+    table partitions, and a query touches nprobe/n_pivots of the data."""
+    pivots = ivf_pivots(vectors, n_pivots, id_col, vec_col)
+    cells = (
+        _cell_ranked(vectors, pivots, id_col, vec_col)
+        .filter(F.col("rank") == 1)
+        .select(id_col, F.col("pivot_id").alias("cell"))
+    )
+    probes = (
+        _cell_ranked(
+            queries.select(F.col(query_id_col), F.col(vec_col)),
+            pivots,
+            query_id_col,
+            vec_col,
+        )
+        .filter(F.col("rank") <= nprobe)
+        .select(query_id_col, F.col("pivot_id").alias("cell"))
+    )
+    cands = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col)
+        .distinct()
+    )
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    score = cosine(F.col(vec_col), F.col("_qvec"))
+    if score_round is not None:
+        score = F.round(score, score_round)
+    scored = (
+        cands.join(vectors.select(id_col, vec_col), id_col)
+        .join(F.broadcast(q), query_id_col)
+        .withColumn("score", score)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("score", 6).alias("score"), "rank")
+    )
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -11,6 +11,8 @@ from bigmatch_utilities_spark.operators.similarity import (
     brute_force_topk,
     cosine,
     embedding_neardup,
+    ivf_pivots,
+    ivf_topk,
     lsh_topk,
     rh_lsh_topk,
     rh_signs,
@@ -144,6 +146,43 @@ def test_rh_lsh_topk_finds_planted_neighbors(spark):
     }
     for q in (0, 10, 20, 30, 40):
         assert got.get(q) == q + 1, (q, got)
+
+
+def test_ivf_topk_finds_planted_neighbors(spark):
+    """A near-identical twin lands in the same IVF cell (argmax-cosine
+    pivot assignment is stable under tiny perturbations), so nprobe=1
+    already recovers it as top-1."""
+    df = _neardup_input(spark, dim=8, seed=31)
+    queries = df.filter(F.col("vec_id") % 10 == 0).toDF("query_id", "embedding")
+    got = {
+        r["query_id"]: r["vec_id"]
+        for r in ivf_topk(df, queries, 1, n_pivots=4, nprobe=1).collect()
+    }
+    for q in (0, 10, 20, 30, 40):
+        assert got.get(q) == q + 1, (q, got)
+
+
+def test_ivf_pivots_deterministic(spark):
+    df, _ = _vectors(spark, n=40)
+    a = [r["pivot_id"] for r in ivf_pivots(df, 8).collect()]
+    b = [r["pivot_id"] for r in ivf_pivots(df, 8).collect()]
+    assert a == b and len(a) == 8
+
+
+def test_ivf_matches_brute_force_with_full_probe(spark):
+    """nprobe = n_pivots searches every cell — IVF must then equal the
+    exact brute-force ranking."""
+    df, _ = _vectors(spark, n=30)
+    queries = df.filter(F.col("vec_id") < 3).toDF("query_id", "embedding")
+    exact = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in brute_force_topk(df, queries, k=3).collect()
+    }
+    ivf = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in ivf_topk(df, queries, 3, n_pivots=4, nprobe=4).collect()
+    }
+    assert ivf == exact
 
 
 def test_rh_signs_deterministic_blocks():
