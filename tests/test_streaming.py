@@ -57,3 +57,35 @@ def test_incremental_match_availablenow(spark, tmp_path):
     assert n2 > n1
     # no duplicated pairs from re-processing batch 1
     assert both.groupBy("id_rec", "id_mem").count().filter("count > 1").count() == 0
+
+
+def test_stateful_stream_dedup_first_seen_wins(spark, tmp_path):
+    """applyInPandasWithState content-sha dedup: batch 1 admits one row
+    per distinct content; a resumed run over appended files admits ONLY
+    never-seen content (state survives via the checkpoint, replay-safe)."""
+    from bigmatch_utilities_spark.streaming.stateful_dedup import run_stream_dedup
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    schema = "doc_id long, content string"
+
+    rows1 = [(i, f"content_{i % 7}") for i in range(10)]
+    spark.createDataFrame(rows1, schema).write.mode("overwrite").parquet(inp)
+    run_stream_dedup(spark, inp, schema, "content", out, ck)
+    got1 = spark.read.parquet(out)
+    assert got1.count() == 7  # one per distinct content
+    assert set(got1.columns) == {"doc_id", "content", "content_sha"}
+
+    # batch 2: 5 already-seen contents + 3 fresh ones
+    rows2 = [(100 + i, f"content_{i % 7}") for i in range(5)] + [
+        (200 + i, f"fresh_{i}") for i in range(3)
+    ]
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(inp)
+    run_stream_dedup(spark, inp, schema, "content", out, ck)
+    got2 = spark.read.parquet(out)
+    assert got2.count() == 10  # +3 fresh only
+    assert got2.select("content_sha").distinct().count() == 10
+    assert (
+        got2.groupBy("content_sha").count().filter("count > 1").count() == 0
+    )
