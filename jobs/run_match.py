@@ -42,6 +42,14 @@ def main() -> None:
         help="adaptive hot-block salting target (0 disables): blocks/buckets "
         "bigger than this spread their pair output over ceil(n/target) tasks",
     )
+    p.add_argument(
+        "--decisions",
+        default=None,
+        help="parquet of clerical-review decisions (id_rec, id_mem, accept "
+        "boolean); applied to the accepted/possible split before good_pairs "
+        "is written (reference MatchReview accept_usr semantics)",
+    )
+    p.add_argument("--accept-threshold", type=float, default=4.0)
     args = p.parse_args()
     shard_rows = args.shard_rows or None
 
@@ -64,6 +72,13 @@ def main() -> None:
             use_minhash_pass=not args.no_minhash,
             max_block_rows=args.max_block_rows,
             shard_rows=shard_rows,
+        )
+
+    if args.decisions:
+        from bigmatch_utilities_spark.operators.pipeline import apply_manual_accepts
+
+        result = apply_manual_accepts(
+            result, spark.read.parquet(args.decisions), args.accept_threshold
         )
 
     result.pairs.write.mode("overwrite").partitionBy("pass_id").parquet(
