@@ -309,6 +309,56 @@ def _cell_ranked(
     return scored.withColumn("rank", F.row_number().over(w))
 
 
+def ivf_refined_pivots(
+    vectors: DataFrame,
+    n_pivots: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    iterations: int = 2,
+) -> DataFrame:
+    """Lloyd-refined coarse quantizer: start from the hash-sampled pivots
+    and run `iterations` k-means steps — assign every vector to its
+    nearest pivot, replace each pivot with its cell's mean vector. Each
+    iteration is ONE shuffle (posexplode → groupBy(cell, pos) avg →
+    re-assemble), and the pivot table never exceeds k rows, so it stays
+    broadcastable at any corpus size. Empty cells keep their old pivot.
+
+    Refined pivots cut quantization error vs raw sampling (tested), which
+    tightens cells and lifts recall at the same nprobe. They are NOT
+    cross-engine deterministic like `ivf_pivots` (float mean order), so
+    the oracle-checked query path keeps the sampled pivots; production
+    recall-sensitive paths plug this in via ivf_topk(pivots=...)."""
+    pivots = ivf_pivots(vectors, n_pivots, id_col, vec_col)
+    for _ in range(iterations):
+        cells = (
+            _cell_ranked(vectors, pivots, id_col, vec_col)
+            .filter(F.col("rank") == 1)
+            .select(id_col, F.col("pivot_id").alias("cell"))
+        )
+        means = (
+            vectors.join(cells, id_col)
+            .select("cell", F.posexplode(F.col(vec_col)).alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("mean_vec")
+            )
+        )
+        pivots = (
+            pivots.join(means, pivots.pivot_id == means.cell, "left")
+            .select(
+                "pivot_id",
+                F.coalesce("mean_vec", "pivot_vec").alias("pivot_vec"),
+            )
+        )
+    return pivots
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -320,6 +370,7 @@ def ivf_topk(
     n_pivots: int = 16,
     nprobe: int = 2,
     score_round: int | None = None,
+    pivots: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: assign every vector to its nearest
     pivot's cell (inverted list), search only the query's `nprobe` nearest
@@ -327,8 +378,11 @@ def ivf_topk(
     sizes, the classic IVF trade: larger nprobe → recall, smaller → cost.
 
     At 10^9+ vectors this is the partition-pruning ANN path: cells map to
-    table partitions, and a query touches nprobe/n_pivots of the data."""
-    pivots = ivf_pivots(vectors, n_pivots, id_col, vec_col)
+    table partitions, and a query touches nprobe/n_pivots of the data.
+    `pivots` plugs in a custom quantizer (e.g. `ivf_refined_pivots`);
+    default is the deterministic hash sample."""
+    if pivots is None:
+        pivots = ivf_pivots(vectors, n_pivots, id_col, vec_col)
     cells = (
         _cell_ranked(vectors, pivots, id_col, vec_col)
         .filter(F.col("rank") == 1)

@@ -12,6 +12,7 @@ from bigmatch_utilities_spark.operators.similarity import (
     cosine,
     embedding_neardup,
     ivf_pivots,
+    ivf_refined_pivots,
     ivf_topk,
     lsh_topk,
     rh_lsh_topk,
@@ -183,6 +184,30 @@ def test_ivf_matches_brute_force_with_full_probe(spark):
         for r in ivf_topk(df, queries, 3, n_pivots=4, nprobe=4).collect()
     }
     assert ivf == exact
+
+
+def _quantization_error(spark, df, pivots):
+    """mean (1 - cosine(vec, assigned pivot)) — lower is tighter cells."""
+    from bigmatch_utilities_spark.operators.similarity import _cell_ranked
+
+    assigned = _cell_ranked(df, pivots, "vec_id", "embedding").filter(
+        F.col("rank") == 1
+    )
+    return assigned.agg(F.avg(1 - F.col("_sim"))).collect()[0][0]
+
+
+def test_ivf_lloyd_refinement_reduces_error(spark):
+    df, _ = _vectors(spark, n=120, dim=8, seed=3)
+    raw = ivf_pivots(df, 6)
+    refined = ivf_refined_pivots(df, 6, iterations=2)
+    assert refined.count() == 6
+    e_raw = _quantization_error(spark, df, raw)
+    e_ref = _quantization_error(spark, df, refined)
+    assert e_ref < e_raw, (e_raw, e_ref)
+    # refined pivots plug into the same search path
+    queries = df.filter(F.col("vec_id") < 2).toDF("query_id", "embedding")
+    got = ivf_topk(df, queries, 3, nprobe=2, pivots=refined)
+    assert got.count() == 6  # 2 queries x top-3
 
 
 def test_rh_signs_deterministic_blocks():
