@@ -415,6 +415,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dd_jaccard_pairs"] = jac
 
+    # ---- dedup: full near-dedup pipeline (LSH → Jaccard → closure → keep) ----
+    def dd_keep(spark, sf):
+        from bigmatch_utilities_spark.operators.dedup import near_dedup_keep
+
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        kept = near_dedup_keep(
+            d, "text", "doc_id",
+            shingle_k=3, bands=4, rows_per_band=1,
+            threshold=0.5, max_bucket=None,
+        )
+        return kept.select("doc_id")
+
+    q["dd_near_dedup_keep"] = dd_keep
+
     # ---- text analysis ------------------------------------------------------------
     def ta(spark, sf):
         d = _t(spark, sf, "documents")
@@ -1042,6 +1056,46 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """
+    )
+
+    # the full near-dedup pipeline, end-to-end in SQL: the dd_lsh_candidates
+    # bands, Jaccard >= 0.5 verification, recursive-CTE closure, anti-join
+    o["dd_near_dedup_keep"] = (
+        # WITH RECURSIVE covers the closure CTE further down the chain
+        lsh_shingles.replace("WITH toks", "WITH RECURSIVE toks", 1)
+        + f""", sig AS (
+            SELECT doc_id, {band_keys} FROM h GROUP BY doc_id
+        ), bands AS (
+            SELECT doc_id, 0 AS band, s0 AS band_key FROM sig
+            UNION ALL SELECT doc_id, 1, s1 FROM sig
+            UNION ALL SELECT doc_id, 2, s2 FROM sig
+            UNION ALL SELECT doc_id, 3, s3 FROM sig
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ), ver AS (
+            SELECT c.id_l, c.id_r
+            FROM cand c JOIN sh x ON x.doc_id = c.id_l
+                        JOIN sh y ON y.doc_id = c.id_r
+            WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                  / len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.5
+        ), und AS (
+            SELECT id_l AS s, id_r AS d FROM ver
+            UNION SELECT id_r, id_l FROM ver
+        ), nodes AS (SELECT DISTINCT s AS n FROM und),
+        reach(n, m) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT u.d, r.m FROM reach r JOIN und u ON u.s = r.n
+        ), comp AS (
+            SELECT n AS id, min(m) AS cluster_id FROM reach GROUP BY n
+        ), drop_ids AS (SELECT id FROM comp WHERE id <> cluster_id)
+        SELECT d.doc_id FROM documents d
+        LEFT JOIN drop_ids x ON d.doc_id = x.id
+        WHERE x.id IS NULL
     """
     )
 

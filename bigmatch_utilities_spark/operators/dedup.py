@@ -271,6 +271,53 @@ def jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold)
 
 
+def near_dedup_keep(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_k: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.7,
+    max_bucket: int | None = 1000,
+    shard_rows: int | None = None,
+    cache_handle: list | None = None,
+) -> DataFrame:
+    """The full near-dedup pipeline as one call: MinHash-LSH candidates →
+    shingle-Jaccard verification → connected components over verified
+    pairs → keep the min-id representative of every near-dup cluster (and
+    every document in no cluster). Returns the KEPT rows of `df` — the
+    table a training-data pipeline feeds downstream.
+
+    Every stage is the guarded scale path (bucket caps, shard salting,
+    large/small-star closure); `cache_handle` follows the
+    `minhash_candidates` contract."""
+    from bigmatch_utilities_spark.operators.closure import connected_components
+
+    cands = minhash_candidates(
+        df,
+        text_col,
+        id_col,
+        shingle_k=shingle_k,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        max_bucket=max_bucket,
+        shard_rows=shard_rows,
+        cache_handle=cache_handle,
+    )
+    verified = jaccard_pairs(
+        df, cands, text_col, id_col, shingle_k=shingle_k, threshold=threshold
+    )
+    comps = connected_components(verified, src="id_l", dst="id_r")
+    # cluster_id = min member id, so non-representatives are exactly the
+    # members whose id differs from their cluster id
+    drop = comps.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

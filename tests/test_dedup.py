@@ -145,3 +145,16 @@ def test_minhash_shard_rows_preserves_candidates(spark):
             ).collect()
         }
         assert sharded == base, t
+
+
+def test_near_dedup_keep_end_to_end(spark):
+    from bigmatch_utilities_spark.operators.dedup import near_dedup_keep
+
+    kept = near_dedup_keep(
+        _docs(spark), "text", "doc_id", shingle_k=2, bands=8, rows_per_band=2,
+        threshold=0.5,
+    )
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # docs 1/2/3/6 are one near-dup cluster (exact dup + two near dups):
+    # min-id representative 1 survives; 4 and 5 are unrelated singletons
+    assert ids == [1, 4, 5]
