@@ -2,23 +2,32 @@
 
 A training-data ingest stream must drop documents whose content has
 already been admitted — across micro-batches, restarts, and out-of-order
-arrival. Spark's built-in ``dropDuplicates`` on a stream keeps unbounded
-state keyed by the dedup column itself; this operator instead keys state
-by a bounded **hash prefix** group and keeps one compact set of seen
-content hashes per group, which:
+arrival. State here is keyed by the **full content hash**: one state row
+per distinct ``sha2(content)``, holding a single boolean. This is the
+layout that survives the 10^12-file design point:
 
-* bounds the state-store key space (``2^prefix_bits`` groups, tunable to
-  the cluster's state backend);
-* admits the FIRST arrival of each content hash and drops every later
-  one (first-seen-wins, the streaming analog of the batch
-  ``dedup_exact`` min-id rule);
-* is exactly-once off the checkpoint dir: replayed batches re-derive the
+* state per key is O(1) and is written **once**, when the hash is first
+  admitted — a micro-batch's state-store writes are proportional to the
+  number of NEW hashes in that batch, never to the total corpus seen
+  (the driver-visible invariant: ``numRowsUpdated`` == new hashes);
+* the state backend shards the key space across executors (RocksDB /
+  HDFS-backed store), so total state scales horizontally exactly like
+  the data — no group ever accumulates a blob that must be re-read and
+  re-serialized per batch;
+* groups whose hash was already admitted do a single state-existence
+  check and emit nothing; first arrival within a batch wins
+  (first-seen-wins, the streaming analog of the batch ``dedup_exact``
+  min-id rule);
+* exactly-once off the checkpoint dir: replayed batches re-derive the
   same admit/drop decisions because state commits with the sink epoch.
 
-Shape: ``readStream → sha2(content) → groupBy(hash prefix) →
-applyInPandasWithState(admit-if-unseen) → writeStream``. At 10^12-file
-scale the prefix groups shard the seen-set horizontally across
-executors; each group's state is a flat binary-packed hash set.
+Shape: ``readStream → sha2(content) → groupBy(content_sha) →
+applyInPandasWithState(admit-if-no-state) → writeStream``. (An earlier
+design grouped by a bounded hash *prefix* and kept a concatenated
+seen-set per group — bounded key space, but each group's value grew
+with distinct content and was rewritten wholesale every batch:
+O(all-seen) work per batch. Keying by the hash itself moves the
+sharding problem to the state backend, which is built for it.)
 """
 
 from __future__ import annotations
@@ -31,40 +40,25 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType
 
-#: hex chars of sha2-256 used as the state-sharding group key
-PREFIX_CHARS = 2
-
 
 def _dedup_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """Admit rows whose content_sha was never seen by this group before.
-
-    State is one tuple ``(seen,)`` where ``seen`` is the concatenation of
-    64-char sha hex strings — flat and cheap to (de)serialize through the
-    state store. Within a batch, the first occurrence wins and later rows
-    with the same sha (same or later pandas chunk) are dropped."""
+    """One group == one content_sha. Admit the first row ever seen for
+    this hash; drop everything else. State is a single ``(True,)`` tuple
+    written exactly once per distinct hash — later batches containing
+    the same hash read it and write nothing."""
     if state.exists:
-        (seen_blob,) = state.get
-        seen = set(
-            seen_blob[i : i + 64] for i in range(0, len(seen_blob), 64)
-        )
-    else:
-        seen = set()
-    admitted = 0
+        for _ in pdfs:  # drain: every row is a known duplicate
+            pass
+        return
+    admitted = False
     for pdf in pdfs:
-        mask = []
-        for sha in pdf["content_sha"]:
-            if sha in seen:
-                mask.append(False)
-            else:
-                seen.add(sha)
-                mask.append(True)
-        out = pdf[mask].drop(columns=["_shard"], errors="ignore")
-        admitted += len(out)
-        if len(out):
-            yield out
-    state.update(("".join(sorted(seen)),))
+        if not admitted and len(pdf):
+            state.update((True,))
+            admitted = True
+            yield pdf.head(1)
+        # rest of this chunk (and all later chunks) are in-batch dupes
 
 
 def dedup_stream(
@@ -79,12 +73,12 @@ def dedup_stream(
     column (applyInPandasWithState requires an explicit schema)."""
     hashed = stream.withColumn(
         "content_sha", F.sha2(F.col(content_col), 256)
-    ).withColumn("_shard", F.substring("content_sha", 1, PREFIX_CHARS))
-    grouped = hashed.groupBy("_shard")
+    )
+    grouped = hashed.groupBy("content_sha")
     return grouped.applyInPandasWithState(
         _dedup_fn,
         outputStructType=output_schema,
-        stateStructType="seen string",
+        stateStructType="seen boolean",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -100,7 +94,9 @@ def run_stream_dedup(
 ):
     """File-source streaming dedup; AvailableNow drains the backlog then
     stops — exactly-once per checkpoint dir (the two-batch resume test
-    proves replay safety)."""
+    proves replay safety). Returns the finished query; its
+    ``recentProgress`` state-operator rows expose the O(new-hashes)
+    per-batch write invariant (asserted in tests)."""
     stream = (
         spark.readStream.schema(input_schema)
         .option("maxFilesPerTrigger", 64)
@@ -110,9 +106,8 @@ def run_stream_dedup(
         out_schema = input_schema + ", content_sha string"
     else:
         out_schema = input_schema.add("content_sha", "string")
-    # applyInPandasWithState drops non-key grouping columns from the input
-    # frame; the UDF receives every column of `hashed`, so the output
-    # schema is input + content_sha.
+    # applyInPandasWithState hands the UDF every column of `hashed`
+    # (grouping column included), so the output schema is input + sha.
     deduped = dedup_stream(stream, content_col, output_schema=out_schema)
     q = (
         deduped.writeStream.format("parquet")

@@ -70,22 +70,40 @@ def test_stateful_stream_dedup_first_seen_wins(spark, tmp_path):
     ck = str(tmp_path / "ck")
     schema = "doc_id long, content string"
 
+    def state_rows(q):
+        """(numRowsTotal, numRowsUpdated) summed over the run's batches."""
+        total, updated = 0, 0
+        for p in q.recentProgress:
+            ops = p.get("stateOperators") or []
+            for op in ops:
+                total = max(total, op.get("numRowsTotal", 0))
+                updated += op.get("numRowsUpdated", 0)
+        return total, updated
+
     rows1 = [(i, f"content_{i % 7}") for i in range(10)]
     spark.createDataFrame(rows1, schema).write.mode("overwrite").parquet(inp)
-    run_stream_dedup(spark, inp, schema, "content", out, ck)
+    q1 = run_stream_dedup(spark, inp, schema, "content", out, ck)
     got1 = spark.read.parquet(out)
     assert got1.count() == 7  # one per distinct content
     assert set(got1.columns) == {"doc_id", "content", "content_sha"}
+    total1, updated1 = state_rows(q1)
+    # state layout: ONE row per distinct hash, written once when admitted
+    assert total1 == 7 and updated1 == 7
 
     # batch 2: 5 already-seen contents + 3 fresh ones
     rows2 = [(100 + i, f"content_{i % 7}") for i in range(5)] + [
         (200 + i, f"fresh_{i}") for i in range(3)
     ]
     spark.createDataFrame(rows2, schema).write.mode("append").parquet(inp)
-    run_stream_dedup(spark, inp, schema, "content", out, ck)
+    q2 = run_stream_dedup(spark, inp, schema, "content", out, ck)
     got2 = spark.read.parquet(out)
     assert got2.count() == 10  # +3 fresh only
     assert got2.select("content_sha").distinct().count() == 10
     assert (
         got2.groupBy("content_sha").count().filter("count > 1").count() == 0
     )
+    # growth invariant: the resumed batch's state WRITES are proportional
+    # to the NEW hashes only (3), not to everything ever seen (10) — the
+    # per-batch work bound that makes the design hold at 10^12 files.
+    total2, updated2 = state_rows(q2)
+    assert total2 == 10 and updated2 == 3
