@@ -132,9 +132,14 @@ def rh_bucket_sql(
     terms = []
     for b, sv in enumerate(signs):
         lit = "[" + ",".join(str(s) for s in sv) + "]"
+        # CAST to DOUBLE before scaling: DuckDB would otherwise multiply in
+        # FLOAT (FLOAT * INT stays FLOAT) while rh_bucket casts to double
+        # first, and floor() can disagree at quantization boundaries
+        # (float32 0.123999998 * 1000 → 124.0 in FLOAT, 123.999... in
+        # DOUBLE). Matching precision keeps the integer dots engine-exact.
         dot = (
             f"list_sum(list_transform(range(1, {dim + 1}), "
-            f"i -> CAST(floor({vec}[i] * {RH_SCALE}) AS BIGINT) * ({lit})[i]))"
+            f"i -> CAST(floor(CAST({vec}[i] AS DOUBLE) * {RH_SCALE}) AS BIGINT) * ({lit})[i]))"
         )
         terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << b} ELSE 0 END)")
     return "CAST((" + " + ".join(terms) + ") AS INT)"
@@ -299,14 +304,46 @@ def _cell_ranked(
     side: DataFrame, pivots: DataFrame, idc: str, vec_col: str
 ) -> DataFrame:
     """(id, pivot_id, rank) — pivots ranked per row by rounded cosine
-    (6dp, ties → pivot_id): rank 1 is the IVF cell; rank ≤ nprobe are the
-    probe cells. The pivot table is broadcast (it is k rows by design)."""
+    (6dp, ties → pivot_id): rank ≤ nprobe are the probe cells. The pivot
+    table is broadcast (it is k rows by design). Window rank is reserved
+    for the SMALL query/probe side, which genuinely needs top-n; the big
+    vector side uses `_nearest_cell` (map-side argmax, no sort)."""
     sim = F.round(cosine(F.col(vec_col), F.col("pivot_vec")), 6)
     scored = side.crossJoin(F.broadcast(pivots)).select(
         F.col(idc), F.col("pivot_id"), sim.alias("_sim")
     )
     w = Window.partitionBy(idc).orderBy(F.col("_sim").desc(), F.col("pivot_id"))
     return scored.withColumn("rank", F.row_number().over(w))
+
+
+def _nearest_cell(
+    side: DataFrame, pivots: DataFrame, idc: str, vec_col: str
+) -> DataFrame:
+    """(id, cell) — each row's argmax pivot by rounded cosine (6dp, ties →
+    smallest pivot_id): identical semantics to `_cell_ranked` rank==1, but
+    as a pure map-side projection. The k pivots are collapsed into ONE
+    broadcast array row; per input row, `array_min` over
+    struct(-sim, pivot_id) picks the nearest pivot lexicographically —
+    no shuffle, no sort, no aggregation on the N×k frame (the windowed
+    version exchanged and sorted N×n_pivots rows just to take an argmax).
+    """
+    pivs = pivots.agg(
+        F.collect_list(F.struct("pivot_id", "pivot_vec")).alias("_pivs")
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("_pivs"),
+            lambda p: F.struct(
+                (F.lit(0.0) - F.round(cosine(F.col(vec_col), p["pivot_vec"]), 6)).alias(
+                    "_neg_sim"
+                ),
+                p["pivot_id"].alias("pivot_id"),
+            ),
+        )
+    )
+    return side.crossJoin(F.broadcast(pivs)).select(
+        F.col(idc), best.getField("pivot_id").alias("cell")
+    )
 
 
 def ivf_refined_pivots(
@@ -331,11 +368,7 @@ def ivf_refined_pivots(
     recall-sensitive paths plug this in via ivf_topk(pivots=...)."""
     pivots = ivf_pivots(vectors, n_pivots, id_col, vec_col)
     for _ in range(iterations):
-        cells = (
-            _cell_ranked(vectors, pivots, id_col, vec_col)
-            .filter(F.col("rank") == 1)
-            .select(id_col, F.col("pivot_id").alias("cell"))
-        )
+        cells = _nearest_cell(vectors, pivots, id_col, vec_col)
         means = (
             vectors.join(cells, id_col)
             .select("cell", F.posexplode(F.col(vec_col)).alias("pos", "val"))
@@ -383,11 +416,7 @@ def ivf_topk(
     default is the deterministic hash sample."""
     if pivots is None:
         pivots = ivf_pivots(vectors, n_pivots, id_col, vec_col)
-    cells = (
-        _cell_ranked(vectors, pivots, id_col, vec_col)
-        .filter(F.col("rank") == 1)
-        .select(id_col, F.col("pivot_id").alias("cell"))
-    )
+    cells = _nearest_cell(vectors, pivots, id_col, vec_col)
     probes = (
         _cell_ranked(
             queries.select(F.col(query_id_col), F.col(vec_col)),

@@ -163,6 +163,38 @@ def test_ivf_topk_finds_planted_neighbors(spark):
         assert got.get(q) == q + 1, (q, got)
 
 
+def test_nearest_cell_matches_windowed_rank1_and_has_no_sort(spark):
+    """The map-side argmax assignment must (a) agree exactly with the
+    window-rank==1 assignment it replaced, and (b) compile to a plan with
+    no Window/Sort/shuffle at all — assignment is a per-row projection
+    over the broadcast pivot array."""
+    from bigmatch_utilities_spark.operators.similarity import (
+        _cell_ranked,
+        _nearest_cell,
+    )
+
+    df, _ = _vectors(spark, n=80, dim=8, seed=13)
+    pivots = ivf_pivots(df, 6)
+    via_window = {
+        (r["vec_id"], r["pivot_id"])
+        for r in _cell_ranked(df, pivots, "vec_id", "embedding")
+        .filter(F.col("rank") == 1)
+        .collect()
+    }
+    via_argmax = {
+        (r["vec_id"], r["cell"])
+        for r in _nearest_cell(df, pivots, "vec_id", "embedding").collect()
+    }
+    assert via_argmax == via_window
+    plan = _nearest_cell(df, pivots, "vec_id", "embedding")._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    # the pivot-side collect_list may sort-aggregate its k rows; the big
+    # side must carry no sort and no hash-partitioned exchange.
+    big_side = plan.split("BroadcastExchange")[0]
+    assert "Sort" not in big_side, plan
+    assert "Exchange hashpartitioning" not in big_side, plan
+
+
 def test_ivf_pivots_deterministic(spark):
     df, _ = _vectors(spark, n=40)
     a = [r["pivot_id"] for r in ivf_pivots(df, 8).collect()]
