@@ -13,9 +13,28 @@ self-pairs everywhere.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+@contextmanager
+def lsh_cache():
+    """Scoped cache handle for the LSH candidate families: every frame an
+    operator persists inside the block is unpersisted on exit, success or
+    failure. The one-liner opt-in to band caching:
+
+        with lsh_cache() as caches:
+            n = minhash_candidates(df, "text", "id", cache_handle=caches).count()
+    """
+    handle: list = []
+    try:
+        yield handle
+    finally:
+        for df in handle:
+            df.unpersist()
 
 
 def _hash64(c: Column) -> Column:
@@ -157,23 +176,23 @@ def minhash_candidates(
     operators.blocking.candidate_pairs) — a 1000-row bucket is ~KBs into
     the join but 500k pairs out, invisible to AQE's byte-based skew split.
 
-    `cache_handle`: the bands frame is persisted (it feeds the bucket-count
-    table AND both join sides). The result is lazy, so this function cannot
-    know when to unpersist; callers that materialize the candidates (bench
-    loops, count jobs) pass a list here and `unpersist()` every appended
-    frame afterwards — otherwise the cache entry lives until session end."""
+    `cache_handle`: WHEN SUPPLIED, the bands frame is persisted (it feeds
+    the bucket-count table AND both join sides, and the signature job is
+    the family's most expensive map stage) and appended to the list; the
+    caller unpersists after materializing — `lsh_cache()` scopes that in
+    one line. A bare call (cache_handle=None) does NOT persist: it
+    recomputes the bands per consumer rather than leak a cache entry that
+    would otherwise live until session end (the result is lazy, so this
+    function can never know when materialization happened)."""
     b = minhash_bands(
         df, text_col, id_col, shingle_k=shingle_k, bands=bands, rows_per_band=rows_per_band
     )
     # the string band_key only matters as a grouping key — fold it to a
     # long so the bucket shuffle moves 8-byte keys, not ~60-byte concats
     # (collision odds across ~|buckets| keys are ~|buckets|²/2^65: nil).
-    # persist: the bands frame feeds the bucket-count table AND both join
-    # sides — without it the shingle-explode + hash + groupBy signature
-    # job (the most expensive map stage of the whole family) re-runs once
-    # per consumer.
-    b = b.select("id", "band", F.xxhash64("band_key").alias("band_key")).persist()
+    b = b.select("id", "band", F.xxhash64("band_key").alias("band_key"))
     if cache_handle is not None:
+        b = b.persist()
         cache_handle.append(b)
     return _bucket_pairs(b, max_bucket=max_bucket, shard_rows=shard_rows)
 
@@ -401,8 +420,8 @@ def simhash_candidates(
     allb = (
         sh.select("id", F.explode(bands_arr).alias("_bk"))
         .select("id", F.col("_bk.band").alias("band"), F.col("_bk.band_key").alias("band_key"))
-        .persist()
     )
     if cache_handle is not None:
+        allb = allb.persist()
         cache_handle.append(allb)
     return _bucket_pairs(allb, max_bucket=max_bucket, shard_rows=shard_rows)

@@ -170,8 +170,9 @@ def embedding_neardup(
     buckets. Exact cosine verifies every candidate; `threshold` filters.
 
     See `operators.dedup.minhash_candidates` for the `cache_handle`
-    contract (the banded frame is persisted: it feeds the bucket-count
-    table and both join sides)."""
+    contract: the banded frame feeds the bucket-count table and both join
+    sides, so supplying a handle (e.g. `lsh_cache()`) persists it; bare
+    calls recompute instead of leaking a cache entry."""
     from bigmatch_utilities_spark.operators.dedup import _bucket_pairs
 
     v = vectors.select(
@@ -193,9 +194,9 @@ def embedding_neardup(
     b = (
         v.select("id", F.explode(bands_arr).alias("_bk"))
         .select("id", F.col("_bk.band").alias("band"), F.col("_bk.band_key").alias("band_key"))
-        .persist()
     )
     if cache_handle is not None:
+        b = b.persist()
         cache_handle.append(b)
     cands = _bucket_pairs(b, max_bucket=max_bucket, shard_rows=shard_rows)
     side = v.select("id", "emb")

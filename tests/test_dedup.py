@@ -147,6 +147,34 @@ def test_minhash_shard_rows_preserves_candidates(spark):
         assert sharded == base, t
 
 
+def test_bare_lsh_calls_leave_no_cache_residue(spark):
+    """cache_handle=None must not persist anything: after materializing a
+    bare candidates call, the context holds zero cached RDDs. Opting in
+    via lsh_cache() persists during the block and cleans up on exit."""
+    from bigmatch_utilities_spark.operators.dedup import lsh_cache
+    from bigmatch_utilities_spark.operators.similarity import embedding_neardup
+
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()  # shared session: other
+    # fixtures may legitimately hold caches; assert no NEW residue.
+    docs = _docs(spark)
+    assert minhash_candidates(docs, "text", "doc_id", shingle_k=2).count() >= 0
+    assert simhash_candidates(docs, "text", "doc_id", bits=32, block_bits=4).count() >= 0
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * 8) for i in range(6)], ["vec_id", "embedding"]
+    )
+    assert embedding_neardup(emb, n_bands=2, bits_per_band=4, dim=8).count() >= 0
+    assert jsc.getPersistentRDDs().size() == before
+
+    with lsh_cache() as caches:
+        n = minhash_candidates(
+            docs, "text", "doc_id", shingle_k=2, cache_handle=caches
+        ).count()
+        assert n >= 0 and len(caches) == 1
+        assert jsc.getPersistentRDDs().size() == before + 1
+    assert jsc.getPersistentRDDs().size() == before
+
+
 def test_near_dedup_keep_end_to_end(spark):
     from bigmatch_utilities_spark.operators.dedup import near_dedup_keep
 
