@@ -556,6 +556,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dd_simhash_candidates"] = dd_simhash
 
+    # ---- dedup: SimHash full-fingerprint Hamming verification -----------------
+    def dd_simhash_ver(spark, sf):
+        from bigmatch_utilities_spark.operators.dedup import (
+            simhash_candidates,
+            simhash_pairs,
+        )
+
+        d = _t(spark, sf, "documents").filter(
+            (F.col("doc_id") < 1000) & (F.length(F.trim("text")) > 0)
+        )
+        cands = simhash_candidates(
+            d, "text", "doc_id", bits=32, block_bits=4, max_bucket=1000, shard_rows=64
+        )
+        # a chunk collision is weak evidence (256 values per 8-bit chunk);
+        # closure consumes only pairs whose FULL fingerprints are within
+        # Hamming distance 3 — the verification stage run_dedup.py ships.
+        return simhash_pairs(d, cands, "text", "doc_id", bits=32, max_hamming=3)
+
+    q["dd_simhash_verified"] = dd_simhash_ver
+
     # ---- similarity: embedding-cosine near-dup pairs (banded RH-LSH) ----------
     def ne_emb(spark, sf):
         from bigmatch_utilities_spark.operators.similarity import embedding_neardup
@@ -1250,6 +1270,45 @@ def oracle_sql() -> dict[str, str]:
         JOIN kept k ON a.band = k.band AND a.band_key = k.band_key
         JOIN bands b
           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """
+
+    # Same pipeline + full-fingerprint Hamming verification (<= 3 bits):
+    # identical token-hash/sign arithmetic, then bit_count(xor) on the pair.
+    o["dd_simhash_verified"] = f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_distinct(list_filter(
+                       string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS tk
+            FROM documents
+            WHERE doc_id < 1000 AND trim(text) <> ''
+        ), h AS (
+            SELECT doc_id,
+                   list_transform(tk,
+                       s -> CAST(('0x' || substring(md5(s), 1, 12)) AS BIGINT)) AS hs
+            FROM toks
+        ), sh AS (
+            SELECT doc_id, ({bit_terms}) AS sh FROM h
+        ), bands AS (
+            SELECT doc_id, 0 AS band, ((sh >> 0) & 255) AS band_key FROM sh
+            UNION ALL SELECT doc_id, 1, ((sh >> 8) & 255) FROM sh
+            UNION ALL SELECT doc_id, 2, ((sh >> 16) & 255) FROM sh
+            UNION ALL SELECT doc_id, 3, ((sh >> 24) & 255) FROM sh
+        ), kept AS (
+            SELECT band, band_key FROM bands
+            GROUP BY band, band_key HAVING count(*) > 1 AND count(*) <= 1000
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r
+            FROM bands a
+            JOIN kept k ON a.band = k.band AND a.band_key = k.band_key
+            JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        )
+        SELECT c.id_l, c.id_r,
+               CAST(bit_count(xor(x.sh, y.sh)) AS INT) AS hamming
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.id_l
+        JOIN sh y ON y.doc_id = c.id_r
+        WHERE bit_count(xor(x.sh, y.sh)) <= 3
     """
 
     from bigmatch_utilities_spark.operators.similarity import rh_bucket_sql

@@ -380,6 +380,38 @@ def simhash(c: Column, bits: int = 32) -> Column:
     return F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x)
 
 
+def simhash_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Full-fingerprint Hamming verification for SimHash LSH candidates —
+    the SimHash analog of `jaccard_pairs`. A chunk-collision candidate
+    only proves ONE `bits/block_bits`-bit chunk agrees (256 possible
+    values per 8-bit chunk: unrelated docs collide constantly at corpus
+    scale); feeding raw candidates into transitive closure would merge
+    the corpus into giant clusters. Verification recomputes both full
+    fingerprints and keeps pairs with `bit_count(xor) <= max_hamming` —
+    per-candidate work only, JVM bit arithmetic, no UDF."""
+    sh = df.select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh")
+    )
+    return (
+        candidates.join(sh.toDF("id_l", "sh_l"), "id_l")
+        .join(sh.toDF("id_r", "sh_r"), "id_r")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_l").bitwiseXOR(F.col("sh_r"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_l", "id_r", "hamming")
+    )
+
+
 def simhash_candidates(
     df: DataFrame,
     text_col: str,

@@ -9,10 +9,14 @@
 Outputs under --output:
   duplicates/   exact method: (content_sha, n_dups, keep_id) groups
   candidates/   minhash/simhash: (id_l, id_r) LSH candidate pairs
-  verified/     minhash: candidates with shingle-Jaccard >= threshold
-  clusters/     near-dup connected components (id, cluster_id) — the
-                "keep one per cluster" table a training-data pipeline
-                feeds its document filter
+  verified/     minhash: candidates with shingle-Jaccard >= threshold;
+                simhash: candidates with full-fingerprint Hamming
+                distance <= --max-hamming (a chunk collision alone is
+                weak evidence — one 8-bit chunk has 256 values, so
+                unverified candidates would closure-merge the corpus)
+  clusters/     near-dup connected components over VERIFIED pairs
+                (id, cluster_id) — the "keep one per cluster" table a
+                training-data pipeline feeds its document filter
 
 The LSH paths carry the shared bucket guardrails (singleton drop,
 max-bucket cap, adaptive shard salting) so a boilerplate canopy cannot
@@ -42,6 +46,7 @@ def main() -> None:
     p.add_argument("--rows-per-band", type=int, default=2)
     p.add_argument("--simhash-bits", type=int, default=32)
     p.add_argument("--block-bits", type=int, default=4)
+    p.add_argument("--max-hamming", type=int, default=3)
     p.add_argument("--max-bucket", type=int, default=1000)
     p.add_argument("--shard-rows", type=int, default=192)
     args = p.parse_args()
@@ -55,6 +60,7 @@ def main() -> None:
         jaccard_pairs,
         minhash_candidates,
         simhash_candidates,
+        simhash_pairs,
     )
 
     spark = SparkSession.builder.appName("bigmatch-run-dedup").getOrCreate()
@@ -105,10 +111,17 @@ def main() -> None:
                 shingle_k=args.shingle_k,
                 threshold=args.threshold,
             )
-            verified.write.mode("overwrite").parquet(f"{out}/verified")
-            edges = spark.read.parquet(f"{out}/verified")
         else:
-            edges = cands
+            verified = simhash_pairs(
+                df,
+                cands,
+                args.text_col,
+                args.id_col,
+                bits=args.simhash_bits,
+                max_hamming=args.max_hamming,
+            )
+        verified.write.mode("overwrite").parquet(f"{out}/verified")
+        edges = spark.read.parquet(f"{out}/verified")
 
         connected_components(edges, src="id_l", dst="id_r").write.mode(
             "overwrite"

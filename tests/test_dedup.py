@@ -85,6 +85,29 @@ def test_simhash_buckets(spark):
     assert (1, 3) in cands  # one-word change: most simhash chunks agree
 
 
+def test_simhash_pairs_hamming_verification(spark):
+    """Raw chunk-collision candidates are weak evidence; verification
+    keeps only pairs whose FULL fingerprints are within max_hamming bits.
+    Exact dups verify at hamming 0; unrelated docs that happened to share
+    one chunk are rejected at a tight threshold."""
+    from bigmatch_utilities_spark.operators.dedup import simhash_pairs
+
+    docs = _docs(spark)
+    cands = simhash_candidates(docs, "text", "doc_id", bits=32, block_bits=4)
+    got = {
+        (r["id_l"], r["id_r"]): r["hamming"]
+        for r in simhash_pairs(
+            docs, cands, "text", "doc_id", bits=32, max_hamming=3
+        ).collect()
+    }
+    assert got[(1, 2)] == 0  # exact duplicate: identical fingerprint
+    assert all(h <= 3 for h in got.values())
+    # loosening the threshold can only add pairs (monotone in max_hamming)
+    loose = simhash_pairs(docs, cands, "text", "doc_id", bits=32, max_hamming=32)
+    assert loose.count() == cands.count()
+    assert len(got) <= loose.count()
+
+
 def test_minhash_bucket_cap(spark):
     # 20 identical docs: with max_bucket=5 the bucket is dropped entirely
     rows = [(i, "same words everywhere always") for i in range(20)]
