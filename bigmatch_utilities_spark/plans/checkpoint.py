@@ -10,11 +10,21 @@ metrics, supplied here as driver-side orchestration:
   exists. Markers are written atomically (tmp + rename) *after* the data
   commit, so a crash between data write and marker write re-runs the pass —
   the parquet overwrite makes that idempotent;
-* metrics rows (pass, rows, pairs, wall seconds, partitions) append to
-  ``<out>/metrics/`` — the lineage/metrics table.
+* ``slices > 1`` splits each pass into that many **partition-level resume
+  units**: the blocking-key space is hashed into `slices` disjoint shards,
+  each scored and committed independently to
+  ``pairs/pass=NN/slice=SS`` with its own marker
+  ``pass_NN_slice_SS.json`` — a straggler failure mid-pass resumes at
+  slice granularity instead of re-running the pass. Slicing by BLOCK KEY
+  (not by row) keeps every per-block guardrail — blank flags, size caps,
+  star emission, adaptive shard counts — bit-identical to the unsliced
+  plan, because a block lives wholly inside one slice; the union over
+  slices is therefore exactly the full pass output;
+* metrics rows (pass, slice, rows, pairs, wall seconds, partitions)
+  append to ``<out>/metrics/`` — the lineage/metrics table.
 
-On restart, completed passes are read back from their parquet instead of
-recomputed: resume cost is O(completed output), not O(input).
+On restart, completed passes/slices are read back from their parquet
+instead of recomputed: resume cost is O(completed output), not O(input).
 """
 
 from __future__ import annotations
@@ -56,11 +66,17 @@ class CheckpointedMatch:
         return self._hpath(path).getFileSystem(self._hconf)
 
     # -- markers ---------------------------------------------------------
-    def _marker_path(self, pass_id: int) -> str:
-        return f"{self.out}/markers/pass_{pass_id:02d}.json"
+    def _marker_path(self, pass_id: int, slice_id: int | None = None) -> str:
+        if slice_id is None:
+            return f"{self.out}/markers/pass_{pass_id:02d}.json"
+        return f"{self.out}/markers/pass_{pass_id:02d}_slice_{slice_id:02d}.json"
 
     def pass_complete(self, pass_id: int) -> bool:
         p = self._marker_path(pass_id)
+        return self._fs(p).exists(self._hpath(p))
+
+    def slice_complete(self, pass_id: int, slice_id: int) -> bool:
+        p = self._marker_path(pass_id, slice_id)
         return self._fs(p).exists(self._hpath(p))
 
     def read_marker(self, pass_id: int) -> dict | None:
@@ -76,8 +92,10 @@ class CheckpointedMatch:
             stream.close()
         return json.loads(data.decode("utf-8"))
 
-    def _write_marker(self, pass_id: int, payload: dict) -> None:
-        path = self._marker_path(pass_id)
+    def _write_marker(
+        self, pass_id: int, payload: dict, slice_id: int | None = None
+    ) -> None:
+        path = self._marker_path(pass_id, slice_id)
         tmp = f"{path}.tmp.{uuid.uuid4().hex}"
         fs = self._fs(path)
         out = fs.create(self._hpath(tmp), True)
@@ -102,6 +120,49 @@ class CheckpointedMatch:
     def metrics(self) -> DataFrame:
         return self.spark.read.json(f"{self.out}/metrics")
 
+    def _record_unit(
+        self, df: DataFrame, pass_id: int, slice_id: int | None, wall: float
+    ) -> int:
+        """Per-partition lineage for one committed unit (a pass, or one
+        slice of it): one metrics row per output partition plus a unit
+        total, so a resume/audit can account for every piece of completed
+        work. Returns the unit's pair count."""
+        part_rows = [
+            r.asDict()
+            for r in df.groupBy(F.spark_partition_id().alias("partition"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .collect()
+        ]
+        n_pairs = sum(p["rows"] for p in part_rows)
+        ts = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        sl = -1 if slice_id is None else int(slice_id)
+        rows = [
+            {
+                "kind": "pass" if slice_id is None else "slice",
+                "pass_id": pass_id,
+                "slice": sl,
+                "partition": -1,
+                "rows": n_pairs,
+                "wall_s": float(wall),
+                "partitions": int(len(part_rows)),
+                "ts": ts,
+            }
+        ] + [
+            {
+                "kind": "partition",
+                "pass_id": pass_id,
+                "slice": sl,
+                "partition": int(p["partition"]),
+                "rows": int(p["rows"]),
+                "wall_s": float(wall),
+                "partitions": int(len(part_rows)),
+                "ts": ts,
+            }
+            for p in part_rows
+        ]
+        self._append_metrics(rows)
+        return n_pairs
+
     # -- the resumable run ------------------------------------------------
     def run(
         self,
@@ -109,8 +170,15 @@ class CheckpointedMatch:
         mem: DataFrame | None,
         config: MatchConfig,
         id_col: str | None = None,
+        slices: int = 1,
         **pass_kwargs,
     ) -> MatchResult:
+        """``slices > 1`` turns each pass into `slices` independently
+        committed resume units sharded by blocking-key hash (see module
+        docstring): a crash re-runs only the incomplete slices. The
+        result is provably identical to the unsliced run because every
+        block — and therefore every candidate pair and every per-block
+        guardrail decision — falls in exactly one slice."""
         id_col = id_col or config.id_field.name
         dedupe = mem is None or config.dedupe_single_file
         if mem is None:
@@ -123,52 +191,52 @@ class CheckpointedMatch:
         for k, spec in enumerate(config.passes):
             pairs_path = f"{self.out}/pairs/pass={k:02d}"
             if self.pass_complete(k):
-                per_pass.append(self.spark.read.parquet(pairs_path))
+                df = self.spark.read.parquet(pairs_path)
+                per_pass.append(df.drop("slice") if "slice" in df.columns else df)
                 continue
-            t0 = time.time()
-            scored = score_pass(
-                rec, mem, spec, k, id_col, dedupe=dedupe, **pass_kwargs
-            )
-            scored.write.mode("overwrite").parquet(pairs_path)
-            df = self.spark.read.parquet(pairs_path)
-            # per-partition lineage: one metrics row per output partition
-            # (file) of the pass, so a resume/audit can account for every
-            # unit of completed work, not just the pass total.
-            part_rows = [
-                r.asDict()
-                for r in df.groupBy(
-                    F.spark_partition_id().alias("partition")
+            if slices <= 1:
+                t0 = time.time()
+                scored = score_pass(
+                    rec, mem, spec, k, id_col, dedupe=dedupe, **pass_kwargs
                 )
-                .agg(F.count(F.lit(1)).alias("rows"))
-                .collect()
+                scored.write.mode("overwrite").parquet(pairs_path)
+                df = self.spark.read.parquet(pairs_path)
+                n_pairs = self._record_unit(df, k, None, time.time() - t0)
+                self._write_marker(k, {"pairs": n_pairs, "wall_s": time.time() - t0})
+                per_pass.append(df)
+                continue
+
+            # blocking-key hash shard: both join sides restricted to the
+            # same slice of the key space. NULL-safe: blank/absent keys
+            # hash via the '' coalesce, and blank_flag rows are dropped
+            # inside score_pass exactly as in the unsliced plan.
+            key_cols = [
+                F.coalesce(F.col(bf.name).cast("string"), F.lit(""))
+                for bf in spec.block_fields
             ]
-            n_pairs = sum(p["rows"] for p in part_rows)
-            wall = time.time() - t0
-            ts = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
-            rows = [
-                {
-                    "kind": "pass",
-                    "pass_id": k,
-                    "partition": -1,
-                    "rows": n_pairs,
-                    "wall_s": float(wall),
-                    "partitions": int(len(part_rows)),
-                    "ts": ts,
-                }
-            ] + [
-                {
-                    "kind": "partition",
-                    "pass_id": k,
-                    "partition": int(p["partition"]),
-                    "rows": int(p["rows"]),
-                    "wall_s": float(wall),
-                    "partitions": int(len(part_rows)),
-                    "ts": ts,
-                }
-                for p in part_rows
-            ]
-            self._append_metrics(rows)
-            self._write_marker(k, {"pairs": n_pairs, "wall_s": wall})
+            slice_of = F.pmod(F.xxhash64(*key_cols), F.lit(slices))
+            total_pairs = 0
+            for s in range(slices):
+                slice_path = f"{pairs_path}/slice={s:02d}"
+                if self.slice_complete(k, s):
+                    continue
+                t0 = time.time()
+                rec_s = rec.filter(slice_of == s)
+                mem_s = rec_s if mem is rec else mem.filter(slice_of == s)
+                scored = score_pass(
+                    rec_s, mem_s, spec, k, id_col, dedupe=dedupe, **pass_kwargs
+                )
+                scored.write.mode("overwrite").parquet(slice_path)
+                df_s = self.spark.read.parquet(slice_path)
+                n = self._record_unit(df_s, k, s, time.time() - t0)
+                self._write_marker(
+                    k, {"pairs": n, "wall_s": time.time() - t0}, slice_id=s
+                )
+            # pass marker after every slice committed: pass_complete stays
+            # the fast whole-pass check on later resumes.
+            df = self.spark.read.parquet(pairs_path).drop("slice")
+            total_pairs = df.count()
+            self._write_marker(k, {"pairs": total_pairs, "slices": slices})
             per_pass.append(df)
 
         # Same slim union as pipeline.run_match: the per-pass parquet keeps

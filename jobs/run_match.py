@@ -7,7 +7,9 @@
 On a real cluster, --input is an Iceberg table (partitioned by lang /
 bucket(repo)) and --output/--checkpoint are object-store paths; the same
 code runs locally on parquet dirs. With --checkpoint, passes resume
-idempotently from per-pass markers.
+idempotently from per-pass markers; --slices N additionally shards each
+pass into N blocking-key-hash resume units so a mid-pass failure resumes
+at slice granularity (per-partition lineage in <checkpoint>/metrics).
 """
 
 from __future__ import annotations
@@ -33,6 +35,13 @@ def main() -> None:
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--checkpoint", default=None)
+    p.add_argument(
+        "--slices",
+        type=int,
+        default=1,
+        help="with --checkpoint: shard each pass into this many "
+        "independently committed blocking-key-hash slices (resume units)",
+    )
     p.add_argument("--no-minhash", action="store_true")
     p.add_argument("--max-block-rows", type=int, default=100_000)
     p.add_argument(
@@ -64,6 +73,7 @@ def main() -> None:
         ckpt = CheckpointedMatch(spark, args.checkpoint)
         result = ckpt.run(
             prepare(df), None, repo_match_config(), id_col=ID_COL,
+            slices=args.slices,
             max_block_rows=args.max_block_rows, shard_rows=shard_rows,
         )
     else:

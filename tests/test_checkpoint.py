@@ -100,6 +100,69 @@ def test_file_uri_markers_via_hadoop_fs(spark, tmp_path):
     assert _pairs_set(resumed) == full
 
 
+def test_sliced_run_matches_direct(spark, tmp_path):
+    """slices>1 shards each pass by blocking-key hash; the union over
+    slices must be exactly the unsliced result (blocks never straddle a
+    slice, so pairs and per-block guardrails are identical)."""
+    cfg, rec, mem = _inputs(spark)
+    direct = _pairs_set(run_match(rec, mem, cfg, id_col="id"))
+    ckpt = CheckpointedMatch(spark, str(tmp_path / "run_sliced"))
+    sliced = _pairs_set(ckpt.run(rec, mem, cfg, id_col="id", slices=3))
+    assert sliced == direct
+    assert all(ckpt.pass_complete(k) for k in range(len(cfg.passes)))
+    assert all(
+        ckpt.slice_complete(k, s)
+        for k in range(len(cfg.passes))
+        for s in range(3)
+    )
+
+
+def test_mid_pass_failure_resumes_at_slice_granularity(spark, tmp_path, monkeypatch):
+    """Kill the run after k slices of pass 0: the resume must re-score
+    ONLY the incomplete slices (no duplicated work — counted via a
+    score_pass spy) and still produce the exact full result."""
+    from bigmatch_utilities_spark.plans import checkpoint as ck_mod
+
+    cfg, rec, mem = _inputs(spark)
+    out = str(tmp_path / "run_kill")
+    slices = 4
+    real_score = ck_mod.score_pass
+    calls = {"n": 0}
+
+    def dying_score(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] > 2:  # die mid-pass-0, after 2 of 4 slices committed
+            raise RuntimeError("injected straggler failure")
+        return real_score(*a, **kw)
+
+    monkeypatch.setattr(ck_mod, "score_pass", dying_score)
+    ckpt = CheckpointedMatch(spark, out)
+    try:
+        ckpt.run(rec, mem, cfg, id_col="id", slices=slices)
+        raise AssertionError("injected failure did not fire")
+    except RuntimeError:
+        pass
+    assert not ckpt.pass_complete(0)
+    done = [s for s in range(slices) if ckpt.slice_complete(0, s)]
+    assert len(done) == 2
+
+    # resume: only the remaining units run — 2 of pass 0, then 4+4.
+    monkeypatch.setattr(ck_mod, "score_pass", real_score)
+    counting = {"n": 0}
+
+    def counting_score(*a, **kw):
+        counting["n"] += 1
+        return real_score(*a, **kw)
+
+    monkeypatch.setattr(ck_mod, "score_pass", counting_score)
+    resumed = CheckpointedMatch(spark, out).run(
+        rec, mem, cfg, id_col="id", slices=slices
+    )
+    assert counting["n"] == slices * len(cfg.passes) - 2  # no duplicated work
+    direct = _pairs_set(run_match(rec, mem, cfg, id_col="id"))
+    assert _pairs_set(resumed) == direct
+
+
 def test_metrics_table(spark, tmp_path):
     cfg, rec, mem = _inputs(spark)
     ckpt = CheckpointedMatch(spark, str(tmp_path / "run3"))
