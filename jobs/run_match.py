@@ -22,6 +22,7 @@ sys.path.insert(0, ".")
 from pyspark.sql import SparkSession
 
 from bigmatch_utilities_spark.plans.checkpoint import CheckpointedMatch
+from bigmatch_utilities_spark.plans.tables import read_table
 from bigmatch_utilities_spark.repo_linkage import (
     ID_COL,
     prepare,
@@ -63,10 +64,12 @@ def main() -> None:
     shard_rows = args.shard_rows or None
 
     spark = SparkSession.builder.appName("bigmatch-run-match").getOrCreate()
-    df = (
-        spark.read.table(args.input)
-        if "." in args.input and "/" not in args.input
-        else spark.read.parquet(args.input)
+    # catalog (Iceberg) table name or a write_table() parquet fallback dir —
+    # read_table resolves either to the same partition-prunable scan
+    df = read_table(
+        spark,
+        args.input,
+        fmt="iceberg" if "." in args.input and "/" not in args.input else "parquet",
     )
 
     if args.checkpoint:

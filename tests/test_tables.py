@@ -1,0 +1,105 @@
+"""Iceberg-ready table layer: pinned DDL + partitioned-parquet fallback.
+
+The sandbox has no Iceberg runtime jar, so `fmt="auto"` must land on the
+parquet fallback with the same layout (identity dirs verbatim, bucket(N)
+as a derived `<col>_bucket` dir) and `read_table` must round-trip with
+partition pruning intact.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigmatch_utilities_spark.plans.tables import (
+    REPO_FILES_SPEC,
+    PartitionField,
+    iceberg_ddl,
+    read_table,
+    write_table,
+)
+
+
+@pytest.fixture()
+def repo_files(spark):
+    rows = [
+        (f"org/repo{i % 5}", f"src/f{i}.py", f"c{i:04d}", ("py", "js")[i % 2], f"body {i}")
+        for i in range(40)
+    ]
+    return spark.createDataFrame(rows, "repo string, path string, commit string, lang string, content string")
+
+
+def test_iceberg_ddl_pinned(repo_files):
+    ddl = iceberg_ddl("lake.repo_files", repo_files)
+    assert ddl == (
+        "CREATE TABLE IF NOT EXISTS lake.repo_files (\n"
+        "  repo STRING,\n"
+        "  path STRING,\n"
+        "  commit STRING,\n"
+        "  lang STRING,\n"
+        "  content STRING\n"
+        ")\n"
+        "USING iceberg\n"
+        "PARTITIONED BY (lang, bucket(16, repo))"
+    )
+
+
+def test_partition_field_validation():
+    with pytest.raises(ValueError):
+        PartitionField("repo", "bucket", 0)
+    with pytest.raises(ValueError):
+        PartitionField("repo", "hour")
+
+
+def test_auto_falls_back_to_parquet_with_layout(repo_files, tmp_path):
+    target = str(tmp_path / "repo_files")
+    fmt = write_table(repo_files, target, fmt="auto")
+    assert fmt == "parquet"
+    # layout: lang=<v>/repo_bucket=<n>/ directories
+    langs = sorted(d for d in os.listdir(target) if d.startswith("lang="))
+    assert langs == ["lang=js", "lang=py"]
+    buckets = [d for d in os.listdir(os.path.join(target, "lang=py")) if d.startswith("repo_bucket=")]
+    assert buckets, "bucket transform must materialize repo_bucket=<n> dirs"
+    assert all(0 <= int(b.split("=")[1]) < 16 for b in buckets)
+
+
+def test_fallback_roundtrip_and_bucket_consistency(spark, repo_files, tmp_path):
+    target = str(tmp_path / "repo_files")
+    write_table(repo_files, target, fmt="parquet")
+    back = read_table(spark, target, fmt="parquet")
+    # all original columns survive, plus the derived partition column
+    assert set(back.columns) == {"repo", "path", "commit", "lang", "content", "repo_bucket"}
+    assert back.count() == 40
+    # every row of a given repo landed in one bucket (co-location holds)
+    per_repo = back.groupBy("repo").agg(F.countDistinct("repo_bucket").alias("nb")).collect()
+    assert all(r.nb == 1 for r in per_repo)
+
+
+def test_partition_pruning_reaches_scan(spark, repo_files, tmp_path):
+    target = str(tmp_path / "repo_files")
+    write_table(repo_files, target, fmt="parquet")
+    back = read_table(spark, target, fmt="parquet").filter(F.col("lang") == "py")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:200]
+    assert back.count() == 20
+
+
+def test_iceberg_fmt_raises_without_catalog(repo_files, tmp_path):
+    with pytest.raises(Exception):
+        write_table(repo_files, str(tmp_path / "t"), fmt="iceberg")
+
+
+def test_append_mode(spark, repo_files, tmp_path):
+    target = str(tmp_path / "repo_files")
+    write_table(repo_files, target, fmt="parquet")
+    write_table(repo_files.limit(5), target, fmt="parquet", mode="append")
+    assert read_table(spark, target, fmt="parquet").count() == 45
+
+
+def test_spec_default_is_north_rule():
+    assert [(p.column, p.transform, p.n) for p in REPO_FILES_SPEC] == [
+        ("lang", "identity", 0),
+        ("repo", "bucket", 16),
+    ]
