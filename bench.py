@@ -11,6 +11,11 @@ on local[$SPARK_GRAFT_CPUS]:
   ann_topk         brute-force cosine top-10, 100 queries x all embeddings
   ta_profile       language-ID + quality + fingerprint over documents
   closure_chain    connected components over derived chain edges
+  simhash          SimHash LSH candidates + full-fingerprint Hamming
+                   verification over documents (round-3 key)
+  near_dedup_keep  end-to-end LSH -> Jaccard -> closure -> keep-one
+                   over documents (round-3 key)
+  ann_ivf          IVF top-10, 100 queries, nprobe=2/16 (round-3 key)
 
 `value` is total wall seconds (sum of per-query best-of-2 — see
 BENCH.md's host-noise caveat; both raw runs are reported under
@@ -32,8 +37,13 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from bigmatch_utilities_spark.operators.closure import connected_components
-from bigmatch_utilities_spark.operators.dedup import minhash_candidates
-from bigmatch_utilities_spark.operators.similarity import cosine
+from bigmatch_utilities_spark.operators.dedup import (
+    minhash_candidates,
+    near_dedup_keep,
+    simhash_candidates,
+    simhash_pairs,
+)
+from bigmatch_utilities_spark.operators.similarity import cosine, ivf_topk
 from bigmatch_utilities_spark.operators.textanalysis import analyze_documents
 from bigmatch_utilities_spark.repo_linkage import (
     count_candidates,
@@ -163,6 +173,38 @@ def main() -> None:
         return connected_components(edges).count()
 
     counters["closure_nodes"] = timed("closure_chain", q_closure)
+
+    # -- round-3 additions (new keys; the six above stay untouched so
+    # BENCH_r01/r02 remain directly comparable) ---------------------------
+    def q_simhash():
+        caches: list = []
+        cands = simhash_candidates(docs, "text", "doc_id", cache_handle=caches)
+        n = simhash_pairs(docs, cands, "text", "doc_id").count()
+        for c in caches:
+            c.unpersist()
+        return n
+
+    counters["simhash_verified_pairs"] = timed("simhash", q_simhash)
+
+    def q_near_dedup_keep():
+        caches: list = []
+        n = near_dedup_keep(
+            docs, "text", "doc_id", shingle_k=3, bands=8, rows_per_band=2,
+            threshold=0.7, cache_handle=caches,
+        ).count()
+        for c in caches:
+            c.unpersist()
+        return n
+
+    counters["near_dedup_kept"] = timed("near_dedup_keep", q_near_dedup_keep)
+
+    def q_ann_ivf():
+        qs = emb.filter(F.col("vec_id") < 100).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding")
+        )
+        return ivf_topk(emb, qs, k=10, n_pivots=16, nprobe=2).count()
+
+    counters["ann_ivf_rows"] = timed("ann_ivf", q_ann_ivf)
 
     # throughput denominator: candidate pairs actually entering the
     # comparator stage (BASELINE's candidate-pairs/sec unit), counted on
