@@ -104,6 +104,54 @@ def combine_pairs_text(per_pass: list[tuple[int, DataFrame, BlockingPassSpec]]) 
     return out
 
 
+KEY_WIDTH = 28  # cleanpairs:37 `cut -c 1-28`
+
+
+def cleanpairs_keys(
+    per_pass: list[tuple[int, DataFrame, BlockingPassSpec]], signed: bool = False
+) -> DataFrame:
+    """The reference ``cleanpairs`` keys pipeline (cleanpairs:29-44) as a
+    DataFrame: per pass, render the legacy pairs rows, byte-sort them
+    descending (``sort -r`` under LC_ALL=C — Spark's UTF8String binary
+    comparison agrees for these ASCII rows), keep the first 28 characters
+    (``cut -c 1-28``; shorter lines pass through whole) and append the
+    `` Pass_P`` tag with P unpadded (the zero-pad in the script is the
+    *filename* W, not the tag). Returns ``(pass_id, value)`` rows;
+    within-pass order is the byte-descending sort order."""
+    out: DataFrame | None = None
+    for pass_id, df, spec in per_pass:
+        rows = (
+            df.filter(F.col("pass_id") == pass_id)
+            .select(pairs_row(spec, signed=signed).alias("line"))
+            .select(
+                F.lit(pass_id).alias("pass_id"),
+                F.concat(
+                    F.substring(F.col("line"), 1, KEY_WIDTH),
+                    F.lit(f" Pass_{pass_id}"),
+                ).alias("value"),
+                F.col("line").alias("_sort"),
+            )
+        )
+        out = rows if out is None else out.unionAll(rows)
+    assert out is not None, "cleanpairs_keys needs at least one pass"
+    return out.orderBy("pass_id", F.col("_sort").desc()).drop("_sort")
+
+
+def write_cleanpairs_keys(
+    per_pass: list[tuple[int, DataFrame, BlockingPassSpec]],
+    path: str,
+    signed: bool = False,
+) -> None:
+    """Byte-exact ``keys.dat`` golden-file egress: passes concatenated in
+    order, each byte-sorted descending. Driver-side single-file assembly
+    (like `sas_to_text`, this exists only for legacy byte compatibility;
+    the distributed form is `cleanpairs_keys`)."""
+    keys = cleanpairs_keys(per_pass, signed=signed)
+    with open(path, "w") as fh:
+        for row in keys.toLocalIterator():
+            fh.write(row["value"] + "\n")
+
+
 def segment_compare(rec: Column, mem: Column) -> Column:
     """C5: tokenize both sides on spaces; per-token case-insensitive
     equality verdicts (the review GUI's black/red coloring,
