@@ -8,13 +8,18 @@ and reports aggregate throughput + the 4->16 scaling ratio — the ceiling
 any job measurement that day should be normalized against.
 
 Usage:
-    python tools/cpu_ceiling.py            # prints one JSON line
+    python tools/cpu_ceiling.py                    # 4->16 (default)
+    python tools/cpu_ceiling.py --low 8 --high 32  # match the job's levels
 Protocol: run this BEFORE a scaling measurement; only trust (or attempt)
-the expensive Spark scaling run when the ceiling itself is ~1.0.
+the expensive Spark scaling run when the ceiling itself is ~1.0 — and
+probe at the SAME two parallelism levels the job will use (the 8->32 leg
+crosses the box's ~16 physical cores into SMT, where the burner ceiling
+itself drops; a job can never beat the burner).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import multiprocessing as mp
 import time
@@ -42,12 +47,16 @@ def measure(procs: int, seconds: float = 5.0) -> int:
 
 
 def main() -> None:
-    out = {str(n): measure(n) for n in (4, 16)}
-    eff = (out["16"] / out["4"]) / 4
+    p = argparse.ArgumentParser()
+    p.add_argument("--low", type=int, default=4)
+    p.add_argument("--high", type=int, default=16)
+    args = p.parse_args()
+    out = {str(n): measure(n) for n in (args.low, args.high)}
+    eff = (out[str(args.high)] / out[str(args.low)]) / (args.high / args.low)
     print(
         json.dumps(
             {
-                "metric": "cpu_ceiling_4_to_16",
+                "metric": f"cpu_ceiling_{args.low}_to_{args.high}",
                 "value": round(eff, 3),
                 "unit": "x (pure-CPU burner, no Spark)",
                 "iters": out,
