@@ -906,6 +906,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["st_incremental_match"] = st
 
+    # ---- EM m/u calibration (Winkler 1988) over the blocked pairs ---------
+    def em(spark, sf):
+        from bigmatch_utilities_spark.operators.em import estimate_mu
+
+        return estimate_mu(_blocked_pairs(spark, sf), _FS_FIELDS)
+
+    q["em_mu_estimate"] = em
+
     return q
 
 
@@ -1613,4 +1621,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT id_rec, id_mem, round({_WEIGHT_SQL}, 6) AS weight
         FROM p WHERE {_WEIGHT_SQL} >= -100.0
     """
+
+    # em: the full estimator as one statement — gamma exprs -> pattern
+    # histogram -> 5 EM iterations unrolled as chained CTEs (generated by
+    # estimate_mu_sql, never handwritten). Spark runs the identical
+    # iterations driver-side on the collected <=2^K histogram.
+    from bigmatch_utilities_spark.operators.em import estimate_mu_sql
+
+    o["em_mu_estimate"] = estimate_mu_sql(_BLOCKED_PAIRS_SQL, _FS_FIELDS)
+
     return o

@@ -1,0 +1,288 @@
+"""Fellegi-Sunter m/u estimation by EM over gamma-pattern histograms.
+
+The reference engine takes per-field m/u probabilities as parmf givens
+(/root/reference/app/BigMatchParmFile.py:489-494; GUI defaults m=0.90
+u=0.10 at app/BlockingPass.py:75-76) and never calibrates them.
+Estimating them from *unlabeled* candidate pairs is the standard published
+procedure (Winkler 1988, "Using the EM algorithm for weight computation in
+the Fellegi-Sunter model of record linkage"): treat match/non-match as a
+latent class over binary field-agreement vectors (gamma patterns) and run
+EM on the pattern counts.
+
+Scale design (the part that matters at 100 TB): billions of candidate
+pairs collapse to a <= 2^K gamma-pattern histogram — K = number of match
+fields — in ONE map-side-combined aggregation; the shuffle moves at most
+``num_partitions * 2^K`` tiny rows.  EM then runs driver-side on that
+histogram: each iteration is O(2^K * K) scalar arithmetic with zero Spark
+jobs.  The data pass is a single ``groupBy().count()``; everything
+iterative touches only the sufficient statistic.  (Contrast with running
+EM "on the cluster": per-iteration Spark jobs would add scheduler
+round-trips while computing the exact same 2^K-row reduction.)
+
+EM is run for a FIXED number of iterations (default 5) rather than to a
+tolerance so that the result is deterministic and the SQL twin
+(:func:`estimate_mu_sql`, the same iterations unrolled as chained CTEs)
+computes bit-equal-at-6dp values on any engine.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigmatch_utilities_spark.config import MatchField
+from bigmatch_utilities_spark.functions.comparators import similarity, similarity_sql
+from bigmatch_utilities_spark.operators.scoring import PARTIAL_FLOOR
+
+#: default EM hyper-parameters (standard diffuse init: matches are rare,
+#: agreement is informative). Kept as module constants so the Spark path
+#: and the generated SQL are guaranteed to share them.
+INIT_LAMBDA = 0.1
+INIT_M = 0.9
+INIT_U = 0.1
+N_ITER = 5
+#: probabilities are clamped to [EPS, 1-EPS] after every M-step — keeps EM
+#: out of the absorbing 0/1 states and the induced log2 weights finite.
+#: Mirrored verbatim in the generated SQL (LEAST/GREATEST).
+EPS = 1e-6
+
+
+def gamma_column(
+    mf: MatchField,
+    left: Column,
+    right: Column,
+    agree_threshold: float = PARTIAL_FLOOR,
+) -> Column:
+    """Binary agreement indicator for one field: 1 iff both sides present
+    and similarity >= agree_threshold (blank-on-either-side counts as
+    disagreement — EM needs a 2-state gamma; the 3-state missing treatment
+    is a refinement the reference has no analog of)."""
+    blank = (left.isNull() | (F.trim(left) == "")) | (
+        right.isNull() | (F.trim(right) == "")
+    )
+    sim = similarity(mf.comparator, left, right)
+    return (
+        F.when(blank, F.lit(0))
+        .when(sim >= F.lit(agree_threshold), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+
+
+def gamma_sql(
+    mf: MatchField,
+    left: str,
+    right: str,
+    agree_threshold: float = PARTIAL_FLOOR,
+) -> str:
+    """Identical gamma semantics as DuckDB SQL text."""
+    sim = similarity_sql(mf.comparator, left, right)
+    blank = (
+        f"({left} IS NULL OR trim({left}) = '' OR {right} IS NULL OR trim({right}) = '')"
+    )
+    return (
+        f"(CASE WHEN {blank} THEN 0 "
+        f"WHEN {sim} >= {agree_threshold!r} THEN 1 ELSE 0 END)"
+    )
+
+
+def pattern_histogram(
+    pairs: DataFrame,
+    match_fields: Sequence[MatchField],
+    rec_prefix: str = "rec_",
+    mem_prefix: str = "mem_",
+    agree_threshold: float = PARTIAL_FLOOR,
+) -> DataFrame:
+    """Gamma-pattern histogram: one row per observed agreement vector.
+
+    Columns ``g_<field>`` (int 0/1) + ``n`` (count).  This is the single
+    distributed pass of the estimator; partial aggregation collapses each
+    task's output to <= 2^K rows before the shuffle.
+    """
+    gammas = [
+        gamma_column(
+            mf,
+            F.col(rec_prefix + mf.name),
+            F.col(mem_prefix + mf.name),
+            agree_threshold,
+        ).alias(f"g_{mf.name}")
+        for mf in match_fields
+    ]
+    return pairs.select(*gammas).groupBy(
+        *[f"g_{mf.name}" for mf in match_fields]
+    ).count().withColumnRenamed("count", "n")
+
+
+def em_fit(
+    hist: Sequence[tuple[tuple[int, ...], float]],
+    n_fields: int,
+    n_iter: int = N_ITER,
+    init_lambda: float = INIT_LAMBDA,
+    init_m: float = INIT_M,
+    init_u: float = INIT_U,
+) -> tuple[float, list[float], list[float]]:
+    """Driver-side EM on the pattern histogram.
+
+    ``hist`` is [(gamma_tuple, count), ...].  Iteration order and the
+    arithmetic shape (per-row posterior division, then sums over patterns
+    in sorted-pattern order) mirror the generated SQL exactly so both
+    engines agree to well past 6dp.
+    """
+    rows = sorted(hist)  # deterministic summation order
+    lam = init_lambda
+    m = [init_m] * n_fields
+    u = [init_u] * n_fields
+    for _ in range(n_iter):
+        # E-step: per-pattern posterior P(match | gamma)
+        posts = []  # (gamma, n, gpost)
+        for g, n in rows:
+            w = lam
+            v = 1.0 - lam
+            for k in range(n_fields):
+                w *= pow(m[k], g[k]) * pow(1.0 - m[k], 1 - g[k])
+                v *= pow(u[k], g[k]) * pow(1.0 - u[k], 1 - g[k])
+            posts.append((g, n, w / (w + v)))
+        # M-step
+        tot = sum(n for _, n, _ in posts)
+        tot_match = sum(n * p for _, n, p in posts)
+        tot_non = sum(n * (1.0 - p) for _, n, p in posts)
+        clamp = lambda x: min(max(x, EPS), 1.0 - EPS)  # noqa: E731
+        lam = clamp(tot_match / tot)
+        m = [
+            clamp(sum(n * p * g[k] for g, n, p in posts) / tot_match)
+            for k in range(n_fields)
+        ]
+        u = [
+            clamp(sum(n * (1.0 - p) * g[k] for g, n, p in posts) / tot_non)
+            for k in range(n_fields)
+        ]
+    return lam, m, u
+
+
+def estimate_mu(
+    pairs: DataFrame,
+    match_fields: Sequence[MatchField],
+    rec_prefix: str = "rec_",
+    mem_prefix: str = "mem_",
+    agree_threshold: float = PARTIAL_FLOOR,
+    n_iter: int = N_ITER,
+    init_lambda: float = INIT_LAMBDA,
+    init_m: float = INIT_M,
+    init_u: float = INIT_U,
+) -> DataFrame:
+    """Estimate per-field (m, u) and match prevalence lambda from unlabeled
+    candidate pairs.  Returns one row per match field:
+
+        field | m | u | lam | agr_w | dis_w      (all rounded to 6dp)
+
+    agr_w / dis_w are the induced log2 agreement/disagreement weights —
+    i.e. exactly what a parmf matching row would carry, now calibrated
+    from data instead of GUI defaults.
+    """
+    spark = pairs.sparkSession
+    hist_df = pattern_histogram(
+        pairs, match_fields, rec_prefix, mem_prefix, agree_threshold
+    )
+    gcols = [f"g_{mf.name}" for mf in match_fields]
+    hist = [
+        (tuple(int(r[c]) for c in gcols), float(r["n"]))
+        for r in hist_df.collect()  # <= 2^K rows by construction
+    ]
+    if not hist:
+        raise ValueError("estimate_mu: no candidate pairs")
+    lam, m, u = em_fit(
+        hist, len(match_fields), n_iter, init_lambda, init_m, init_u
+    )
+    import math
+
+    out = [
+        (
+            mf.name,
+            round(m[k], 6),
+            round(u[k], 6),
+            round(lam, 6),
+            round(math.log2(m[k] / u[k]), 6),
+            round(math.log2((1.0 - m[k]) / (1.0 - u[k])), 6),
+        )
+        for k, mf in enumerate(match_fields)
+    ]
+    return spark.createDataFrame(
+        out, "field string, m double, u double, lam double, agr_w double, dis_w double"
+    )
+
+
+def estimate_mu_sql(
+    pairs_sql: str,
+    match_fields: Sequence[MatchField],
+    rec_prefix: str = "rec_",
+    mem_prefix: str = "mem_",
+    agree_threshold: float = PARTIAL_FLOOR,
+    n_iter: int = N_ITER,
+    init_lambda: float = INIT_LAMBDA,
+    init_m: float = INIT_M,
+    init_u: float = INIT_U,
+) -> str:
+    """The same estimator as one ANSI-SQL statement: gamma exprs ->
+    histogram CTE -> ``n_iter`` EM iterations unrolled as chained CTEs
+    (state = a single row of scalars) -> per-field output rows.
+
+    Oracle twin of :func:`estimate_mu`; generated, never handwritten.
+    """
+    K = len(match_fields)
+    gnames = [f"g{k}" for k in range(K)]
+    gexprs = ", ".join(
+        f"{gamma_sql(mf, rec_prefix + mf.name, mem_prefix + mf.name, agree_threshold)} AS g{k}"
+        for k, mf in enumerate(match_fields)
+    )
+    glist = ", ".join(gnames)
+    ctes = [
+        f"gm AS (SELECT {gexprs} FROM ({pairs_sql}))",
+        f"h AS (SELECT {glist}, CAST(COUNT(*) AS DOUBLE) AS n FROM gm GROUP BY {glist})",
+        "s0 AS (SELECT "
+        + f"CAST({init_lambda!r} AS DOUBLE) AS lam, "
+        + ", ".join(
+            f"CAST({init_m!r} AS DOUBLE) AS m{k}, CAST({init_u!r} AS DOUBLE) AS u{k}"
+            for k in range(K)
+        )
+        + ")",
+    ]
+    for t in range(1, n_iter + 1):
+        prev = f"s{t-1}"
+        wprod = " * ".join(
+            f"(pow(s.m{k}, h.g{k}) * pow(1.0 - s.m{k}, 1 - h.g{k}))" for k in range(K)
+        )
+        vprod = " * ".join(
+            f"(pow(s.u{k}, h.g{k}) * pow(1.0 - s.u{k}, 1 - h.g{k}))" for k in range(K)
+        )
+        ctes.append(
+            f"e{t} AS (SELECT h.n, {', '.join('h.' + g for g in gnames)}, "
+            f"s.lam * {wprod} AS w, (1.0 - s.lam) * {vprod} AS v "
+            f"FROM h CROSS JOIN {prev} s)"
+        )
+        def _clamp(expr: str) -> str:
+            # exact mirror of em_fit's min(max(x, EPS), 1-EPS): repr() emits
+            # the shortest round-tripping literal, so both engines clamp to
+            # bit-identical doubles
+            return f"LEAST(GREATEST({expr}, {EPS!r}), {1.0 - EPS!r})"
+
+        mterms = ", ".join(
+            _clamp(f"SUM(n * (w/(w+v)) * g{k}) / SUM(n * (w/(w+v)))") + f" AS m{k}, "
+            + _clamp(f"SUM(n * (1.0 - w/(w+v)) * g{k}) / SUM(n * (1.0 - w/(w+v)))")
+            + f" AS u{k}"
+            for k in range(K)
+        )
+        ctes.append(
+            f"s{t} AS (SELECT "
+            + _clamp("SUM(n * (w/(w+v))) / SUM(n)")
+            + f" AS lam, {mterms} FROM e{t})"
+        )
+    last = f"s{n_iter}"
+    selects = [
+        f"SELECT '{mf.name}' AS field, round(m{k}, 6) AS m, round(u{k}, 6) AS u, "
+        f"round(lam, 6) AS lam, round(log2(m{k} / u{k}), 6) AS agr_w, "
+        f"round(log2((1.0 - m{k}) / (1.0 - u{k})), 6) AS dis_w FROM {last}"
+        for k, mf in enumerate(match_fields)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(selects)

@@ -60,6 +60,15 @@ def main() -> None:
         "is written (reference MatchReview accept_usr semantics)",
     )
     p.add_argument("--accept-threshold", type=float, default=4.0)
+    p.add_argument(
+        "--estimate-mu",
+        action="store_true",
+        help="also write <output>/mu_estimates: per-field m/u + match "
+        "prevalence calibrated from the scored pairs by EM (Winkler 1988) — "
+        "data-driven replacements for the parmf m/u columns. Population is "
+        "the emitted pairs (above each pass's print floor), so estimates "
+        "are conditional on that floor",
+    )
     args = p.parse_args()
     shard_rows = args.shard_rows or None
 
@@ -98,6 +107,30 @@ def main() -> None:
         f"{args.output}/pairs"
     )
     result.good_pairs().write.mode("overwrite").parquet(f"{args.output}/good_pairs")
+
+    if args.estimate_mu:
+        from bigmatch_utilities_spark.operators.em import estimate_mu
+        from bigmatch_utilities_spark.repo_linkage import _FUZZY_FIELDS
+
+        # re-attach both sides' field values to the emitted pairs (ids only),
+        # then calibrate. One join per side against the prepared input.
+        prep = prepare(df)
+        fields = _FUZZY_FIELDS
+        fnames = sorted({mf.name for mf in fields})
+        rec = prep.select(
+            prep[ID_COL].alias("id_rec"),
+            *[prep[c].alias(f"rec_{c}") for c in fnames],
+        )
+        mem = prep.select(
+            prep[ID_COL].alias("id_mem"),
+            *[prep[c].alias(f"mem_{c}") for c in fnames],
+        )
+        enriched = result.pairs.select("id_rec", "id_mem").join(
+            rec, "id_rec"
+        ).join(mem, "id_mem")
+        estimate_mu(enriched, fields).write.mode("overwrite").parquet(
+            f"{args.output}/mu_estimates"
+        )
     spark.stop()
 
 

@@ -1,0 +1,142 @@
+"""EM m/u estimation: statistical recovery on known-parameter data,
+engine parity (Spark driver-side EM == unrolled-CTE DuckDB SQL), and the
+one-shuffle histogram contract."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from bigmatch_utilities_spark.config import MatchField
+from bigmatch_utilities_spark.operators.em import (
+    em_fit,
+    estimate_mu,
+    estimate_mu_sql,
+    pattern_histogram,
+)
+
+FIELDS = (
+    MatchField(name="a", comparator="c", m=0.9, u=0.1),
+    MatchField(name="b", comparator="c", m=0.9, u=0.1),
+    MatchField(name="c", comparator="c", m=0.9, u=0.1),
+)
+
+# ground truth for the synthetic population
+TRUE_LAM, TRUE_M, TRUE_U = 0.2, [0.95, 0.85, 0.90], [0.05, 0.15, 0.10]
+
+
+def _synthetic_hist(n_pairs: int = 200_000, seed: int = 7):
+    """Exact-expectation histogram for the 3-field model (no sampling noise:
+    EM's fixed point is then the true parameters up to label swap)."""
+    hist = []
+    for g0 in (0, 1):
+        for g1 in (0, 1):
+            for g2 in (0, 1):
+                g = (g0, g1, g2)
+                pm = TRUE_LAM
+                pu = 1.0 - TRUE_LAM
+                for k, gk in enumerate(g):
+                    pm *= TRUE_M[k] if gk else 1.0 - TRUE_M[k]
+                    pu *= TRUE_U[k] if gk else 1.0 - TRUE_U[k]
+                hist.append((g, n_pairs * (pm + pu)))
+    return hist
+
+
+def test_em_fit_recovers_known_parameters():
+    hist = _synthetic_hist()
+    lam, m, u = em_fit(hist, 3, n_iter=60)
+    assert lam == pytest.approx(TRUE_LAM, abs=0.01)
+    for k in range(3):
+        assert m[k] == pytest.approx(TRUE_M[k], abs=0.02)
+        assert u[k] == pytest.approx(TRUE_U[k], abs=0.02)
+
+
+def test_em_fit_monotone_likelihood():
+    """EM's defining property: observed-data log-likelihood never
+    decreases across iterations."""
+    import math
+
+    hist = _synthetic_hist()
+
+    def loglik(lam, m, u):
+        ll = 0.0
+        for g, n in hist:
+            pm, pu = lam, 1.0 - lam
+            for k, gk in enumerate(g):
+                pm *= m[k] if gk else 1.0 - m[k]
+                pu *= u[k] if gk else 1.0 - u[k]
+            ll += n * math.log(pm + pu)
+        return ll
+
+    prev = None
+    for it in range(1, 12):
+        lam, m, u = em_fit(hist, 3, n_iter=it)
+        ll = loglik(lam, m, u)
+        if prev is not None:
+            assert ll >= prev - 1e-9
+        prev = ll
+
+
+def _pairs_df(spark, n: int = 4000, seed: int = 13):
+    """Unlabeled pairs sampled from the two-class model; string fields so
+    the `c` comparator + blank handling run the real code path."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        is_match = rng.random() < TRUE_LAM
+        row = {"id_l": 2 * i, "id_r": 2 * i + 1}
+        for k, f in enumerate(FIELDS):
+            p = TRUE_M[k] if is_match else TRUE_U[k]
+            left = f"v{i}_{k}"
+            right = left if rng.random() < p else f"w{i}_{k}"
+            row[f"rec_{f.name}"] = left
+            row[f"mem_{f.name}"] = right
+        rows.append(row)
+    return spark.createDataFrame(rows)
+
+
+def test_estimate_mu_matches_duckdb_oracle(spark, tmp_path):
+    pairs = _pairs_df(spark)
+    pq = str(tmp_path / "pairs.parquet")
+    pairs.write.mode("overwrite").parquet(pq)
+
+    got = {
+        r["field"]: (r["m"], r["u"], r["lam"], r["agr_w"], r["dis_w"])
+        for r in estimate_mu(pairs, FIELDS).collect()
+    }
+
+    con = duckdb.connect()
+    sql = estimate_mu_sql(f"SELECT * FROM read_parquet('{pq}/*.parquet')", FIELDS)
+    want = {
+        f: (m, u, lam, aw, dw)
+        for f, m, u, lam, aw, dw in con.execute(sql).fetchall()
+    }
+    assert got == want
+    # sampled at n=4000 the estimates should still be in the right basin
+    assert got["a"][0] > 0.5 > got["a"][1]
+
+
+def test_histogram_is_single_aggregation(spark):
+    """The distributed pass is ONE partial-aggregated groupBy — the plan
+    must show exactly one Exchange and the collected histogram <= 2^K rows."""
+    pairs = _pairs_df(spark, n=500)
+    hist = pattern_histogram(pairs, FIELDS)
+    plan = hist._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert hist.count() <= 2 ** len(FIELDS)
+
+
+def test_estimate_mu_blank_is_disagreement(spark):
+    pairs = _pairs_df(spark, n=300).withColumn(
+        "rec_a", F.when(F.col("id_l") % 3 == 0, F.lit("")).otherwise(F.col("rec_a"))
+    )
+    out = estimate_mu(pairs, FIELDS)
+    assert out.count() == len(FIELDS)  # runs clean with blanks present
+
+
+def test_estimate_mu_empty_pairs_raises(spark):
+    with pytest.raises(ValueError):
+        estimate_mu(_pairs_df(spark, n=10).limit(0), FIELDS)
