@@ -914,6 +914,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["em_mu_estimate"] = em
 
+    # ---- TF-adjusted agreement weights (Winkler 1995) ---------------------
+    def tfw(spark, sf):
+        from bigmatch_utilities_spark.operators.tf_adjust import (
+            tf_table,
+            with_tf_weight,
+        )
+
+        d = _docs_keyed(spark, sf)
+        tf = tf_table(d, "source")
+        out = with_tf_weight(_blocked_pairs(spark, sf), _FS_FIELDS[2], tf)
+        return out.select(
+            "id_l", "id_r", F.round("w_source", 6).alias("w_source")
+        )
+
+    q["tf_adjusted_weights"] = tfw
+
+    # ---- blocking-quality profile (pre-flight pass statistics) ------------
+    def bp(spark, sf):
+        from bigmatch_utilities_spark.config import BlockField, BlockingPassSpec
+        from bigmatch_utilities_spark.operators.blocking import blocking_profile
+
+        d = _docs_keyed(spark, sf).withColumn(
+            "bucket_s", F.col("bucket").cast("string")
+        )
+        strict = BlockingPassSpec(
+            block_fields=(BlockField(name="lang"), BlockField(name="n_chars_s")),
+            match_fields=_FS_FIELDS,
+        )
+        loose = BlockingPassSpec(
+            block_fields=(BlockField(name="lang"), BlockField(name="bucket_s")),
+            match_fields=_FS_FIELDS,
+        )
+        return blocking_profile(d, strict, 0).unionByName(
+            blocking_profile(d, loose, 1)
+        )
+
+    q["bp_blocking_profile"] = bp
+
     return q
 
 
@@ -1629,5 +1667,45 @@ def oracle_sql() -> dict[str, str]:
     from bigmatch_utilities_spark.operators.em import estimate_mu_sql
 
     o["em_mu_estimate"] = estimate_mu_sql(_BLOCKED_PAIRS_SQL, _FS_FIELDS)
+
+    # tf: per-value frequency share from the same keyed population, LEFT
+    # JOINed to the blocked pairs on the record-side value; weight expr is
+    # the generated twin of with_tf_weight (blank->0, equal->log2(m/tf),
+    # different->global disagreement weight)
+    from bigmatch_utilities_spark.operators.tf_adjust import (
+        tf_table_sql,
+        tf_weight_sql,
+    )
+
+    _tf_w = tf_weight_sql(_FS_FIELDS[2], "p.rec_source", "p.mem_source")
+    o["tf_adjusted_weights"] = f"""
+        WITH tfv AS ({tf_table_sql(_DOCS_KEYED_SQL, "source")})
+        SELECT p.id_l, p.id_r, round({_tf_w}, 6) AS w_source
+        FROM ({_BLOCKED_PAIRS_SQL}) p
+        LEFT JOIN tfv tf ON p.rec_source = tf.value
+    """
+
+    # bp: per-pass block-size statistics computed from block sizes only
+    # (no pairs materialized) — generated twin of blocking_profile
+    from bigmatch_utilities_spark.config import BlockField, BlockingPassSpec
+    from bigmatch_utilities_spark.operators.blocking import blocking_profile_sql
+
+    _docs_b_sql = f"""
+        SELECT d.*, CAST(bucket AS VARCHAR) AS bucket_s
+        FROM ({_DOCS_KEYED_SQL}) d
+    """
+    _bp_strict = BlockingPassSpec(
+        block_fields=(BlockField(name="lang"), BlockField(name="n_chars_s")),
+        match_fields=_FS_FIELDS,
+    )
+    _bp_loose = BlockingPassSpec(
+        block_fields=(BlockField(name="lang"), BlockField(name="bucket_s")),
+        match_fields=_FS_FIELDS,
+    )
+    o["bp_blocking_profile"] = (
+        blocking_profile_sql(_docs_b_sql, _bp_strict, 0)
+        + " UNION ALL "
+        + blocking_profile_sql(_docs_b_sql, _bp_loose, 1)
+    )
 
     return o

@@ -367,3 +367,77 @@ def candidate_pairs(
     if star is not None:
         out = out.unionByName(star)  # star side already has id_rec < id_mem
     return out
+
+
+def blocking_profile(
+    df: DataFrame,
+    spec: BlockingPassSpec,
+    pass_id: int = 0,
+) -> DataFrame:
+    """Pre-flight quality profile of a blocking pass (dedupe self-join
+    framing): one row of the statistics that decide whether a pass is
+    launchable at scale, BEFORE generating a single pair.
+
+        pass_id, n_rows, n_blocks, max_block, avg_block,
+        cand_pairs,          -- sum n*(n-1)/2 over blocks
+        reduction_ratio      -- 1 - cand_pairs / (N*(N-1)/2)
+
+    The reference exposes nothing comparable — BigMatch users discover a
+    degenerate blocking key when the run blows up (the parmf counts at
+    app/BlockingPass.py:588-647 are spec-side only, not data-side). At
+    100 TB this profile is the difference between a plan review and a
+    36-hour failed job: it costs ONE map-side-combined groupBy over the
+    key (no pairs materialized — cand_pairs is computed from block sizes),
+    and `max_block` directly feeds `max_block_rows` / `shard_rows` tuning.
+
+    blank_flag semantics match the real pass: excluded rows count in
+    neither n_rows nor the pair totals.
+    """
+    r = apply_blank_flags(df, spec)
+    keys = [F.col(bf.name) for bf in spec.block_fields]
+    sizes = r.groupBy(*keys).agg(F.count("*").alias("n"))
+    return sizes.agg(
+        F.lit(pass_id).alias("pass_id"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_blocks"),
+        F.max("n").cast("long").alias("max_block"),
+        F.round(F.sum("n") / F.count("*"), 6).alias("avg_block"),
+        F.sum(F.expr("n * (n - 1) / 2")).cast("long").alias("cand_pairs"),
+        F.round(
+            F.lit(1.0)
+            - F.sum(F.expr("n * (n - 1) / 2"))
+            / (F.sum("n") * (F.sum("n") - F.lit(1)) / F.lit(2.0)),
+            6,
+        ).alias("reduction_ratio"),
+    )
+
+
+def blocking_profile_sql(
+    source_sql: str,
+    spec: BlockingPassSpec,
+    pass_id: int = 0,
+) -> str:
+    """DuckDB twin of :func:`blocking_profile`."""
+    blanks = " AND ".join(
+        f"({bf.name} IS NOT NULL AND trim({bf.name}) <> '')"
+        for bf in spec.block_fields
+        if bf.blank_flag
+    ) or "TRUE"
+    keys = ", ".join(bf.name for bf in spec.block_fields)
+    # derived table, not a CTE: profiles for several passes are commonly
+    # UNION ALLed into one statement, and UNION of top-level WITHs isn't SQL
+    return f"""
+        SELECT {pass_id} AS pass_id,
+               CAST(SUM(n) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_blocks,
+               CAST(MAX(n) AS BIGINT) AS max_block,
+               round(SUM(n) / COUNT(*), 6) AS avg_block,
+               CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS cand_pairs,
+               round(1.0 - SUM(n * (n - 1) / 2)
+                         / (SUM(n) * (SUM(n) - 1) / 2.0), 6) AS reduction_ratio
+        FROM (
+            SELECT {keys}, COUNT(*) AS n
+            FROM ({source_sql}) WHERE {blanks}
+            GROUP BY {keys}
+        ) sizes
+    """

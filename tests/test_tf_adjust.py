@@ -1,0 +1,105 @@
+"""TF-adjusted agreement weights: value-frequency semantics, rare>common
+ordering, blank handling, and Spark<->DuckDB parity."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from bigmatch_utilities_spark.config import MatchField
+from bigmatch_utilities_spark.operators.scoring import disagreement_weight
+from bigmatch_utilities_spark.operators.tf_adjust import (
+    tf_table,
+    tf_table_sql,
+    tf_weight_sql,
+    with_tf_weight,
+)
+
+MF = MatchField(name="city", comparator="c", m=0.9, u=0.1)
+
+
+@pytest.fixture(scope="module")
+def base(spark):
+    rows = (
+        [("SPRINGFIELD",)] * 6
+        + [("RAREVILLE",)] * 1
+        + [("MIDTOWN",)] * 3
+        + [("",)] * 2  # blanks excluded from tf mass
+    )
+    return spark.createDataFrame(rows, "city string")
+
+
+def test_tf_table_shares(base):
+    tf = {r["value"]: r["tf"] for r in tf_table(base, "city").collect()}
+    assert set(tf) == {"SPRINGFIELD", "RAREVILLE", "MIDTOWN"}
+    assert tf["SPRINGFIELD"] == pytest.approx(0.6)
+    assert tf["RAREVILLE"] == pytest.approx(0.1)
+    assert sum(tf.values()) == pytest.approx(1.0)
+
+
+def test_rare_agreement_outweighs_common(spark, base):
+    tf = tf_table(base, "city")
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, "RAREVILLE", "RAREVILLE"),
+            (3, 4, "SPRINGFIELD", "SPRINGFIELD"),
+            (5, 6, "SPRINGFIELD", "MIDTOWN"),
+            (7, 8, "", "MIDTOWN"),
+        ],
+        "id_l long, id_r long, rec_city string, mem_city string",
+    )
+    out = {
+        r["id_l"]: r["w_city"]
+        for r in with_tf_weight(pairs, MF, tf).collect()
+    }
+    assert out[1] == pytest.approx(math.log2(0.9 / 0.1))  # rare agree
+    assert out[3] == pytest.approx(math.log2(0.9 / 0.6))  # common agree
+    assert out[1] > out[3] > 0 > out[5]
+    assert out[5] == pytest.approx(disagreement_weight(0.9, 0.1))
+    assert out[7] == 0.0  # blank side -> no evidence
+
+
+def test_parity_with_duckdb(spark, base, tmp_path):
+    pop = str(tmp_path / "pop.parquet")
+    prs = str(tmp_path / "pairs.parquet")
+    base.write.mode("overwrite").parquet(pop)
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, "RAREVILLE", "RAREVILLE"),
+            (3, 4, "SPRINGFIELD", "SPRINGFIELD"),
+            (5, 6, "MIDTOWN", "SPRINGFIELD"),
+            (7, 8, None, "MIDTOWN"),
+        ],
+        "id_l long, id_r long, rec_city string, mem_city string",
+    )
+    pairs.write.mode("overwrite").parquet(prs)
+
+    got = {
+        (r["id_l"], r["id_r"]): round(r["w_city"], 6)
+        for r in with_tf_weight(pairs, MF, tf_table(base, "city")).collect()
+    }
+
+    con = duckdb.connect()
+    w = tf_weight_sql(MF, "p.rec_city", "p.mem_city")
+    sql = f"""
+        WITH tfv AS ({tf_table_sql(f"SELECT * FROM read_parquet('{pop}/*.parquet')", "city")})
+        SELECT p.id_l, p.id_r, round({w}, 6) AS w_city
+        FROM read_parquet('{prs}/*.parquet') p
+        LEFT JOIN tfv tf ON p.rec_city = tf.value
+    """
+    want = {(a, b): w for a, b, w in con.execute(sql).fetchall()}
+    assert got == want
+
+
+def test_singleton_floor_bounds_boost(spark):
+    one = spark.createDataFrame([("X",)] * 1 + [("Y",)] * 999, "city string")
+    tf = tf_table(one, "city")
+    pairs = spark.createDataFrame(
+        [(1, 2, "X", "X")], "id_l long, id_r long, rec_city string, mem_city string"
+    )
+    w = with_tf_weight(pairs, MF, tf).collect()[0]["w_city"]
+    assert w == pytest.approx(math.log2(0.9 / 0.001))  # tf, not the floor
+    assert w < math.log2(0.9 / 1e-9)  # the floor is the hard ceiling
