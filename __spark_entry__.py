@@ -952,6 +952,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bp_blocking_profile"] = bp
 
+    # ---- 1:1 assignment (mutual best match) -------------------------------
+    def u5(spark, sf):
+        from bigmatch_utilities_spark.operators.assignment import one_to_one
+
+        s = _scored_pairs(spark, sf)
+        return one_to_one(s, "id_l", "id_r", "weight").select(
+            "id_l", "id_r", "weight"
+        )
+
+    q["u5_one_to_one"] = u5
+
     return q
 
 
@@ -1707,5 +1718,11 @@ def oracle_sql() -> dict[str, str]:
         + " UNION ALL "
         + blocking_profile_sql(_docs_b_sql, _bp_loose, 1)
     )
+
+    # u5: mutual-best-match — row_number argmax on both sides (the Spark
+    # path computes the same selection with map-side min(struct) aggs)
+    from bigmatch_utilities_spark.operators.assignment import one_to_one_sql
+
+    o["u5_one_to_one"] = one_to_one_sql(_SCORED_PAIRS_SQL, "id_l", "id_r", "weight")
 
     return o

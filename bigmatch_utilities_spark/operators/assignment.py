@@ -1,0 +1,91 @@
+"""One-to-one match assignment (mutual best match).
+
+BigMatch emits many-to-many candidate matches and leaves 1:1 enforcement
+to the human review pass (app/MatchReview.py accept loop — a reviewer
+accepts at most one partner per record by hand).  At pipeline scale the
+standard published device (record-linkage literature's "mutual best
+match" / symmetric best agreement) is: keep pair (r, m) iff m is r's
+best-weighted partner AND r is m's best-weighted partner.  It
+under-assigns slightly versus the Hungarian algorithm's global optimum,
+but is embarrassingly parallel — the global methods are inherently
+sequential and do not exist at 10^12 rows.
+
+Scale design: each side's argmax is ONE map-side-combined
+``groupBy().agg(min(struct(-weight, partner)))`` — no window, no
+partition sort, no skew pathology (a hot record's pairs partial-aggregate
+to one row per map task before the shuffle).  Two aggs + two semi-joins;
+ties break deterministically to the smallest partner id.
+
+Weights are compared after rounding to 6dp so engine-level FP noise in
+the last ulp cannot flip an argmax (the same discipline the driver's
+oracle hashing uses).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _best_per_side(
+    pairs: DataFrame, side: str, other: str, weight_col: str
+) -> DataFrame:
+    """For each `side` id: the (other id) of its max-weight pair, ties to
+    the smallest other id.  min(struct(-w, other)) == argmax with that
+    tie-break, computed map-side."""
+    w6 = F.round(F.col(weight_col), 6)
+    return pairs.groupBy(F.col(side)).agg(
+        F.min(F.struct((-w6).alias("nw"), F.col(other).alias("p"))).alias("b")
+    ).select(F.col(side), F.col("b.p").alias(f"best_{other}"))
+
+
+def one_to_one(
+    pairs: DataFrame,
+    rec_col: str = "id_rec",
+    mem_col: str = "id_mem",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Mutual-best-match filter: the input pair rows where each side is the
+    other's best partner.  Input columns pass through unchanged."""
+    best_r = _best_per_side(pairs, rec_col, mem_col, weight_col)
+    best_m = _best_per_side(pairs, mem_col, rec_col, weight_col)
+    return (
+        pairs.join(
+            best_r,
+            (pairs[rec_col] == best_r[rec_col])
+            & (pairs[mem_col] == best_r[f"best_{mem_col}"]),
+            "left_semi",
+        )
+        .join(
+            best_m,
+            (pairs[mem_col] == best_m[mem_col])
+            & (pairs[rec_col] == best_m[f"best_{rec_col}"]),
+            "left_semi",
+        )
+    )
+
+
+def one_to_one_sql(
+    pairs_sql: str,
+    rec_col: str = "id_rec",
+    mem_col: str = "id_mem",
+    weight_col: str = "weight",
+) -> str:
+    """DuckDB twin of :func:`one_to_one` (row_number argmax — same pair
+    selection: weight desc after 6dp rounding, ties to smallest id)."""
+    return f"""
+        SELECT {rec_col}, {mem_col}, {weight_col}
+        FROM (
+            SELECT p.*,
+                   row_number() OVER (
+                       PARTITION BY {rec_col}
+                       ORDER BY round({weight_col}, 6) DESC, {mem_col} ASC
+                   ) AS rk_r,
+                   row_number() OVER (
+                       PARTITION BY {mem_col}
+                       ORDER BY round({weight_col}, 6) DESC, {rec_col} ASC
+                   ) AS rk_m
+            FROM ({pairs_sql}) p
+        )
+        WHERE rk_r = 1 AND rk_m = 1
+    """
