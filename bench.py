@@ -16,6 +16,8 @@ on local[$SPARK_GRAFT_CPUS]:
   near_dedup_keep  end-to-end LSH -> Jaccard -> closure -> keep-one
                    over documents (round-3 key)
   ann_ivf          IVF top-10, 100 queries, nprobe=2/16 (round-3 key)
+  em_mu            EM m/u calibration over the blocked documents pairs
+                   (round-3 key; histogram pass + driver-side EM)
 
 `value` is total wall seconds (sum of per-query best-of-2 — see
 BENCH.md's host-noise caveat; both raw runs are reported under
@@ -205,6 +207,14 @@ def main() -> None:
         return ivf_topk(emb, qs, k=10, n_pivots=16, nprobe=2).count()
 
     counters["ann_ivf_rows"] = timed("ann_ivf", q_ann_ivf)
+
+    def q_em_mu():
+        import __spark_entry__ as entrymod
+
+        out = entrymod.queries()["em_mu_estimate"](spark, SF_DIR)
+        return out.count()
+
+    counters["em_mu_fields"] = timed("em_mu", q_em_mu)
 
     # throughput denominator: candidate pairs actually entering the
     # comparator stage (BASELINE's candidate-pairs/sec unit), counted on
