@@ -36,7 +36,12 @@ def _best_per_side(
     w6 = F.round(F.col(weight_col), 6)
     return pairs.groupBy(F.col(side)).agg(
         F.min(F.struct((-w6).alias("nw"), F.col(other).alias("p"))).alias("b")
-    ).select(F.col(side), F.col("b.p").alias(f"best_{other}"))
+    ).select(
+        # distinct names so the semi-join back against `pairs` (a self
+        # derivation) never resolves to the same attribute on both sides
+        F.col(side).alias("_bk"),
+        F.col("b.p").alias(f"best_{other}"),
+    )
 
 
 def one_to_one(
@@ -52,13 +57,13 @@ def one_to_one(
     return (
         pairs.join(
             best_r,
-            (pairs[rec_col] == best_r[rec_col])
+            (pairs[rec_col] == best_r["_bk"])
             & (pairs[mem_col] == best_r[f"best_{mem_col}"]),
             "left_semi",
         )
         .join(
             best_m,
-            (pairs[mem_col] == best_m[mem_col])
+            (pairs[mem_col] == best_m["_bk"])
             & (pairs[rec_col] == best_m[f"best_{rec_col}"]),
             "left_semi",
         )
