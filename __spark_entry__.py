@@ -963,6 +963,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["u5_one_to_one"] = u5
 
+    # ---- CR1: stratified clerical-review sample ---------------------------
+    def cr1(spark, sf):
+        from bigmatch_utilities_spark.operators.review_sample import review_sample
+
+        s = _scored_pairs(spark, sf)
+        return review_sample(
+            s, "weight", low=-6.0, high=2.0, n_strata=4, per_stratum=25
+        )
+
+    q["cr_review_sample"] = cr1
+
     return q
 
 
@@ -1724,5 +1735,13 @@ def oracle_sql() -> dict[str, str]:
     from bigmatch_utilities_spark.operators.assignment import one_to_one_sql
 
     o["u5_one_to_one"] = one_to_one_sql(_SCORED_PAIRS_SQL, "id_l", "id_r", "weight")
+
+    # cr1: stratified clerical-review sample — single row_number per
+    # stratum (the Spark path's salt pre-pass selects the identical set)
+    from bigmatch_utilities_spark.operators.review_sample import review_sample_sql
+
+    o["cr_review_sample"] = review_sample_sql(
+        _SCORED_PAIRS_SQL, "weight", low=-6.0, high=2.0, n_strata=4, per_stratum=25
+    )
 
     return o
