@@ -974,6 +974,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cr_review_sample"] = cr1
 
+    # ---- CQ1: per-cluster over-merge audit --------------------------------
+    def _doc_chain_edges(spark, sf):
+        d = _docs_keyed(spark, sf)
+        a = d.select(F.col("doc_id").alias("src"), "lang", "n_chars")
+        b = d.select(
+            F.col("doc_id").alias("dst"),
+            F.col("lang").alias("lang2"),
+            F.col("n_chars").alias("nc2"),
+        )
+        return a.join(
+            b,
+            (F.col("lang") == F.col("lang2")) & (F.col("nc2") == F.col("n_chars") + 1),
+        ).select(
+            "src",
+            "dst",
+            F.round(F.lit(1.0) + (F.col("src") % 7) * 0.5, 6).alias("weight"),
+        )
+
+    def cq(spark, sf):
+        from bigmatch_utilities_spark.operators.closure import connected_components
+        from bigmatch_utilities_spark.operators.cluster_audit import cluster_quality
+
+        edges = _doc_chain_edges(spark, sf)
+        assigns = connected_components(edges.select("src", "dst"))
+        pairs = edges.select(
+            F.col("src").alias("id_l"), F.col("dst").alias("id_r"), "weight"
+        )
+        out = cluster_quality(assigns, pairs)
+        return out.select(
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            "density",
+            "w_min",
+            "w_avg",
+        )
+
+    q["cq_cluster_quality"] = cq
+
+    # ---- IC1: incremental closure == batch recompute ----------------------
+    def ic(spark, sf):
+        from bigmatch_utilities_spark.operators.closure import connected_components
+        from bigmatch_utilities_spark.operators.cluster_audit import (
+            incremental_closure,
+        )
+
+        edges = _doc_chain_edges(spark, sf).select("src", "dst")
+        old = edges.filter(F.col("src") % 7 != 0)
+        delta = edges.filter(F.col("src") % 7 == 0)
+        assigns = connected_components(old)
+        out = incremental_closure(assigns, delta)
+        return out.select(
+            F.col("id").cast("long").alias("id"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+        )
+
+    q["ic_incremental_closure"] = ic
+
     return q
 
 
@@ -1743,5 +1801,36 @@ def oracle_sql() -> dict[str, str]:
     o["cr_review_sample"] = review_sample_sql(
         _SCORED_PAIRS_SQL, "weight", low=-6.0, high=2.0, n_strata=4, per_stratum=25
     )
+
+    # cq: cluster-quality audit over the documents chain graph; the
+    # assignment side is the same recursive-CTE CC the cc oracle uses
+    from bigmatch_utilities_spark.operators.cluster_audit import cluster_quality_sql
+
+    _chain_edges_sql = """
+        SELECT a.doc_id AS src, b.doc_id AS dst,
+               round(1.0 + (a.doc_id % 7) * 0.5, 6) AS weight
+        FROM documents a JOIN documents b
+          ON a.lang = b.lang AND b.n_chars = a.n_chars + 1
+    """
+    _chain_cc_sql = f"""
+        WITH RECURSIVE e AS ({_chain_edges_sql}),
+        und AS (
+            SELECT src AS s, dst AS d FROM e UNION SELECT dst, src FROM e
+        ), nodes AS (SELECT DISTINCT s AS n FROM und),
+        reach(n, m) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT u.d, r.m FROM reach r JOIN und u ON u.s = r.n
+        )
+        SELECT CAST(n AS BIGINT) AS id, CAST(min(m) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY n
+    """
+    o["cq_cluster_quality"] = cluster_quality_sql(
+        _chain_cc_sql, _chain_edges_sql, id_l="src", id_r="dst"
+    )
+
+    # ic: the incremental path must equal the batch recompute over
+    # (old ∪ delta) = ALL chain edges — i.e. exactly the batch CC
+    o["ic_incremental_closure"] = _chain_cc_sql
 
     return o

@@ -1,0 +1,174 @@
+"""Post-closure cluster auditing + incremental closure maintenance.
+
+Two operations the reference's workflow implies but leaves to the human:
+
+* **cluster_quality** — MatchReview's reviewer eyeballs pair lists for
+  over-merges (`/root/reference/app/MatchReview.py:26,61` — side-by-side
+  "clerical review comparisons"); after transitive closure the analogous
+  machine check is per-cluster structure: a cluster of n members whose
+  accepted-edge count is near the n-1 tree minimum and whose weakest
+  edge is barely above the cutoff is a chain held together by one or two
+  marginal links — the classic over-merge signature (a single bad pair
+  bridges two real entities).  Everything here is two equi-joins on id +
+  one map-side-combined groupBy(cluster_id); no windows, no collect.
+
+* **incremental_closure** — the reference accumulates master key files
+  per run (`/root/reference/cleanpairs:40-43`, `cat keys.dat keysP.dat`)
+  but a re-run recomputes everything.  At 10^12 rows the daily delta is
+  tiny relative to the standing assignment table, so closure must be
+  maintainable: contract each new edge's endpoints to their existing
+  cluster labels, run connected components on that *contracted* graph —
+  O(|new edges|) regardless of how large the standing graph is — and
+  relabel only the touched clusters.  Labels stay "min original member
+  id", so the result is bit-identical to a full recompute over
+  (old edges ∪ new edges); the query oracle asserts exactly that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .closure import connected_components
+
+
+def cluster_quality(
+    assignments: DataFrame,
+    pairs: DataFrame,
+    id_l: str = "id_l",
+    id_r: str = "id_r",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Per-cluster audit metrics for multi-member clusters.
+
+    assignments: (id, cluster_id); pairs: accepted edges with weights.
+    Returns (cluster_id, n_members, n_edges, density, w_min, w_avg)
+    where density = n_edges / (n(n-1)/2) — 1.0 means a clique, values
+    near 2/n mean a chain.  Rounded to 6dp (oracle-hash discipline).
+    """
+    a = assignments.select(F.col("id"), F.col("cluster_id"))
+    sizes = a.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+
+    e = (
+        pairs.select(F.col(id_l).alias("_l"), F.col(id_r).alias("_r"), F.col(weight_col).alias("_w"))
+        .join(a.select(F.col("id").alias("_l"), F.col("cluster_id").alias("_cl")), on="_l")
+        .join(a.select(F.col("id").alias("_r"), F.col("cluster_id").alias("_cr")), on="_r")
+        .filter(F.col("_cl") == F.col("_cr"))
+    )
+    edge_stats = e.groupBy(F.col("_cl").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.round(F.min("_w"), 6).alias("w_min"),
+        F.round(F.avg("_w"), 6).alias("w_avg"),
+    )
+    n = F.col("n_members").cast("double")
+    return (
+        sizes.filter(F.col("n_members") >= 2)
+        .join(edge_stats, on="cluster_id", how="left")
+        .select(
+            "cluster_id",
+            "n_members",
+            F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+            F.round(
+                F.coalesce(F.col("n_edges"), F.lit(0)) / (n * (n - 1) / 2.0), 6
+            ).alias("density"),
+            "w_min",
+            "w_avg",
+        )
+    )
+
+
+def cluster_quality_sql(
+    assignments_sql: str,
+    pairs_sql: str,
+    id_l: str = "id_l",
+    id_r: str = "id_r",
+    weight_col: str = "weight",
+) -> str:
+    """DuckDB twin of :func:`cluster_quality`."""
+    return f"""
+        WITH asg AS ({assignments_sql}),
+        sizes AS (
+            SELECT cluster_id, count(*) AS n_members FROM asg GROUP BY cluster_id
+        ),
+        es AS (
+            SELECT al.cluster_id AS cluster_id,
+                   count(*) AS n_edges,
+                   round(min(p.{weight_col}), 6) AS w_min,
+                   round(avg(p.{weight_col}), 6) AS w_avg
+            FROM ({pairs_sql}) p
+            JOIN asg al ON al.id = p.{id_l}
+            JOIN asg ar ON ar.id = p.{id_r}
+            WHERE al.cluster_id = ar.cluster_id
+            GROUP BY al.cluster_id
+        )
+        SELECT s.cluster_id, s.n_members,
+               coalesce(es.n_edges, 0) AS n_edges,
+               round(coalesce(es.n_edges, 0)
+                     / (CAST(s.n_members AS DOUBLE) * (s.n_members - 1) / 2.0),
+                     6) AS density,
+               es.w_min, es.w_avg
+        FROM sizes s LEFT JOIN es ON es.cluster_id = s.cluster_id
+        WHERE s.n_members >= 2
+    """
+
+
+def incremental_closure(
+    assignments: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Merge new edges into an existing (id, cluster_id) assignment.
+
+    Returns the full updated assignment (id, cluster_id) — existing rows
+    relabeled where clusters merged, plus rows for ids first seen in
+    `new_edges`.  cluster_id stays the minimum original member id, so
+    output == connected_components(old edges ∪ new edges) exactly.
+
+    Cost model: the iterative closure runs on the CONTRACTED graph
+    (one node per touched cluster label) — O(|new_edges|) work however
+    large the standing table is.  The standing table is touched by two
+    equi-joins on id (broadcast when the delta's endpoint set is small;
+    shuffle otherwise) and one join on cluster_id for the relabel.
+    """
+    e = new_edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).filter(
+        F.col("s") != F.col("d")
+    )
+    a = assignments.select("id", "cluster_id")
+
+    # endpoint -> current label (unseen endpoints label themselves)
+    lab_s = a.select(F.col("id").alias("s"), F.col("cluster_id").alias("ls"))
+    lab_d = a.select(F.col("id").alias("d"), F.col("cluster_id").alias("ld"))
+    contracted = (
+        e.join(lab_s, on="s", how="left")
+        .join(lab_d, on="d", how="left")
+        .select(
+            F.coalesce("ls", F.col("s")).alias("src"),
+            F.coalesce("ld", F.col("d")).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+    # tiny CC over labels; relabel = old label -> merged min label
+    relabel = connected_components(contracted).select(
+        F.col("id").alias("old_label"), F.col("cluster_id").alias("new_label")
+    )
+
+    updated = a.join(
+        relabel, a["cluster_id"] == relabel["old_label"], "left"
+    ).select("id", F.coalesce("new_label", F.col("cluster_id")).alias("cluster_id"))
+
+    # ids first seen in the delta: label = relabel(own id) else own id
+    seen = a.select("id")
+    new_ids = (
+        e.select(F.col("s").alias("id"))
+        .unionAll(e.select(F.col("d").alias("id")))
+        .distinct()
+        .join(seen, on="id", how="left_anti")
+    )
+    new_rows = new_ids.join(
+        relabel, new_ids["id"] == relabel["old_label"], "left"
+    ).select("id", F.coalesce("new_label", F.col("id")).alias("cluster_id"))
+
+    return updated.unionByName(new_rows)

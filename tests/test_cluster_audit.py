@@ -1,0 +1,86 @@
+"""Cluster quality audit + incremental closure maintenance."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from bigmatch_utilities_spark.operators.closure import connected_components
+from bigmatch_utilities_spark.operators.cluster_audit import (
+    cluster_quality,
+    cluster_quality_sql,
+    incremental_closure,
+)
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    # cluster {1,2,3}: triangle (clique, density 1.0)
+    # cluster {10,11,12,13}: chain 10-11-12-13 (density 0.5), weak link 0.3
+    # cluster {20,21}: single pair
+    # singleton 99 in assignments only (excluded: n_members < 2 never
+    # arises from CC-of-edges, but the filter is exercised via audit)
+    edges = [
+        (1, 2, 5.0), (2, 3, 4.0), (1, 3, 6.0),
+        (10, 11, 2.0), (11, 12, 0.3), (12, 13, 2.5),
+        (20, 21, 9.0),
+    ]
+    pairs = spark.createDataFrame(edges, "id_l long, id_r long, weight double")
+    assigns = connected_components(pairs.select(F.col("id_l").alias("src"), F.col("id_r").alias("dst")))
+    return pairs, assigns
+
+
+def test_cluster_quality_metrics(graph):
+    pairs, assigns = graph
+    out = {r.cluster_id: r for r in cluster_quality(assigns, pairs).collect()}
+    assert set(out) == {1, 10, 20}
+    assert (out[1].n_members, out[1].n_edges, out[1].density) == (3, 3, 1.0)
+    assert out[1].w_min == 4.0
+    assert (out[10].n_members, out[10].n_edges, out[10].density) == (4, 3, 0.5)
+    assert out[10].w_min == 0.3  # the over-merge signature: weak bridge
+    assert (out[20].n_members, out[20].n_edges, out[20].density) == (2, 1, 1.0)
+
+
+def test_cluster_quality_duckdb_parity(graph, tmp_path):
+    pairs, assigns = graph
+    pp, ap = str(tmp_path / "p.parquet"), str(tmp_path / "a.parquet")
+    pairs.write.mode("overwrite").parquet(pp)
+    assigns.write.mode("overwrite").parquet(ap)
+    spark_out = sorted(tuple(r) for r in cluster_quality(assigns, pairs).collect())
+    sql = cluster_quality_sql(
+        f"SELECT * FROM read_parquet('{ap}/*.parquet')",
+        f"SELECT * FROM read_parquet('{pp}/*.parquet')",
+    )
+    duck_out = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert spark_out == duck_out
+
+
+def _cc_pairs(df):
+    return {(r.id, r.cluster_id) for r in df.collect()}
+
+
+def test_incremental_equals_batch(spark):
+    old = [(1, 2), (2, 3), (10, 11), (20, 21), (30, 31)]
+    # deltas: merge {1,2,3} with {10,11}; brand-new nodes 40-41; a new
+    # node 5 joining {20,21}; an intra-cluster no-op edge (30,31 again);
+    # and a new node 0 whose id undercuts an existing cluster minimum
+    new = [(3, 10), (40, 41), (5, 20), (30, 31), (0, 21)]
+    e_old = spark.createDataFrame(old, "src long, dst long")
+    e_new = spark.createDataFrame(new, "src long, dst long")
+    assigns = connected_components(e_old)
+    inc = incremental_closure(assigns, e_new)
+    batch = connected_components(e_old.unionAll(e_new))
+    assert _cc_pairs(inc) == _cc_pairs(batch)
+    # label of the merged {20,21,5,0} component is the new global min 0
+    labels = dict(_cc_pairs(inc))
+    assert labels[21] == 0 and labels[5] == 0 and labels[20] == 0
+
+
+def test_incremental_no_deltas_touch_nothing(spark):
+    e_old = spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long")
+    assigns = connected_components(e_old)
+    # delta that is pure self-loops — output must equal the input table
+    e_new = spark.createDataFrame([(1, 1)], "src long, dst long")
+    out = incremental_closure(assigns, e_new)
+    assert _cc_pairs(out) == _cc_pairs(assigns)
