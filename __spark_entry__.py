@@ -1032,6 +1032,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ic_incremental_closure"] = ic
 
+    # ---- XW1: match-weight waterfall (per-field breakdown) ----------------
+    def xw(spark, sf):
+        from bigmatch_utilities_spark.operators.scoring import (
+            field_weight_columns,
+            pair_weight,
+        )
+
+        pairs = _blocked_pairs(spark, sf)
+        parts = field_weight_columns(_FS_FIELDS)
+        cols = [F.round(c, 6).alias(f"w_{n}") for n, c in parts.items()]
+        return (
+            pairs.select(
+                "id_l",
+                "id_r",
+                *cols,
+                F.round(pair_weight(_FS_FIELDS), 6).alias("weight"),
+            )
+            .orderBy(F.col("weight").desc(), "id_l", "id_r")
+            .limit(50)
+        )
+
+    q["xw_weight_waterfall"] = xw
+
     return q
 
 
@@ -1832,5 +1855,20 @@ def oracle_sql() -> dict[str, str]:
     # ic: the incremental path must equal the batch recompute over
     # (old ∪ delta) = ALL chain edges — i.e. exactly the batch CC
     o["ic_incremental_closure"] = _chain_cc_sql
+
+    # xw: per-field weight waterfall — field_weight_sql per field + sum
+    from bigmatch_utilities_spark.operators.scoring import field_weight_sql
+
+    _w_parts = ", ".join(
+        f"round({field_weight_sql(mf, 'rec_' + mf.name, 'mem_' + mf.name)}, 6)"
+        f" AS w_{mf.name}"
+        for mf in _FS_FIELDS
+    )
+    o["xw_weight_waterfall"] = f"""
+        SELECT id_l, id_r, {_w_parts}, round({_WEIGHT_SQL}, 6) AS weight
+        FROM ({_BLOCKED_PAIRS_SQL})
+        ORDER BY weight DESC, id_l, id_r
+        LIMIT 50
+    """
 
     return o

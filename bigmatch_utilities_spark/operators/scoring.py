@@ -105,6 +105,26 @@ def pair_weight(
     return reduce(lambda a, b: a + b, terms)
 
 
+def field_weight_columns(
+    match_fields: tuple[MatchField, ...],
+    rec_prefix: str = "rec_",
+    mem_prefix: str = "mem_",
+) -> dict[str, Column]:
+    """Per-field weight Columns — the waterfall breakdown behind
+    :func:`pair_weight`.  The reference shows only the summed weight as
+    the first token of each pairs row (app/MatchReview.py:188-202); the
+    per-field decomposition is the review view that explains WHY a pair
+    scored where it did (popularized by Splink's waterfall chart).  Same
+    Column arithmetic as pair_weight, so Σ breakdown == total exactly."""
+    out: dict[str, Column] = {}
+    for mf in match_fields:
+        lc = F.col(rec_prefix + mf.name)
+        rc = F.col(mem_prefix + mf.name)
+        sim = similarity(mf.comparator, lc, rc)
+        out[mf.name] = field_weight(mf, sim, lc, rc)
+    return out
+
+
 def pair_weight_sql(
     match_fields: tuple[MatchField, ...],
     rec_prefix: str = "rec_",

@@ -164,3 +164,33 @@ def test_spark_similarity_matches_duckdb_sql(spark, comparator):
             g,
             w,
         )
+
+
+def test_waterfall_breakdown_sums_to_pair_weight(spark):
+    """field_weight_columns is the exact decomposition of pair_weight."""
+    from pyspark.sql import functions as F
+
+    from bigmatch_utilities_spark.config import MatchField
+    from bigmatch_utilities_spark.operators.scoring import (
+        field_weight_columns,
+        pair_weight,
+    )
+
+    fields = (
+        MatchField(name="a", comparator="uo", m=0.9, u=0.1),
+        MatchField(name="b", comparator="c", m=0.8, u=0.2),
+    )
+    rows = [
+        ("martha", "marhta", "x", "x"),
+        ("jones", "johnson", "x", "y"),
+        ("", "anything", "x", "x"),  # blank -> 0 contribution for field a
+        (None, None, None, "y"),
+    ]
+    df = spark.createDataFrame(rows, "rec_a string, mem_a string, rec_b string, mem_b string")
+    parts = field_weight_columns(fields)
+    out = df.select(
+        sum(parts.values(), F.lit(0.0)).alias("sum_parts"),
+        pair_weight(fields).alias("total"),
+    ).collect()
+    for r in out:
+        assert r.sum_parts == pytest.approx(r.total, abs=1e-12)
