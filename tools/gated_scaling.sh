@@ -10,7 +10,10 @@ CLUSTERS=${CLUSTERS:-2000000}
 OUT=${OUT:-/tmp/scaling_gated.json}
 LOG=${LOG:-/tmp/scaling_gated.log}
 cd /root/repo
-for i in $(seq 1 200); do
+# bounded lifetime: ~3h of polling, then give up — the loop must never
+# outlive the build session (its probe bursts would pollute the round
+# driver's own bench run)
+for i in $(seq 1 ${ITERS:-72}); do
   v=$(python tools/cpu_ceiling.py --low "$LOW" --high "$HIGH" 2>/dev/null \
       | python -c "import json,sys;print(json.load(sys.stdin)['value'])")
   echo "$(date +%H:%M:%S) probe ${LOW}->${HIGH}: $v (gate $GATE)" >> "$LOG"
