@@ -1055,6 +1055,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["xw_weight_waterfall"] = xw
 
+    # ---- WH1: weight histogram with posterior match probability ----------
+    def wh(spark, sf):
+        from bigmatch_utilities_spark.operators.cutoffs import weight_histogram
+
+        s = _scored_pairs(spark, sf)
+        return weight_histogram(s, "weight", bin_width=0.5, lam=0.05)
+
+    q["wh_weight_histogram"] = wh
+
     return q
 
 
@@ -1870,5 +1879,12 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY weight DESC, id_l, id_r
         LIMIT 50
     """
+
+    # wh: binned weight histogram + posterior at the bin edge
+    from bigmatch_utilities_spark.operators.cutoffs import weight_histogram_sql
+
+    o["wh_weight_histogram"] = weight_histogram_sql(
+        _SCORED_PAIRS_SQL, "weight", bin_width=0.5, lam=0.05
+    )
 
     return o

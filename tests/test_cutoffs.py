@@ -1,0 +1,64 @@
+"""Posterior probability, cutoff suggestion, weight histogram."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from bigmatch_utilities_spark.operators.cutoffs import (
+    match_probability,
+    match_probability_sql,
+    suggest_cutoffs,
+    weight_cutoff_for,
+    weight_histogram,
+    weight_histogram_sql,
+)
+
+
+def test_cutoff_closed_form_inverts_posterior():
+    lam = 0.03
+    for p in (0.5, 0.9, 0.99):
+        w = weight_cutoff_for(p, lam)
+        # plug back in: posterior at w must equal p
+        post = lam * 2**w / (lam * 2**w + (1 - lam))
+        assert post == pytest.approx(p, abs=1e-12)
+
+
+def test_suggest_cutoffs_ordering_and_semantics():
+    acc, rev = suggest_cutoffs(0.05, p_accept=0.99, p_review=0.5)
+    assert acc > rev
+    # at λ=0.5 the prior term vanishes: w*(p) = log2 odds of p
+    acc2, rev2 = suggest_cutoffs(0.5, 0.99, 0.5)
+    assert rev2 == pytest.approx(0.0, abs=1e-12)
+    assert acc2 == pytest.approx(math.log2(99), abs=1e-12)
+
+
+def test_posterior_column_matches_scalar(spark):
+    lam = 0.05
+    df = spark.createDataFrame([(w,) for w in (-4.0, 0.0, 2.5, 8.0)], "w double")
+    got = df.select(match_probability("w", lam).alias("p")).collect()
+    for r, w in zip(got, (-4.0, 0.0, 2.5, 8.0)):
+        want = lam * 2**w / (lam * 2**w + 1 - lam)
+        assert r.p == pytest.approx(want, abs=1e-12)
+
+
+def test_histogram_bins_and_duckdb_parity(spark, tmp_path):
+    rows = [(i, float(-3.0 + i * 0.37)) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, weight double")
+    p = str(tmp_path / "w.parquet")
+    df.write.mode("overwrite").parquet(p)
+
+    out = weight_histogram(df, "weight", bin_width=0.5, lam=0.1)
+    got = {r.bin: r for r in out.collect()}
+    assert sum(r.n_pairs for r in got.values()) == 40
+    for b, r in got.items():
+        assert b * 0.5 <= r.w_min <= r.w_max < (b + 1) * 0.5
+
+    sql = weight_histogram_sql(
+        f"SELECT * FROM read_parquet('{p}/*.parquet')", "weight", 0.5, 0.1
+    )
+    duck = duckdb.connect().execute(sql).fetchall()
+    assert sorted(tuple(r) for r in out.collect()) == sorted(tuple(r) for r in duck)
