@@ -128,9 +128,26 @@ def main() -> None:
         enriched = result.pairs.select("id_rec", "id_mem").join(
             rec, "id_rec"
         ).join(mem, "id_mem")
-        estimate_mu(enriched, fields).write.mode("overwrite").parquet(
-            f"{args.output}/mu_estimates"
+        mu = estimate_mu(enriched, fields)
+        mu.write.mode("overwrite").parquet(f"{args.output}/mu_estimates")
+
+        # close the loop: λ -> closed-form cutoff pair + the histogram the
+        # reviewer sanity-checks them against (cutoffs.py module docs)
+        from bigmatch_utilities_spark.operators.cutoffs import (
+            suggest_cutoffs,
+            weight_histogram,
         )
+
+        lam = mu.select("lam").first()["lam"]
+        acc, rev = suggest_cutoffs(lam, p_accept=0.99, p_review=0.5)
+        spark.createDataFrame(
+            [(round(lam, 6), round(acc, 6), round(rev, 6), 0.99, 0.5)],
+            "lam double, accept_cutoff double, print_cutoff double, "
+            "p_accept double, p_review double",
+        ).write.mode("overwrite").parquet(f"{args.output}/cutoff_suggestions")
+        weight_histogram(result.pairs, "weight", bin_width=0.5, lam=lam).write.mode(
+            "overwrite"
+        ).parquet(f"{args.output}/weight_histogram")
     spark.stop()
 
 
