@@ -127,25 +127,37 @@ def incremental_closure(
 
     Cost model: the iterative closure runs on the CONTRACTED graph
     (one node per touched cluster label) — O(|new_edges|) work however
-    large the standing table is.  The standing table is touched by two
-    equi-joins on id (broadcast when the delta's endpoint set is small;
-    shuffle otherwise) and one join on cluster_id for the relabel.
+    large the standing table is.  The standing table is touched ONLY by
+    map-only broadcast joins (no shuffle of the big side): one
+    broadcast-INNER lookup of the delta's endpoint set (Spark builds the
+    hash on the broadcast endpoints and streams the table — with an
+    id-bucketed Iceberg layout the scan also bucket-prunes) and one
+    broadcast-LEFT relabel against the tiny old→new label map.  Every
+    other frame in the function is O(|new_edges|).
     """
     e = new_edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).filter(
         F.col("s") != F.col("d")
     )
     a = assignments.select("id", "cluster_id")
 
-    # endpoint -> current label (unseen endpoints label themselves)
-    lab_s = a.select(F.col("id").alias("s"), F.col("cluster_id").alias("ls"))
-    lab_d = a.select(F.col("id").alias("d"), F.col("cluster_id").alias("ld"))
+    # delta endpoint set (small by the incremental-mode contract — a huge
+    # delta belongs in the batch path) and its current labels, fetched
+    # with ONE map-only broadcast-inner scan of the standing table
+    ends = (
+        e.select(F.col("s").alias("id"))
+        .unionAll(e.select(F.col("d").alias("id")))
+        .distinct()
+    )
+    found = a.join(F.broadcast(ends), on="id", how="inner")
+    # unseen endpoints label themselves; small ⋈ small from here on
+    lab = ends.join(found, on="id", how="left").select(
+        "id", F.coalesce("cluster_id", F.col("id")).alias("lab")
+    )
+
     contracted = (
-        e.join(lab_s, on="s", how="left")
-        .join(lab_d, on="d", how="left")
-        .select(
-            F.coalesce("ls", F.col("s")).alias("src"),
-            F.coalesce("ld", F.col("d")).alias("dst"),
-        )
+        e.join(lab.select(F.col("id").alias("s"), F.col("lab").alias("ls")), on="s")
+        .join(lab.select(F.col("id").alias("d"), F.col("lab").alias("ld")), on="d")
+        .select(F.col("ls").alias("src"), F.col("ld").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
@@ -156,17 +168,11 @@ def incremental_closure(
     )
 
     updated = a.join(
-        relabel, a["cluster_id"] == relabel["old_label"], "left"
+        F.broadcast(relabel), a["cluster_id"] == relabel["old_label"], "left"
     ).select("id", F.coalesce("new_label", F.col("cluster_id")).alias("cluster_id"))
 
     # ids first seen in the delta: label = relabel(own id) else own id
-    seen = a.select("id")
-    new_ids = (
-        e.select(F.col("s").alias("id"))
-        .unionAll(e.select(F.col("d").alias("id")))
-        .distinct()
-        .join(seen, on="id", how="left_anti")
-    )
+    new_ids = ends.join(found.select("id"), on="id", how="left_anti")
     new_rows = new_ids.join(
         relabel, new_ids["id"] == relabel["old_label"], "left"
     ).select("id", F.coalesce("new_label", F.col("id")).alias("cluster_id"))
