@@ -1064,6 +1064,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["wh_weight_histogram"] = wh
 
+    # ---- EV1: pairwise precision/recall/F1 vs labeled truth ---------------
+    def ev(spark, sf):
+        from bigmatch_utilities_spark.operators.evaluate import pairwise_metrics
+
+        s = _scored_pairs(spark, sf)
+        # how well does the c4 'match' band recover the exact partition?
+        pred = s.filter(F.col("weight") >= 2.0).select("id_l", "id_r")
+        truth = s.filter(F.col("is_exact")).select("id_l", "id_r")
+        return pairwise_metrics(pred, truth)
+
+    q["ev_pairwise_metrics"] = ev
+
     return q
 
 
@@ -1886,5 +1898,12 @@ def oracle_sql() -> dict[str, str]:
     o["wh_weight_histogram"] = weight_histogram_sql(
         _SCORED_PAIRS_SQL, "weight", bin_width=0.5, lam=0.05
     )
+
+    # ev: pairwise metrics vs the identical-hash truth pairs
+    from bigmatch_utilities_spark.operators.evaluate import pairwise_metrics_sql
+
+    _pred_sql = f"SELECT id_l, id_r FROM ({_SCORED_PAIRS_SQL}) WHERE weight >= 2.0"
+    _truth_sql = f"SELECT id_l, id_r FROM ({_SCORED_PAIRS_SQL}) WHERE is_exact"
+    o["ev_pairwise_metrics"] = pairwise_metrics_sql(_pred_sql, _truth_sql)
 
     return o
