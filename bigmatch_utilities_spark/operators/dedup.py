@@ -17,7 +17,6 @@ from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 @contextmanager
@@ -70,11 +69,17 @@ def exact_duplicates(
 
 
 def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Keep the min-id representative of each identical-content group."""
-    w = F.row_number().over(
-        Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(id_col))
-    )
-    return df.withColumn("_rn", w).filter(F.col("_rn") == 1).drop("_rn")
+    """Keep the min-id representative of each identical-content group.
+
+    Shape: ``groupBy(sha).agg(min(id))`` + semi-join — a map-side-combined
+    aggregation plus an equi-join, never a whole-row window sort (the
+    min-struct argmax discipline used across the repo; a window here would
+    add a per-partition sort of every row on the big side for no gain).
+    """
+    sha = F.sha2(F.col(text_col), 256)
+    tagged = df.withColumn("_sha", sha)
+    keep = tagged.groupBy("_sha").agg(F.min(F.col(id_col)).alias(id_col))
+    return tagged.join(keep, on=["_sha", id_col], how="left_semi").drop("_sha")
 
 
 # ---------------------------------------------------------------------------

@@ -71,7 +71,7 @@ def with_tf_weight(
     mem_prefix: str = "mem_",
     tf_floor: float = TF_FLOOR,
     out_col: str | None = None,
-    broadcast_tf: bool = True,
+    broadcast_tf: bool | None = None,
 ) -> DataFrame:
     """Attach a TF-adjusted field weight column for exact agreement on
     ``mf`` (the `c` comparator case — the one TF adjustment applies to;
@@ -83,22 +83,38 @@ def with_tf_weight(
 
     ``tf`` is the (value, tf) frame from :func:`tf_table` on the SAME
     population the pairs were drawn from.
+
+    Join sizing (``broadcast_tf``): the tf table's row count is the field's
+    distinct-value count — a handful for `state`, 10^8+ for `surname` at
+    10^12 rows, where a forced broadcast OOMs the driver.  The default
+    ``None`` therefore plans a plain equi-join and lets AQE convert it to a
+    broadcast join at runtime from the *measured* map-stage size (Spark
+    already makes exactly this decision with real statistics — hand-picking
+    from a driver-side ``tf.count()`` would recompute the aggregation and
+    still guess at bytes).  Pass ``True``/``False`` only to force a side
+    when the caller knows the cardinality a priori.
+
+    The tf columns are joined under collision-proof internal names, so a
+    pairs frame that itself carries ``value``/``tf`` columns is untouched.
     """
     lc, rc = F.col(rec_prefix + mf.name), F.col(mem_prefix + mf.name)
     dis = disagreement_weight(mf.m, mf.u)
     out = out_col or f"w_{mf.name}"
-    tf_side = F.broadcast(tf) if broadcast_tf else tf
+    tf_slim = tf.select(
+        F.col("value").alias("_tf_value"), F.col("tf").alias("_tf")
+    )
+    tf_side = F.broadcast(tf_slim) if broadcast_tf else tf_slim
     blank = (lc.isNull() | (F.trim(lc) == "")) | (rc.isNull() | (F.trim(rc) == ""))
-    joined = pairs.join(tf_side, lc == tf_side["value"], "left")
+    joined = pairs.join(tf_side, lc == tf_side["_tf_value"], "left")
     return joined.withColumn(
         out,
         F.when(blank, F.lit(0.0))
         .when(
             lc == rc,
-            F.log2(F.lit(mf.m) / F.greatest(F.col("tf"), F.lit(tf_floor))),
+            F.log2(F.lit(mf.m) / F.greatest(F.col("_tf"), F.lit(tf_floor))),
         )
         .otherwise(F.lit(dis)),
-    ).drop("value", "tf")
+    ).drop("_tf_value", "_tf")
 
 
 def tf_weight_sql(

@@ -80,7 +80,9 @@ class CheckpointedMatch:
         return self._fs(p).exists(self._hpath(p))
 
     def read_marker(self, pass_id: int) -> dict | None:
-        p = self._marker_path(pass_id)
+        return self._read_json(self._marker_path(pass_id))
+
+    def _read_json(self, p: str) -> dict | None:
         fs = self._fs(p)
         if not fs.exists(self._hpath(p)):
             return None
@@ -95,7 +97,9 @@ class CheckpointedMatch:
     def _write_marker(
         self, pass_id: int, payload: dict, slice_id: int | None = None
     ) -> None:
-        path = self._marker_path(pass_id, slice_id)
+        self._write_json(self._marker_path(pass_id, slice_id), payload)
+
+    def _write_json(self, path: str, payload: dict) -> None:
         tmp = f"{path}.tmp.{uuid.uuid4().hex}"
         fs = self._fs(path)
         out = fs.create(self._hpath(tmp), True)
@@ -214,6 +218,25 @@ class CheckpointedMatch:
                 F.coalesce(F.col(bf.name).cast("string"), F.lit(""))
                 for bf in spec.block_fields
             ]
+            # The hash-mod layout is only resumable at the SAME slice
+            # count: a sidecar written before the first slice pins it, and
+            # a resume with a different --slices fails fast instead of
+            # silently skipping/duplicating blocks whose shard assignment
+            # moved (ADVICE r3).
+            slices_sidecar = f"{self.out}/markers/pass_{k:02d}_slices.json"
+            pinned = self._read_json(slices_sidecar)
+            if pinned is None:
+                self._write_json(slices_sidecar, {"slices": int(slices)})
+            elif int(pinned["slices"]) != int(slices):
+                raise ValueError(
+                    f"pass {k}: resuming with slices={slices}, but this "
+                    f"pass's existing slice markers were written with "
+                    f"slices={pinned['slices']} — the blocking-key "
+                    "hash-mod layout differs, so completed slices would "
+                    "not line up. Resume with the original value, or "
+                    f"delete {pairs_path} and {self.out}/markers/"
+                    f"pass_{k:02d}* to restart the pass."
+                )
             slice_of = F.pmod(F.xxhash64(*key_cols), F.lit(slices))
             total_pairs = 0
             for s in range(slices):
@@ -230,7 +253,9 @@ class CheckpointedMatch:
                 df_s = self.spark.read.parquet(slice_path)
                 n = self._record_unit(df_s, k, s, time.time() - t0)
                 self._write_marker(
-                    k, {"pairs": n, "wall_s": time.time() - t0}, slice_id=s
+                    k,
+                    {"pairs": n, "wall_s": time.time() - t0, "slices": int(slices)},
+                    slice_id=s,
                 )
             # pass marker after every slice committed: pass_complete stays
             # the fast whole-pass check on later resumes.

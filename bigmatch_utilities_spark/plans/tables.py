@@ -24,10 +24,50 @@ parquet); the DDL + writeTo path is the production wiring.
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
+
+#: Error markers that mean "this session has no Iceberg support" — the ONLY
+#: condition fmt="auto" is allowed to paper over. Anything else (a transient
+#: catalog commit failure, a permission error, a conflict) re-raises: on a
+#: real Iceberg deployment a silent parquet detour — to a local dir literally
+#: named after the catalog table — would be data loss in disguise (ADVICE r3).
+_MISSING_ICEBERG_MARKERS = (
+    "data_source_not_found",
+    "failed to find the data source",
+    "classnotfound",
+    "cannot find catalog",
+    "catalog_not_found",
+    "nosuchcatalog",
+    "catalog plugin",
+)
+
+
+#: `target` was a filesystem path (or otherwise not a parsable catalog
+#: identifier) — it cannot name an Iceberg table, so auto mode may use the
+#: parquet layout for it.
+_NOT_AN_IDENTIFIER_MARKERS = (
+    "parseexception",
+    "parse_syntax_error",
+    "invalid identifier",
+    "requires_single_part_namespace",
+    "schema_not_found",
+)
+
+
+def _missing_iceberg(exc: Exception) -> bool:
+    msg = str(exc).lower()
+    return any(m in msg for m in _MISSING_ICEBERG_MARKERS)
+
+
+def _not_an_identifier(exc: Exception) -> bool:
+    msg = f"{type(exc).__name__} {exc}".lower()
+    return any(m in msg for m in _NOT_AN_IDENTIFIER_MARKERS)
 
 try:  # pyspark >= 4.0 moved partition transforms out of the main namespace
     from pyspark.sql.functions import partitioning as _partitioning
@@ -132,12 +172,25 @@ def write_table(
                 writer.append()
             else:
                 writer.createOrReplace()
+            _LOG.info("write_table: wrote %s via Iceberg writeTo", target)
             return "iceberg"
-        except Exception:
-            if fmt == "iceberg":
+        except Exception as exc:
+            # auto only falls back when the session demonstrably lacks
+            # Iceberg or the target is a plain path, never a catalog
+            # identifier; real write/commit errors always surface.
+            if fmt == "iceberg" or not (
+                _missing_iceberg(exc) or _not_an_identifier(exc)
+            ):
                 raise
+            _LOG.warning(
+                "write_table: session has no Iceberg support (%s); "
+                "falling back to partitioned parquet at %s",
+                str(exc).splitlines()[0][:200],
+                target,
+            )
     out, cols = _fallback_columns(df, spec)
     out.write.mode(mode).partitionBy(*cols).parquet(target)
+    _LOG.info("write_table: wrote %s via partitioned parquet", target)
     return "parquet"
 
 
@@ -149,7 +202,19 @@ def read_table(spark, target: str, fmt: str = "auto") -> DataFrame:
     if fmt in ("auto", "iceberg"):
         try:
             return spark.read.table(target)
-        except Exception:
+        except Exception as exc:
             if fmt == "iceberg":
                 raise
+            # auto falls back only when `target` is not resolvable AS a
+            # catalog table (missing catalog/table, or a filesystem path
+            # that can't parse as an identifier) — genuine read errors on a
+            # resolved table re-raise.
+            not_found = "table_or_view_not_found" in str(exc).lower()
+            if not (
+                not_found or _not_an_identifier(exc) or _missing_iceberg(exc)
+            ):
+                raise
+            _LOG.info(
+                "read_table: %s is not a catalog table; reading parquet", target
+            )
     return spark.read.parquet(target)

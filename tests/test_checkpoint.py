@@ -163,6 +163,44 @@ def test_mid_pass_failure_resumes_at_slice_granularity(spark, tmp_path, monkeypa
     assert _pairs_set(resumed) == direct
 
 
+def test_resume_with_different_slice_count_fails_fast(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r3: a partially completed sliced pass pins its slice count in
+    a sidecar; resuming with a different --slices must raise instead of
+    silently mixing hash-mod layouts (which would duplicate some blocks'
+    pairs and drop others)."""
+    import pytest
+
+    from bigmatch_utilities_spark.plans import checkpoint as ck_mod
+
+    cfg, rec, mem = _inputs(spark)
+    out = str(tmp_path / "run_slicemix")
+    real_score = ck_mod.score_pass
+    calls = {"n": 0}
+
+    def dying_score(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] > 1:  # die after 1 of 4 slices committed
+            raise RuntimeError("injected failure")
+        return real_score(*a, **kw)
+
+    monkeypatch.setattr(ck_mod, "score_pass", dying_score)
+    with pytest.raises(RuntimeError):
+        CheckpointedMatch(spark, out).run(rec, mem, cfg, id_col="id", slices=4)
+    monkeypatch.setattr(ck_mod, "score_pass", real_score)
+
+    with pytest.raises(ValueError, match="slices=4"):
+        CheckpointedMatch(spark, out).run(rec, mem, cfg, id_col="id", slices=8)
+
+    # the original slice count still resumes cleanly to the exact result
+    resumed = CheckpointedMatch(spark, out).run(
+        rec, mem, cfg, id_col="id", slices=4
+    )
+    direct = _pairs_set(run_match(rec, mem, cfg, id_col="id"))
+    assert _pairs_set(resumed) == direct
+
+
 def test_metrics_table(spark, tmp_path):
     cfg, rec, mem = _inputs(spark)
     ckpt = CheckpointedMatch(spark, str(tmp_path / "run3"))

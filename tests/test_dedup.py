@@ -37,6 +37,10 @@ def test_dedup_exact_keeps_min_id(spark):
     kept = dedup_exact(_docs(spark), "text", "doc_id")
     ids = sorted(r["doc_id"] for r in kept.collect())
     assert ids == [1, 3, 4, 5, 6]
+    # VERDICT r4 item 7: the keep-one plan is groupBy+semi-join, never a
+    # whole-row window sort on the big side
+    plan = kept._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
 
 
 def test_word_shingles(spark):

