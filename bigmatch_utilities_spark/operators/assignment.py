@@ -49,22 +49,38 @@ def one_to_one(
     rec_col: str = "id_rec",
     mem_col: str = "id_mem",
     weight_col: str = "weight",
+    assume_distinct: bool = False,
 ) -> DataFrame:
-    """Mutual-best-match filter: the input pair rows where each side is the
-    other's best partner.  Input columns pass through unchanged."""
-    best_r = _best_per_side(pairs, rec_col, mem_col, weight_col)
-    best_m = _best_per_side(pairs, mem_col, rec_col, weight_col)
+    """Mutual-best-match filter: the pairs where each side is the other's
+    best partner.  Output columns: (rec_col, mem_col, weight_col).
+
+    Non-distinct input — the same (rec, mem) pair appearing twice, possibly
+    at different weights — is collapsed to its max weight FIRST, so the
+    result is one row per kept pair exactly like the row_number oracle
+    (ADVICE r3: the semi-join formulation would otherwise emit the
+    duplicates).  The collapse is one map-side-combined groupBy; callers
+    whose pairs are distinct by construction (e.g. `first_pass_wins`
+    output) can pass ``assume_distinct=True`` to skip that shuffle."""
+    cols = [F.col(rec_col), F.col(mem_col), F.col(weight_col)]
+    if assume_distinct:
+        d = pairs.select(*cols)
+    else:
+        d = pairs.groupBy(rec_col, mem_col).agg(
+            F.max(F.col(weight_col)).alias(weight_col)
+        )
+    best_r = _best_per_side(d, rec_col, mem_col, weight_col)
+    best_m = _best_per_side(d, mem_col, rec_col, weight_col)
     return (
-        pairs.join(
+        d.join(
             best_r,
-            (pairs[rec_col] == best_r["_bk"])
-            & (pairs[mem_col] == best_r[f"best_{mem_col}"]),
+            (d[rec_col] == best_r["_bk"])
+            & (d[mem_col] == best_r[f"best_{mem_col}"]),
             "left_semi",
         )
         .join(
             best_m,
-            (pairs[mem_col] == best_m["_bk"])
-            & (pairs[rec_col] == best_m[f"best_{rec_col}"]),
+            (d[mem_col] == best_m["_bk"])
+            & (d[rec_col] == best_m[f"best_{rec_col}"]),
             "left_semi",
         )
     )
@@ -77,11 +93,12 @@ def one_to_one_sql(
     weight_col: str = "weight",
 ) -> str:
     """DuckDB twin of :func:`one_to_one` (row_number argmax — same pair
-    selection: weight desc after 6dp rounding, ties to smallest id)."""
+    selection: weight desc after 6dp rounding, ties to smallest id; same
+    duplicate-pair collapse to max weight first)."""
     return f"""
         SELECT {rec_col}, {mem_col}, {weight_col}
         FROM (
-            SELECT p.*,
+            SELECT d.*,
                    row_number() OVER (
                        PARTITION BY {rec_col}
                        ORDER BY round({weight_col}, 6) DESC, {mem_col} ASC
@@ -90,7 +107,11 @@ def one_to_one_sql(
                        PARTITION BY {mem_col}
                        ORDER BY round({weight_col}, 6) DESC, {rec_col} ASC
                    ) AS rk_m
-            FROM ({pairs_sql}) p
+            FROM (
+                SELECT {rec_col}, {mem_col}, max({weight_col}) AS {weight_col}
+                FROM ({pairs_sql}) p
+                GROUP BY {rec_col}, {mem_col}
+            ) d
         )
         WHERE rk_r = 1 AND rk_m = 1
     """

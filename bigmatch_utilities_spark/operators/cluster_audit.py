@@ -49,8 +49,22 @@ def cluster_quality(
     a = assignments.select(F.col("id"), F.col("cluster_id"))
     sizes = a.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
 
+    # canonicalize edges first (ADVICE r3): duplicate rows or both
+    # orientations of one pair would double-count n_edges, skew w_avg, and
+    # push density past 1.0 — corrupting the chain-vs-clique signal. One
+    # undirected edge per pair, keeping the max weight; self-loops dropped.
+    canon = (
+        pairs.select(
+            F.least(F.col(id_l), F.col(id_r)).alias("_l"),
+            F.greatest(F.col(id_l), F.col(id_r)).alias("_r"),
+            F.col(weight_col).alias("_w"),
+        )
+        .filter(F.col("_l") != F.col("_r"))
+        .groupBy("_l", "_r")
+        .agg(F.max("_w").alias("_w"))
+    )
     e = (
-        pairs.select(F.col(id_l).alias("_l"), F.col(id_r).alias("_r"), F.col(weight_col).alias("_w"))
+        canon
         .join(a.select(F.col("id").alias("_l"), F.col("cluster_id").alias("_cl")), on="_l")
         .join(a.select(F.col("id").alias("_r"), F.col("cluster_id").alias("_cr")), on="_r")
         .filter(F.col("_cl") == F.col("_cr"))
@@ -90,14 +104,22 @@ def cluster_quality_sql(
         sizes AS (
             SELECT cluster_id, count(*) AS n_members FROM asg GROUP BY cluster_id
         ),
+        canon AS (
+            SELECT least(p.{id_l}, p.{id_r}) AS _l,
+                   greatest(p.{id_l}, p.{id_r}) AS _r,
+                   max(p.{weight_col}) AS _w
+            FROM ({pairs_sql}) p
+            WHERE least(p.{id_l}, p.{id_r}) <> greatest(p.{id_l}, p.{id_r})
+            GROUP BY 1, 2
+        ),
         es AS (
             SELECT al.cluster_id AS cluster_id,
                    count(*) AS n_edges,
-                   round(min(p.{weight_col}), 6) AS w_min,
-                   round(avg(p.{weight_col}), 6) AS w_avg
-            FROM ({pairs_sql}) p
-            JOIN asg al ON al.id = p.{id_l}
-            JOIN asg ar ON ar.id = p.{id_r}
+                   round(min(c._w), 6) AS w_min,
+                   round(avg(c._w), 6) AS w_avg
+            FROM canon c
+            JOIN asg al ON al.id = c._l
+            JOIN asg ar ON ar.id = c._r
             WHERE al.cluster_id = ar.cluster_id
             GROUP BY al.cluster_id
         )

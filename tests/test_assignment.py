@@ -51,6 +51,30 @@ def test_no_window_in_plan(pairs):
     assert "Window" not in plan
 
 
+def test_duplicate_pairs_collapse_to_one_row(spark, tmp_path):
+    """ADVICE r3: duplicate (rec, mem) rows — or the same pair at several
+    weights — must yield ONE output row matching the row_number oracle."""
+    dup = spark.createDataFrame(
+        [
+            (1, 101, 8.0),
+            (1, 101, 8.0),  # exact duplicate row
+            (2, 102, 5.0),
+            (2, 102, 7.0),  # same pair at two weights -> keep max
+            (3, 102, 6.0),  # m102 prefers r2 at the collapsed 7.0
+        ],
+        SCHEMA,
+    )
+    out = one_to_one(dup).collect()
+    got = sorted((r["id_rec"], r["id_mem"], r["weight"]) for r in out)
+    assert got == [(1, 101, 8.0), (2, 102, 7.0)]
+
+    pq = str(tmp_path / "dup.parquet")
+    dup.write.mode("overwrite").parquet(pq)
+    sql = one_to_one_sql(f"SELECT * FROM read_parquet('{pq}/*.parquet')")
+    want = sorted(duckdb.connect().execute(sql).fetchall())
+    assert got == want
+
+
 def test_parity_with_duckdb(pairs, tmp_path):
     pq = str(tmp_path / "pairs.parquet")
     pairs.write.mode("overwrite").parquet(pq)

@@ -42,6 +42,32 @@ def test_cluster_quality_metrics(graph):
     assert (out[20].n_members, out[20].n_edges, out[20].density) == (2, 1, 1.0)
 
 
+def test_cluster_quality_canonicalizes_edges(spark):
+    """ADVICE r3: duplicate rows and both orientations of one pair must
+    count as ONE undirected edge (max weight kept) — density stays <= 1
+    and the chain-vs-clique signal is preserved."""
+    noisy = spark.createDataFrame(
+        [
+            (1, 2, 5.0),
+            (2, 1, 5.5),   # reverse orientation, higher weight
+            (1, 2, 5.0),   # exact duplicate
+            (2, 3, 4.0),
+            (7, 7, 9.0),   # self-loop: ignored
+        ],
+        "id_l long, id_r long, weight double",
+    )
+    assigns = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "id long, cluster_id long"
+    )
+    out = cluster_quality(assigns, noisy).collect()
+    assert len(out) == 1
+    r = out[0]
+    # 3 members, 2 distinct undirected edges (1-2 at max 5.5, 2-3 at 4.0)
+    assert (r.n_members, r.n_edges) == (3, 2)
+    assert r.density == pytest.approx(2 / 3, abs=1e-6)
+    assert r.w_min == 4.0 and r.w_avg == pytest.approx(4.75)
+
+
 def test_cluster_quality_duckdb_parity(graph, tmp_path):
     pairs, assigns = graph
     pp, ap = str(tmp_path / "p.parquet"), str(tmp_path / "a.parquet")
