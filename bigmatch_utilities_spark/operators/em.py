@@ -100,19 +100,28 @@ def pattern_histogram(
     Columns ``g_<field>`` (int 0/1) + ``n`` (count).  This is the single
     distributed pass of the estimator; partial aggregation collapses each
     task's output to <= 2^K rows before the shuffle.
+
+    Fast path: when `pairs` already carries every ``g_<field>`` column
+    (scoring ran with ``gamma_fields=...``, which computes the indicators
+    in the same stage as the weights), those are aggregated directly — no
+    comparator re-evaluation, no join back to the source table.  That is
+    how ``run_match --estimate-mu`` folds EM onto the one scoring pass.
     """
-    gammas = [
-        gamma_column(
-            mf,
-            F.col(rec_prefix + mf.name),
-            F.col(mem_prefix + mf.name),
-            agree_threshold,
-        ).alias(f"g_{mf.name}")
-        for mf in match_fields
-    ]
-    return pairs.select(*gammas).groupBy(
-        *[f"g_{mf.name}" for mf in match_fields]
-    ).count().withColumnRenamed("count", "n")
+    gcols = [f"g_{mf.name}" for mf in match_fields]
+    if all(c in pairs.columns for c in gcols):
+        projected = pairs.select(*gcols)
+    else:
+        gammas = [
+            gamma_column(
+                mf,
+                F.col(rec_prefix + mf.name),
+                F.col(mem_prefix + mf.name),
+                agree_threshold,
+            ).alias(f"g_{mf.name}")
+            for mf in match_fields
+        ]
+        projected = pairs.select(*gammas)
+    return projected.groupBy(*gcols).count().withColumnRenamed("count", "n")
 
 
 def em_fit(

