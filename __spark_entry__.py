@@ -529,6 +529,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mm_byte_features"] = mm
 
+    # ---- multimodal: real image decode (P6 PPM) through the decoder seam ------
+    def mm_img(spark, sf):
+        from bigmatch_utilities_spark.operators.multimodal import image_stats
+
+        # Deterministic 16x8 P6 payloads synthesized per doc_id: pixel byte
+        # p (0..383) is (doc_id*7 + p*13) % 256. The Spark side builds REAL
+        # PPM bytes (header + raster) and decodes them with the
+        # dependency-free P6 decoder inside mapInPandas; the oracle computes
+        # the same channel means by byte arithmetic — if the decoder
+        # misparses the header or raster the means shift and the hash fails.
+        w, h = 16, 8
+        header_hex = (b"P6\n%d %d\n255\n" % (w, h)).hex()
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+        body_hex = F.concat_ws(
+            "",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(w * h * 3 - 1)),
+                lambda p: F.lpad(
+                    F.hex(F.pmod(F.col("doc_id") * 7 + p * 13, F.lit(256))),
+                    2,
+                    "0",
+                ),
+            ),
+        )
+        media = d.select(
+            F.col("doc_id").alias("media_id"),
+            F.unhex(F.concat(F.lit(header_hex), body_hex)).alias("media"),
+        )
+        return image_stats(media)
+
+    q["mm_image_stats"] = mm_img
+
     # ---- dedup: exact (hash-groupBy) over planted byte-identical copies ------
     def dd_exact(spark, sf):
         from bigmatch_utilities_spark.operators.dedup import exact_duplicates
@@ -1753,6 +1785,27 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(h.bin15, 0) AS BIGINT) AS bin15,
                CAST(coalesce(h.n_bytes, 0) AS BIGINT) AS n_bytes
         FROM b LEFT JOIN h ON b.doc_id = h.doc_id
+    """
+
+    # mm_image_stats: the Spark side decodes REAL P6 PPM payloads; the
+    # oracle reproduces the channel means from the generating byte formula
+    # (doc_id*7 + p*13) % 256 over raster positions p — per RGB channel
+    # p % 3 = 0/1/2. Means are exact sum/128 doubles on both engines.
+    o["mm_image_stats"] = """
+        WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        pos AS (
+            SELECT d.doc_id, p.p
+            FROM d CROSS JOIN (SELECT unnest(range(0, 384)) AS p) p
+        ),
+        v AS (
+            SELECT doc_id, p, (doc_id * 7 + p * 13) % 256 AS b FROM pos
+        )
+        SELECT doc_id AS media_id,
+               16 AS width, 8 AS height,
+               avg(CASE WHEN p % 3 = 0 THEN b END) AS mean_r,
+               avg(CASE WHEN p % 3 = 1 THEN b END) AS mean_g,
+               avg(CASE WHEN p % 3 = 2 THEN b END) AS mean_b
+        FROM v GROUP BY doc_id
     """
 
     # st: the AvailableNow streaming output is deterministic — its oracle is

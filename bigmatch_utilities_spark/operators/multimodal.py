@@ -44,14 +44,50 @@ def attach_media(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _decode_image(payload: bytes) -> "np.ndarray":
-    """Real decoder seam. In production: PIL/turbojpeg → HxWx3 uint8.
+def _decode_ppm(payload: bytes) -> "np.ndarray":
+    """Dependency-free binary-PPM (P6, maxval <= 255) decoder → HxWx3 uint8.
 
-    Not available in this container — any caller needing true pixel data
-    must land here and fail loudly rather than silently fake it.
+    Full header grammar: magic, then width/height/maxval tokens separated
+    by arbitrary whitespace, '#' comments allowed between tokens, exactly
+    one whitespace byte before the raster (netpbm spec)."""
+    pos = 2  # past b"P6"
+    fields: list[int] = []
+    n = len(payload)
+    while len(fields) < 3:
+        while pos < n and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < n and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < n and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit-per-channel PPM is not supported")
+    need = w * h * 3
+    if n - pos < need:
+        raise ValueError(f"PPM raster truncated: need {need}, have {n - pos}")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+    return raster.reshape(h, w, 3)
+
+
+def _decode_image(payload: bytes) -> "np.ndarray":
+    """Real decoder seam → HxWx3 uint8.
+
+    Binary PPM (P6) decodes here dependency-free — the one uncompressed
+    format the container can exercise end-to-end. Every compressed format
+    (JPEG/PNG/...) needs pillow/libjpeg, absent in this environment: those
+    payloads fail loudly rather than silently fake pixels.
     """
+    if payload is not None and bytes(payload[:2]) == b"P6":
+        return _decode_ppm(bytes(payload))
     raise NotImplementedError(
-        "image decoding requires pillow/libjpeg; not available in this environment"
+        "only binary PPM (P6) decodes without codec libraries; "
+        "JPEG/PNG decoding requires pillow/libjpeg, not available here"
     )
 
 
@@ -110,6 +146,57 @@ def extract_features(
 
     return df.select(id_col, media_col).mapInPandas(
         run, schema=f"{id_col} long, features array<float>"
+    )
+
+
+def image_stats(
+    df: DataFrame,
+    *,
+    media_col: str = "media",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Decode images and emit per-image pixel statistics:
+
+        (media_id, width, height, mean_r, mean_g, mean_b)
+
+    Runs THROUGH the real decoder seam (:func:`_decode_image`) inside one
+    map-only ``mapInPandas`` — the end-to-end image path, not the byte
+    fallback. P6 PPM payloads decode dependency-free; anything else raises
+    (loud-failure contract). Channel means are exact ``sum/n`` doubles so
+    an oracle computing the same arithmetic matches bit-for-bit.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, mr, mg, mb = [], [], [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[media_col]):
+                px = _decode_image(payload)
+                h, w, _ = px.shape
+                sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                npx = float(h * w)
+                ids.append(mid)
+                ws.append(w)
+                hs.append(h)
+                mr.append(sums[0] / npx)
+                mg.append(sums[1] / npx)
+                mb.append(sums[2] / npx)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "width": ws,
+                    "height": hs,
+                    "mean_r": mr,
+                    "mean_g": mg,
+                    "mean_b": mb,
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, width int, height int, "
+            "mean_r double, mean_g double, mean_b double"
+        ),
     )
 
 
