@@ -38,6 +38,10 @@ from bigmatch_utilities_spark.operators.textanalysis import (
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
+#: synonym map for the sx_standardize query — canonicalizes the testdata
+#: vocabulary the way a nickname/abbreviation table would canonicalize names
+_SX_SYNONYMS = {"agg": "aggregate", "fast": "quick", "the": "a"}
+
 # ---------------------------------------------------------------------------
 # shared building blocks (Spark side)
 # ---------------------------------------------------------------------------
@@ -1108,6 +1112,90 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ev_pairwise_metrics"] = ev
 
+    # ---- WN1: winnowing fingerprint profile (MOSS-style) ------------------
+    def wn_profile(spark, sf):
+        from bigmatch_utilities_spark.operators.winnow import winnow_profile
+
+        return winnow_profile(_t(spark, sf, "documents"), "text", "doc_id")
+
+    q["wn_winnow_profile"] = wn_profile
+
+    # ---- WN2: shared-fingerprint candidate pairs ---------------------------
+    def wn_pairs(spark, sf):
+        from bigmatch_utilities_spark.operators.winnow import winnow_shared_pairs
+
+        return winnow_shared_pairs(_t(spark, sf, "documents"), "text", "doc_id")
+
+    q["wn_shared_fp_pairs"] = wn_pairs
+
+    # ---- PH1: phonetic (soundex) blocking pass -----------------------------
+    def ph(spark, sf):
+        from bigmatch_utilities_spark.config import BlockField, BlockingPassSpec
+        from bigmatch_utilities_spark.operators.blocking import candidate_pairs
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.split(F.trim("text"), "\\s+").getItem(0).alias("tok1"),
+            F.floor(F.col("n_chars") / 16).cast("long").alias("bucket"),
+        )
+        spec = BlockingPassSpec(
+            block_fields=(
+                BlockField(name="tok1", key_kind="soundex"),
+                BlockField(name="bucket", blank_flag=0),
+            ),
+            match_fields=(),
+        )
+        return candidate_pairs(
+            d, d, spec, "doc_id", dedupe=True, carry_rec=[], carry_mem=[]
+        )
+
+    q["ph_soundex_blocking"] = ph
+
+    # ---- SX1: field standardization (synonym canonicalization) ------------
+    def sx(spark, sf):
+        from bigmatch_utilities_spark.operators.standardize import standardize_expr
+
+        return _t(spark, sf, "documents").select(
+            "doc_id",
+            standardize_expr(F.col("text"), _SX_SYNONYMS).alias("std_text"),
+        )
+
+    q["sx_standardize"] = sx
+
+    # ---- TC1: TF-IDF token cosine over candidate pairs --------------------
+    def tc(spark, sf):
+        from bigmatch_utilities_spark.operators.tfidf_sim import (
+            tfidf_cosine_pairs,
+            tfidf_postings,
+        )
+
+        docs = _t(spark, sf, "documents")
+        post = tfidf_postings(docs, "text", "doc_id")
+        d = docs.select("doc_id", F.substring(F.md5("text"), 1, 2).alias("hkey"))
+        pairs = (
+            d.alias("a")
+            .join(d.alias("b"), "hkey")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("id_l"), F.col("b.doc_id").alias("id_r")
+            )
+        )
+        return tfidf_cosine_pairs(post, pairs)
+
+    q["tc_tfidf_cosine"] = tc
+
+    # ---- SN1: sorted-neighborhood blocking (Hernández–Stolfo SNM) ---------
+    def sn(spark, sf):
+        from bigmatch_utilities_spark.operators.sorted_neighborhood import (
+            sorted_neighborhood_pairs,
+        )
+
+        return sorted_neighborhood_pairs(
+            _t(spark, sf, "documents"), ["lang", "n_chars"], "doc_id", window=4
+        )
+
+    q["sn_sorted_neighborhood"] = sn
+
     return q
 
 
@@ -1958,5 +2046,95 @@ def oracle_sql() -> dict[str, str]:
     _pred_sql = f"SELECT id_l, id_r FROM ({_SCORED_PAIRS_SQL}) WHERE weight >= 2.0"
     _truth_sql = f"SELECT id_l, id_r FROM ({_SCORED_PAIRS_SQL}) WHERE is_exact"
     o["ev_pairwise_metrics"] = pairwise_metrics_sql(_pred_sql, _truth_sql)
+
+    # wn: winnowing fingerprints (profile + shared-fp pairs)
+    from bigmatch_utilities_spark.operators.winnow import winnow_cte_sql
+
+    _WN_CTE = winnow_cte_sql("documents", "text", "doc_id")
+    o["wn_winnow_profile"] = f"""
+        WITH {_WN_CTE}
+        SELECT id, CAST(len(fps) AS INT) AS n_fps,
+               CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS fp_checksum
+        FROM wn_fps
+    """
+    o["wn_shared_fp_pairs"] = f"""
+        WITH {_WN_CTE},
+        wn_ex AS (SELECT id, unnest(fps) AS fp FROM wn_fps),
+        wn_kept AS (
+          SELECT fp FROM wn_ex GROUP BY fp HAVING count(*) > 1 AND count(*) <= 64
+        ),
+        wn_kx AS (SELECT id, fp FROM wn_ex JOIN wn_kept USING (fp))
+        SELECT a.id AS id_l, b.id AS id_r, CAST(count(*) AS BIGINT) AS shared
+        FROM wn_kx a JOIN wn_kx b USING (fp)
+        WHERE a.id < b.id
+        GROUP BY 1, 2
+        HAVING count(*) >= 3
+    """
+
+    # ph: soundex blocking pass (derived phonetic key + bucket, self-join)
+    from bigmatch_utilities_spark.functions.phonetic import soundex_sql
+
+    _SDX = soundex_sql("tok1", dialect="duckdb")
+    o["ph_soundex_blocking"] = f"""
+        WITH ph_d AS (
+          SELECT doc_id, {_SDX} AS tok1_sdx,
+                 CAST(floor(n_chars / 16) AS BIGINT) AS bucket
+          FROM (
+            SELECT doc_id, n_chars,
+                   string_split_regex(trim(text), '\\s+')[1] AS tok1
+            FROM documents
+          )
+          WHERE {_SDX} IS NOT NULL AND trim({_SDX}) <> ''
+        )
+        SELECT a.doc_id AS id_rec, a.tok1_sdx AS bk_tok1_sdx,
+               a.bucket AS bk_bucket, b.doc_id AS id_mem
+        FROM ph_d a
+        JOIN ph_d b ON a.tok1_sdx = b.tok1_sdx AND a.bucket = b.bucket
+                   AND a.doc_id < b.doc_id
+    """
+
+    # sx: expression-path standardization (exact twin of standardize_expr)
+    from bigmatch_utilities_spark.operators.standardize import standardize_expr_sql
+
+    o["sx_standardize"] = (
+        "SELECT doc_id, "
+        + standardize_expr_sql("text", _SX_SYNONYMS)
+        + " AS std_text FROM documents"
+    )
+
+    # tc: TF-IDF cosine — integer-quantized postings, exact integer dots
+    from bigmatch_utilities_spark.operators.tfidf_sim import tfidf_postings_cte_sql
+
+    _TI_CTE = tfidf_postings_cte_sql("documents", "text", "doc_id")
+    o["tc_tfidf_cosine"] = f"""
+        WITH {_TI_CTE},
+        tc_hk AS (SELECT doc_id, substring(md5(text), 1, 2) AS hkey FROM documents),
+        tc_prs AS (
+          SELECT a.doc_id AS id_l, b.doc_id AS id_r
+          FROM tc_hk a JOIN tc_hk b USING (hkey) WHERE a.doc_id < b.doc_id
+        ),
+        tc_norms AS (SELECT id, sum(w * w) AS n2 FROM ti_postings GROUP BY id),
+        tc_dots AS (
+          SELECT p.id_l, p.id_r, sum(l.w * r.w) AS dot
+          FROM tc_prs p
+          JOIN ti_postings l ON l.id = p.id_l
+          JOIN ti_postings r ON r.id = p.id_r AND r.tok = l.tok
+          GROUP BY 1, 2
+        )
+        SELECT d.id_l, d.id_r,
+               round(d.dot / (sqrt(nl.n2) * sqrt(nr.n2)), 6) AS cosine
+        FROM tc_dots d
+        JOIN tc_norms nl ON nl.id = d.id_l
+        JOIN tc_norms nr ON nr.id = d.id_r
+    """
+
+    # sn: sorted-neighborhood pairs — plain row_number self-join twin
+    from bigmatch_utilities_spark.operators.sorted_neighborhood import (
+        sorted_neighborhood_sql,
+    )
+
+    o["sn_sorted_neighborhood"] = sorted_neighborhood_sql(
+        "documents", ["lang", "n_chars"], "doc_id", window=4
+    )
 
     return o

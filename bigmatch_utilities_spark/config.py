@@ -70,6 +70,21 @@ class BlockField(FieldRef):
     #: records blank in this key do NOT participate in the pass — this is
     #: also the #1 skew killer (the '' mega-block never forms).
     blank_flag: int = 1
+    #: How the join key is derived from the column: "exact" joins on the
+    #: raw value (reference semantics); "soundex" joins on the phonetic
+    #: code (BigMatch-lineage pipelines block on precomputed soundex keys —
+    #: this derives them in-plan, functions/phonetic.py); "prefix:<n>"
+    #: joins on the first n characters. Derived keys are materialized as
+    #: ordinary columns before the join (blocking.derive_block_keys), so
+    #: the shuffle/broadcast/skew machinery is identical for every kind.
+    key_kind: str = "exact"
+
+    def __post_init__(self) -> None:
+        k = self.key_kind
+        if k not in ("exact", "soundex") and not (
+            k.startswith("prefix:") and k.split(":", 1)[1].isdigit()
+        ):
+            raise ValueError(f"unknown key_kind {k!r}")
 
 
 @dataclass(frozen=True)

@@ -53,6 +53,46 @@ def apply_blank_flags(df: DataFrame, spec: BlockingPassSpec) -> DataFrame:
     return df
 
 
+def block_key_column(bf) -> tuple[str, Column | None]:
+    """(derived column name, derivation expr) for a BlockField; expr is
+    None for key_kind='exact' (join on the raw column, no derivation)."""
+    if bf.key_kind == "exact":
+        return bf.name, None
+    if bf.key_kind == "soundex":
+        from bigmatch_utilities_spark.functions.phonetic import soundex
+
+        return f"{bf.name}_sdx", soundex(bf.name)
+    n = int(bf.key_kind.split(":", 1)[1])  # prefix:<n>, validated by config
+    return f"{bf.name}_pfx{n}", F.substring(F.col(bf.name), 1, n)
+
+
+def derive_block_keys(
+    df: DataFrame, spec: BlockingPassSpec
+) -> tuple[DataFrame, BlockingPassSpec]:
+    """Materialize derived blocking keys (soundex / prefix kinds) as real
+    columns and rewrite the spec to reference them as exact keys.
+
+    Map-side projection only — after this, every join/broadcast/salt/skew
+    path in this module treats phonetic and prefix keys exactly like raw
+    columns (one exchange on the derived composite key). blank_flag
+    filtering applies to the DERIVED key: a name whose soundex is '' (no
+    letters) is blank for the pass, mirroring how BigMatch-lineage configs
+    feed precomputed phonetic key files.
+    """
+    from dataclasses import replace
+
+    new_fields = []
+    for bf in spec.block_fields:
+        name, expr = block_key_column(bf)
+        if expr is not None:
+            df = df.withColumn(name, expr)
+            bf = replace(bf, name=name, key_kind="exact")
+        new_fields.append(bf)
+    if all(nf is of for nf, of in zip(new_fields, spec.block_fields)):
+        return df, spec
+    return df, replace(spec, block_fields=tuple(new_fields))
+
+
 def cap_block_size(
     df: DataFrame, keys: list[str], max_block_rows: int | None
 ) -> DataFrame:
@@ -245,6 +285,12 @@ def candidate_pairs(
     downstream comparator UDFs spread over ceil(n/t) tasks while cold
     blocks pay nothing. Exact join semantics preserved.
     """
+    if any(bf.key_kind != "exact" for bf in spec.block_fields):
+        same = rec is mem
+        rec2, spec2 = derive_block_keys(rec, spec)
+        mem2 = rec2 if same else derive_block_keys(mem, spec)[0]
+        rec, mem, spec = rec2, mem2, spec2
+
     keys = [bf.name for bf in spec.block_fields]
     carry_rec = carry_rec if carry_rec is not None else [mf.name for mf in spec.match_fields]
     carry_mem = carry_mem if carry_mem is not None else [mf.name for mf in spec.match_fields]

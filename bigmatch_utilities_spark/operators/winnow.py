@@ -1,0 +1,200 @@
+"""Winnowing document fingerprints (MOSS-style) and shared-fingerprint
+candidate pairs.
+
+Schleimer/Wilkerson/Aiken winnowing: hash every k-gram of the normalized
+text, slide a window of `w` consecutive k-gram hashes, keep the minimum of
+each window, dedupe. The selected set is position-independent (any match
+at least w+k-1 chars long is guaranteed to share a fingerprint), so two
+documents sharing enough fingerprints are near-duplicate / containment
+candidates — the classic plagiarism-detection primitive, and the missing
+middle ground between whole-doc hashing (textanalysis.fingerprint) and
+MinHash (dedup.minhash_candidates): winnowing detects *local* overlap
+(a copied paragraph), not just global set similarity.
+
+Spark-first shape: the per-document fingerprint set is built from
+higher-order array functions (sequence → transform → slice/array_min →
+array_distinct) — pure JVM expressions, no UDF, no shuffle. The k-gram
+hash array is staged as a REAL COLUMN between the two transform steps:
+referencing it as one inline expression would make every window's
+array_min(slice(...)) re-evaluate the whole O(n) md5 chain (O(n²·k) work
+per row — measured as a hang, not a slowdown); a column reference is
+evaluated once per row, and CollapseProject will not inline a non-cheap
+expression used more than once. Pair generation shuffles once on the
+fingerprint value with the same guardrails as the LSH families (singleton
+drop + hot-bucket cap), then once on the (id_l, id_r) pair for the shared
+count. At 100 TB the fingerprint density is ~2/(w+1) per character, so
+`w` directly dials the shuffle volume.
+
+Hashes are md5-prefix based (dedup._hash64 discipline) so DuckDB computes
+identical values for the correctness oracle; the oracle SQL stages the
+k-gram array in a CTE for the same reason the Spark side stages a column.
+
+Reference parity: the reference engine has no winnowing; this is part of
+the training-data-pipeline extension set (document fingerprinting /
+near-dup detection over the documents table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm(c: Column) -> Column:
+    """Whitespace-collapsed lowercase text (same normalization as
+    textanalysis.fingerprint so the two fingerprint families agree on
+    what "the document" is)."""
+    return F.regexp_replace(F.lower(F.trim(c)), "\\s+", " ")
+
+
+def _norm_sql(expr: str) -> str:
+    return f"regexp_replace(lower(trim({expr})), '\\s+', ' ', 'g')"
+
+
+def with_winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "fps",
+    *,
+    k: int = 12,
+    w: int = 10,
+) -> DataFrame:
+    """Adds `out_col` array<long>: the winnowed fingerprint set of
+    `text_col`. Two staged projections, no shuffle.
+
+    Documents with fewer than w k-grams yield the min of whatever k-grams
+    exist; documents shorter than k chars yield an empty array. The
+    guards are load-bearing: Spark's sequence(1, n) DESCENDS when n < 1.
+    """
+    t = _norm(F.col(text_col))
+    n_kgrams = F.length(t) - F.lit(k) + 1
+    kh = F.when(
+        n_kgrams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_kgrams),
+            lambda i: F.conv(
+                F.substring(F.md5(t.substr(i, F.lit(k))), 1, 12), 16, 10
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    staged = df.withColumn("_wn_kh", kh)
+    khc = F.col("_wn_kh")
+    n_windows = F.size(khc) - F.lit(w) + 1
+    wins = (
+        F.when(
+            n_windows >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_windows),
+                lambda j: F.array_min(F.slice(khc, j, w)),
+            ),
+        )
+        .when(F.size(khc) >= 1, F.array(F.array_min(khc)))
+        .otherwise(F.array().cast("array<long>"))
+    )
+    return staged.withColumn(out_col, F.array_sort(F.array_distinct(wins))).drop(
+        "_wn_kh"
+    )
+
+
+def winnow_cte_sql(
+    table: str, text_expr: str, id_expr: str, *, k: int = 12, w: int = 10
+) -> str:
+    """DuckDB CTE chain ending in `wn_fps(id, fps)` — the oracle twin of
+    with_winnow_fingerprints (value-identical; staged so the k-gram list
+    is computed once per row, mirroring the Spark column staging)."""
+    t = _norm_sql(text_expr)
+    return f"""
+wn_kg AS (
+  SELECT {id_expr} AS id,
+         list_transform(range(1, greatest(length({t}) - {k} + 2, 1)),
+           i -> CAST(('0x' || substring(md5(substring({t}, CAST(i AS INT), {k})), 1, 12)) AS BIGINT)
+         ) AS kh
+  FROM {table}
+),
+wn_fps AS (
+  SELECT id,
+         list_sort(list_distinct(
+           CASE WHEN len(kh) >= {w} THEN
+             list_transform(range(1, len(kh) - {w} + 2),
+               j -> list_min(list_slice(kh, CAST(j AS INT), CAST(j AS INT) + {w - 1})))
+           WHEN len(kh) >= 1 THEN [list_min(kh)]
+           ELSE CAST([] AS BIGINT[]) END
+         )) AS fps
+  FROM wn_kg
+)"""
+
+
+def winnow_profile(
+    df: DataFrame, text_col: str, id_col: str, *, k: int = 12, w: int = 10
+) -> DataFrame:
+    """Per-document fingerprint summary: (id, n_fps, fp_checksum).
+
+    The checksum is the exact integer sum of the (distinct) selected
+    fingerprints — one row per document that still pins every selected
+    hash value, so the oracle catches any divergence in the k-gram
+    hashing, window selection, or dedup without materializing the full
+    exploded set.
+    """
+    fp = with_winnow_fingerprints(
+        df.select(F.col(id_col).alias("id"), text_col), text_col, "fps", k=k, w=w
+    )
+    return fp.select(
+        "id",
+        F.size("fps").alias("n_fps"),
+        F.aggregate("fps", F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "fp_checksum"
+        ),
+    )
+
+
+def winnow_shared_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 12,
+    w: int = 10,
+    min_shared: int = 3,
+    max_bucket: int | None = 64,
+    cache_handle: list | None = None,
+) -> DataFrame:
+    """Candidate pairs sharing >= min_shared winnowed fingerprints:
+    (id_l, id_r, shared) with id_l < id_r.
+
+    Plan: explode the per-doc fingerprint arrays (map-side), drop
+    singleton fingerprints and cap degenerate ones (a fingerprint present
+    in b docs yields b*(b-1)/2 pairs — boilerplate headers/licenses at
+    100 TB scale are exactly such hot values), self-join on the
+    fingerprint value, then count shared fingerprints per pair. Two
+    shuffles total: one on fp, one on the pair key.
+
+    The exploded fingerprint frame feeds the kept-bucket count AND both
+    join sides — pass `cache_handle` (see dedup.lsh_cache) to persist it
+    once instead of recomputing the md5 chain three times.
+    """
+    fp = with_winnow_fingerprints(
+        df.select(F.col(id_col).alias("id"), text_col), text_col, "fps", k=k, w=w
+    )
+    # explode_OUTER, then drop the null rows: a plain explode makes
+    # InferFiltersFromGenerate synthesize a `size(fps) > 0` filter that is
+    # pushed below the staged projections, re-inlining the whole k-gram
+    # expression into the window transform — the O(n²)-per-row recompute
+    # the column staging exists to prevent.
+    fps = fp.select("id", F.explode_outer("fps").alias("fp")).filter(
+        F.col("fp").isNotNull()
+    )
+    if cache_handle is not None:
+        fps = fps.persist()
+        cache_handle.append(fps)
+    kept = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_n")).filter(F.col("_n") > 1)
+    if max_bucket:
+        kept = kept.filter(F.col("_n") <= max_bucket)
+    fps = fps.join(kept.select("fp"), "fp")
+    pairs = (
+        fps.alias("a")
+        .join(fps.alias("b"), "fp")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_l"), F.col("b.id").alias("id_r"))
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    return pairs.filter(F.col("shared") >= min_shared)

@@ -1,0 +1,90 @@
+"""Winnowing fingerprint tests: guarantee property, edge lengths, oracle
+parity of the staged SQL, and the no-inline plan invariant."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from bigmatch_utilities_spark.operators.winnow import (
+    winnow_cte_sql,
+    winnow_profile,
+    winnow_shared_pairs,
+    with_winnow_fingerprints,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog and runs far away"),
+    (2, "prefix stuff then the quick brown fox jumps over the lazy dog and runs far away"),
+    (3, "completely different text about spark engines and shuffles here"),
+    (4, "xy"),  # shorter than k: no k-gram fits
+    (5, "exactly twelve"),  # a few k-grams, fewer than w windows
+    (6, ""),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    """Docs 1 and 2 share a >= w+k-1 char substring → MUST share >= 1
+    fingerprint (the winnowing guarantee); doc 3 shares none."""
+    rows = with_winnow_fingerprints(_docs(spark), "text", "fps").collect()
+    fps = {r["doc_id"]: set(r["fps"]) for r in rows}
+    assert fps[1] & fps[2]
+    assert not (fps[1] & fps[3])
+
+
+def test_winnow_edge_lengths(spark):
+    rows = with_winnow_fingerprints(_docs(spark), "text", "fps").collect()
+    fps = {r["doc_id"]: r["fps"] for r in rows}
+    assert fps[4] == [] and fps[6] == []
+    # fewer k-grams than a window: exactly one fingerprint (min of all)
+    assert len(fps[5]) == 1
+
+
+def test_winnow_profile_oracle_parity(spark, tmp_path):
+    df = _docs(spark)
+    pq = str(tmp_path / "docs.parquet")
+    df.write.parquet(pq)
+    got = {
+        r["id"]: (r["n_fps"], r["fp_checksum"])
+        for r in winnow_profile(df, "text", "doc_id").collect()
+    }
+    con = duckdb.connect()
+    con.sql(f"create view d as select * from '{pq}/*.parquet'")
+    cte = winnow_cte_sql("d", "text", "doc_id")
+    want = {
+        r[0]: (r[1], r[2] if r[2] is not None else 0)
+        for r in con.sql(
+            f"WITH {cte} SELECT id, CAST(len(fps) AS INT), "
+            f"CAST(coalesce(list_sum(fps), 0) AS BIGINT) FROM wn_fps"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_winnow_shared_pairs(spark):
+    pairs = {
+        (r["id_l"], r["id_r"]): r["shared"]
+        for r in winnow_shared_pairs(
+            _docs(spark), "text", "doc_id", min_shared=1
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert not any({a, b} == {1, 3} for a, b in pairs)
+
+
+def test_no_inferred_filter_reinline(spark):
+    """The optimized plan of the exploded-fingerprint path must not inline
+    the k-gram transform into a pushed-down Filter (the O(n²)-per-row
+    recompute explode_outer exists to prevent)."""
+    df = with_winnow_fingerprints(_docs(spark), "text", "fps")
+    fps = df.select("doc_id", F.explode_outer("fps").alias("fp")).filter(
+        F.col("fp").isNotNull()
+    )
+    plan = fps._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        if line.strip().startswith("+- Filter") or line.strip().startswith("Filter"):
+            assert "md5" not in line, "k-gram chain re-inlined into a Filter"
