@@ -18,6 +18,12 @@ on local[$SPARK_GRAFT_CPUS]:
   ann_ivf          IVF top-10, 100 queries, nprobe=2/16 (round-3 key)
   em_mu            EM m/u calibration over the blocked documents pairs
                    (round-3 key; histogram pass + driver-side EM)
+  winnow           MOSS winnowing fingerprints -> shared-fp candidate
+                   pairs over documents (round-4 key)
+  snm              sorted-neighborhood blocking, window=4, distributed
+                   global rank (round-4 key)
+  tfidf            TF-IDF postings + integer cosine over hash-blocked
+                   candidate pairs (round-4 key)
 
 `value` is total wall seconds (sum of per-query best-of-2 — see
 BENCH.md's host-noise caveat; both raw runs are reported under
@@ -215,6 +221,49 @@ def main() -> None:
         return out.count()
 
     counters["em_mu_fields"] = timed("em_mu", q_em_mu)
+
+    # -- round-4 keys (stable keys above untouched) -------------------------
+    def q_winnow():
+        from bigmatch_utilities_spark.operators.winnow import winnow_shared_pairs
+
+        caches: list = []
+        n = winnow_shared_pairs(
+            docs, "text", "doc_id", cache_handle=caches
+        ).count()
+        for c in caches:
+            c.unpersist()
+        return n
+
+    counters["winnow_pairs"] = timed("winnow", q_winnow)
+
+    def q_snm():
+        from bigmatch_utilities_spark.operators.sorted_neighborhood import (
+            sorted_neighborhood_pairs,
+        )
+
+        return sorted_neighborhood_pairs(
+            docs, ["lang", "n_chars"], "doc_id", window=4
+        ).count()
+
+    counters["snm_pairs"] = timed("snm", q_snm)
+
+    def q_tfidf():
+        from bigmatch_utilities_spark.operators.tfidf_sim import (
+            tfidf_cosine_pairs,
+            tfidf_postings,
+        )
+
+        post = tfidf_postings(docs, "text", "doc_id")
+        d = docs.select("doc_id", F.substring(F.md5("text"), 1, 2).alias("hkey"))
+        prs = (
+            d.alias("a")
+            .join(d.alias("b"), "hkey")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("id_l"), F.col("b.doc_id").alias("id_r"))
+        )
+        return tfidf_cosine_pairs(post, prs).count()
+
+    counters["tfidf_pairs"] = timed("tfidf", q_tfidf)
 
     # throughput denominator: candidate pairs actually entering the
     # comparator stage (BASELINE's candidate-pairs/sec unit), counted on

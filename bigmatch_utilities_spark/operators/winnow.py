@@ -65,8 +65,24 @@ def with_winnow_fingerprints(
     Documents with fewer than w k-grams yield the min of whatever k-grams
     exist; documents shorter than k chars yield an empty array. The
     guards are load-bearing: Spark's sequence(1, n) DESCENDS when n < 1.
+
+    Parallelism: byte-based file splitting underestimates this stage — the
+    k-gram hash chain is O(chars) md5 work per row, so a byte-small scan
+    (one split) serializes a CPU-bound projection onto one core. When the
+    input has fewer partitions than the cluster's default parallelism, the
+    rows are spread first; at real scale (partitions >> cores) the check
+    is a no-op and adds no shuffle.
     """
-    t = _norm(F.col(text_col))
+    n_in = df.rdd.getNumPartitions()
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if n_in < target:
+        df = df.repartition(target)
+    # the normalized text is staged as a column BEFORE the k-gram
+    # transform: inlined, the regexp_replace would re-evaluate once per
+    # k-gram inside the lambda (O(n²) character work per row — measured
+    # 24 s vs 2 s on the sf0.1 bench corpus)
+    staged = df.withColumn("_wn_t", _norm(F.col(text_col)))
+    t = F.col("_wn_t")
     n_kgrams = F.length(t) - F.lit(k) + 1
     kh = F.when(
         n_kgrams >= 1,
@@ -77,7 +93,7 @@ def with_winnow_fingerprints(
             ).cast("long"),
         ),
     ).otherwise(F.array().cast("array<long>"))
-    staged = df.withColumn("_wn_kh", kh)
+    staged = staged.withColumn("_wn_kh", kh).drop("_wn_t")
     khc = F.col("_wn_kh")
     n_windows = F.size(khc) - F.lit(w) + 1
     wins = (
