@@ -241,9 +241,13 @@ def main() -> None:
             sorted_neighborhood_pairs,
         )
 
-        return sorted_neighborhood_pairs(
-            docs, ["lang", "n_chars"], "doc_id", window=4
+        caches: list = []
+        n = sorted_neighborhood_pairs(
+            docs, ["lang", "n_chars"], "doc_id", window=4, cache_handle=caches
         ).count()
+        for c in caches:
+            c.unpersist()
+        return n
 
     counters["snm_pairs"] = timed("snm", q_snm)
 
@@ -261,7 +265,11 @@ def main() -> None:
             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
             .select(F.col("a.doc_id").alias("id_l"), F.col("b.doc_id").alias("id_r"))
         )
-        return tfidf_cosine_pairs(post, prs).count()
+        caches: list = []
+        n = tfidf_cosine_pairs(post, prs, cache_handle=caches).count()
+        for c in caches:
+            c.unpersist()
+        return n
 
     counters["tfidf_pairs"] = timed("tfidf", q_tfidf)
 

@@ -87,6 +87,7 @@ def sorted_neighborhood_pairs(
     *,
     window: int = 5,
     num_partitions: int | None = None,
+    cache_handle: list | None = None,
 ) -> DataFrame:
     """SNM candidate pairs: every record paired with its (window-1)
     successors in (key_cols, id_col) sort order.
@@ -95,6 +96,10 @@ def sorted_neighborhood_pairs(
     (1 .. window-1). Output size is exactly (window-1)·N - Σ(edge
     truncation) — linear in N, the property that makes SNM viable where
     a loose equi-join key would go quadratic.
+
+    The ranked frame feeds BOTH sides of the neighbor join; pass
+    `cache_handle` (dedup.lsh_cache convention) to persist it once
+    instead of running the range-partition + offset pipeline twice.
     """
     if window < 2:
         raise ValueError("window must be >= 2")
@@ -102,6 +107,9 @@ def sorted_neighborhood_pairs(
     ranked = with_global_rank(
         df.select(id_col, *key_cols), order_cols, num_partitions=num_partitions
     ).select(F.col(id_col).alias("_sn_id"), F.col("rank").alias("_sn_rank"))
+    if cache_handle is not None:
+        ranked = ranked.persist()
+        cache_handle.append(ranked)
     left = ranked.withColumn(
         "_sn_d", F.explode(F.sequence(F.lit(1), F.lit(window - 1)))
     ).select(

@@ -92,10 +92,20 @@ ti_postings AS (
 )"""
 
 
-def tfidf_cosine_pairs(postings: DataFrame, pairs: DataFrame) -> DataFrame:
+def tfidf_cosine_pairs(
+    postings: DataFrame, pairs: DataFrame, *, cache_handle: list | None = None
+) -> DataFrame:
     """(id_l, id_r, cosine) for candidate `pairs`, scored against the
     integer postings. Pairs with a zero-norm side (no tokens survived) are
-    dropped (inner joins). cosine is rounded to 6dp for oracle parity."""
+    dropped (inner joins). cosine is rounded to 6dp for oracle parity.
+
+    The postings plan feeds the norms and BOTH pair sides (three
+    evaluations of the tf/df/idf chain when lazy); pass `cache_handle`
+    (dedup.lsh_cache convention) to persist it once — at warehouse scale
+    you would materialize postings as a table instead."""
+    if cache_handle is not None:
+        postings = postings.persist()
+        cache_handle.append(postings)
     norms = postings.groupBy("id").agg(
         F.sum(F.col("w") * F.col("w")).alias("n2")
     )
