@@ -76,6 +76,36 @@ def test_winnow_shared_pairs(spark):
     assert not any({a, b} == {1, 3} for a, b in pairs)
 
 
+def test_winnow_guarantee_property(spark):
+    """Schleimer/Wilkerson/Aiken theorem: two documents sharing a common
+    substring of length >= w + k - 1 select at least one common
+    fingerprint. Randomized (seeded) corpus with planted shared spans."""
+    import random
+
+    rng = random.Random(20260818)
+    # letters only: whitespace would interact with the normalization at
+    # the planted-span boundaries and shorten the guaranteed match
+    alphabet = "abcdefghij"
+    k, w = 12, 10
+    span_len = w + k - 1
+    rows = []
+    for i in range(40):
+        shared = "".join(rng.choice(alphabet) for _ in range(span_len))
+        pre_a = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+        post_a = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+        pre_b = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+        post_b = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+        rows.append((2 * i, pre_a + shared + post_a))
+        rows.append((2 * i + 1, pre_b + shared + post_b))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = {
+        r["doc_id"]: set(r["fps"])
+        for r in with_winnow_fingerprints(df, "text", "fps", k=k, w=w).collect()
+    }
+    for i in range(40):
+        assert fps[2 * i] & fps[2 * i + 1], f"planted pair {i} shares no fp"
+
+
 def test_no_inferred_filter_reinline(spark):
     """The optimized plan of the exploded-fingerprint path must not inline
     the k-gram transform into a pushed-down Filter (the O(n²)-per-row
