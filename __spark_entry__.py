@@ -42,6 +42,15 @@ SF_DEFAULT = "/root/testdata/sf0.001"
 #: vocabulary the way a nickname/abbreviation table would canonicalize names
 _SX_SYNONYMS = {"agg": "aggregate", "fast": "quick", "the": "a"}
 
+#: blocking keys for the mb_meta_blocking query — three independent key
+#: families (coarse size+lang, content hash prefix, raw text prefix); kept
+#: ANSI so the identical expression strings run on Spark AND DuckDB
+_MB_KEYS = {
+    "lang_len": "lang || '|' || CAST(CAST(floor(n_chars / 10) AS BIGINT) AS STRING)",
+    "md5p": "substr(md5(text), 1, 4)",
+    "pfx": "substr(lower(text), 1, 12)",
+}
+
 # ---------------------------------------------------------------------------
 # shared building blocks (Spark side)
 # ---------------------------------------------------------------------------
@@ -1196,6 +1205,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sn_sorted_neighborhood"] = sn
 
+    # ---- MB1: meta-blocking (CBS weights + WEP prune) ----------------------
+    def mb(spark, sf):
+        from bigmatch_utilities_spark.operators.meta_blocking import (
+            meta_block_pairs,
+        )
+
+        return meta_block_pairs(
+            _t(spark, sf, "documents"), "doc_id", _MB_KEYS, max_block_rows=256
+        )
+
+    q["mb_meta_blocking"] = mb
+
+    # ---- GR1: golden-record survivorship -----------------------------------
+    def gr(spark, sf):
+        from bigmatch_utilities_spark.operators.golden_record import golden_record
+
+        return golden_record(_t(spark, sf, "documents"), "source", ["lang", "n_chars"])
+
+    q["gr_golden_record"] = gr
+
     return q
 
 
@@ -2135,6 +2164,22 @@ def oracle_sql() -> dict[str, str]:
 
     o["sn_sorted_neighborhood"] = sorted_neighborhood_sql(
         "documents", ["lang", "n_chars"], "doc_id", window=4
+    )
+
+    # mb: meta-blocking — CBS edge weights + integer-exact WEP prune
+    from bigmatch_utilities_spark.operators.meta_blocking import (
+        meta_block_pairs_sql,
+    )
+
+    o["mb_meta_blocking"] = meta_block_pairs_sql(
+        "documents", "doc_id", _MB_KEYS, max_block_rows=256
+    )
+
+    # gr: golden-record survivorship — identical votes, windowed election
+    from bigmatch_utilities_spark.operators.golden_record import golden_record_sql
+
+    o["gr_golden_record"] = golden_record_sql(
+        "documents", "source", ["lang", "n_chars"]
     )
 
     return o

@@ -24,6 +24,15 @@ on local[$SPARK_GRAFT_CPUS]:
                    global rank (round-4 key)
   tfidf            TF-IDF postings + integer cosine over hash-blocked
                    candidate pairs (round-4 key)
+  one_to_one       mutual-best 1:1 assignment over blocked+scored pairs
+                   (round-4 key; same body as the u5 oracle query)
+  inc_closure      incremental closure maintenance vs a standing
+                   assignment table (round-4 key; ic oracle query body)
+
+The JSON also carries `pairwise_f1` / `pairwise_precision` /
+`pairwise_recall` counters — the north-rule F1 of the linkage's accepted
+pairs against the synthetic table's labels, recomputed distributed every
+round (VERDICT r3 #6).
 
 `value` is total wall seconds (sum of per-query best-of-2 — see
 BENCH.md's host-noise caveat; both raw runs are reported under
@@ -73,7 +82,7 @@ def main() -> None:
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     timings: dict[str, float] = {}
     timings_all: dict[str, list[float]] = {}
-    counters: dict[str, int] = {}
+    counters: dict[str, float] = {}
 
     def timed(name: str, fn):
         # best-of-2: this box's hypervisor steal inflates single-shot walls
@@ -273,6 +282,20 @@ def main() -> None:
 
     counters["tfidf_pairs"] = timed("tfidf", q_tfidf)
 
+    def q_one_to_one():
+        import __spark_entry__ as entrymod
+
+        return entrymod.queries()["u5_one_to_one"](spark, SF_DIR).count()
+
+    counters["one_to_one_rows"] = timed("one_to_one", q_one_to_one)
+
+    def q_inc_closure():
+        import __spark_entry__ as entrymod
+
+        return entrymod.queries()["ic_incremental_closure"](spark, SF_DIR).count()
+
+    counters["inc_closure_rows"] = timed("inc_closure", q_inc_closure)
+
     # throughput denominator: candidate pairs actually entering the
     # comparator stage (BASELINE's candidate-pairs/sec unit), counted on
     # the same plans after the timed runs so the count jobs don't pollute
@@ -281,6 +304,36 @@ def main() -> None:
     cand_synth = count_candidates(synth, use_minhash_pass=False)
     counters["candidates_docs"] = cand_docs
     counters["candidates_synth"] = cand_synth
+
+    # north-rule F1, machine-checked every round (VERDICT r3 #6): pairwise
+    # metrics of the linkage's accepted pairs vs the synthetic labels,
+    # restricted to labeled records (true_cluster != -1; boilerplate rows
+    # are unlabeled by construction). Distributed end to end — semi-joins
+    # to filter, a per-cluster self-join for truth, evaluate.pairwise_metrics
+    # for the counts. Runs after the timed section (not a wall key).
+    from bigmatch_utilities_spark.operators.evaluate import pairwise_metrics
+
+    lab = synth.select("record_id", "true_cluster").filter(
+        F.col("true_cluster") != -1
+    )
+    good = run_repo_linkage(synth, use_minhash_pass=False).good_pairs()
+    pred = good.join(
+        lab.select(F.col("record_id").alias("id_rec")), "id_rec", "left_semi"
+    ).join(lab.select(F.col("record_id").alias("id_mem")), "id_mem", "left_semi")
+    pos = lab.filter(F.col("true_cluster") >= 0)
+    truth = (
+        pos.select("true_cluster", F.col("record_id").alias("id_l"))
+        .join(
+            pos.select("true_cluster", F.col("record_id").alias("id_r")),
+            "true_cluster",
+        )
+        .filter(F.col("id_l") < F.col("id_r"))
+        .select("id_l", "id_r")
+    )
+    m = pairwise_metrics(pred, truth, "id_rec", "id_mem").collect()[0]
+    counters["pairwise_f1"] = float(m["f1"])
+    counters["pairwise_precision"] = float(m["precision"])
+    counters["pairwise_recall"] = float(m["recall"])
 
     total = round(sum(timings.values()), 3)
     linkage_secs = timings["linkage_docs"] + timings["linkage_synth"]

@@ -1,0 +1,144 @@
+"""Meta-blocking: weighted-edge pruning of a multi-key block graph.
+
+The reference's answer to candidate explosion is manual: the user tunes
+each pass's blocking fields until the pair counts look sane
+(`/root/reference/app/BlockingPass_Model.py` holds the per-pass key
+choices; nothing weighs the evidence across passes).  Meta-blocking
+(Papadakis et al., TKDE 2014) makes that tuning automatic and
+data-driven: build the block graph from EVERY key at once, weight each
+candidate edge by how many independent blocks co-fire for the pair
+(CBS — common blocks scheme), and keep only edges at or above the mean
+weight (WEP — weighted edge pruning).  A pair that two or three
+independent keys both propose is far likelier a true match than one
+proposed by a single loose key; the prune typically drops the long tail
+of single-block coincidences that dominates comparator cost at scale.
+
+Spark-first shape, all declarative:
+
+1. assignments: one ``select`` per key expression, unioned — (id, block)
+   with blank/null keys dropped (the reference's blank_flag semantics,
+   `/root/reference/app/bigmatch_model.py` BLANK handling);
+2. block-size guard: singleton blocks propose nothing and mega-blocks
+   are boilerplate canopies — ``HAVING 2 <= n <= max_block_rows`` before
+   any pair is formed (same discipline as operators/blocking.py);
+3. edges: self-join inside blocks (one shuffle on block), then
+   ``groupBy(id_l, id_r).count()`` — the CBS weight.  The groupBy is
+   map-side combined, so a pair proposed by k keys costs one shuffled
+   row per key, never k² anything;
+4. WEP prune in EXACT integer arithmetic: keep ``cbs * n_edges >=
+   sum_cbs`` instead of comparing against the fractional mean — Spark
+   and the DuckDB oracle agree bit-for-bit with no float hazard.  The
+   (sum, count) scalar is a 1-row broadcast cross-join, so the plan
+   stays lazy end to end (no driver action).
+
+At 100 TB: everything is linear in block-pair volume, which the size
+guard bounds per block; the only whole-set aggregate is the 1-row
+edge-count scalar.  The edges frame is computed twice (once for the scalar, once
+for the filter) — pass ``cache_handle`` to persist it across the two
+uses, same contract as operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def block_assignments(
+    df: DataFrame,
+    id_col: str,
+    key_exprs: dict[str, str],
+) -> DataFrame:
+    """(id, block) assignments from every key expression at once.
+
+    key_exprs maps a key name to a SQL expression string (evaluated with
+    ``F.expr`` — keep it ANSI so the oracle twin can reuse it verbatim).
+    Blank/null key values are dropped: a missing key proposes nothing.
+    """
+    parts = []
+    for kname, kexpr in key_exprs.items():
+        key = F.expr(kexpr).cast("string")
+        parts.append(
+            df.select(
+                F.col(id_col).alias("id"),
+                F.concat(F.lit(kname + "="), key).alias("block"),
+            ).filter(key.isNotNull() & (F.trim(key) != ""))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def meta_block_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_exprs: dict[str, str],
+    *,
+    max_block_rows: int = 2_000,
+    cache_handle: list | None = None,
+) -> DataFrame:
+    """CBS-weighted candidate edges after WEP pruning: (id_l, id_r, cbs)
+    with cbs >= mean(cbs), the comparison done in exact integers."""
+    asg = block_assignments(df, id_col, key_exprs)
+    sized = (
+        asg.groupBy("block")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= max_block_rows))
+        .select("block")
+    )
+    kept = asg.join(sized, "block")
+    a = kept.select("block", F.col("id").alias("id_l"))
+    b = kept.select("block", F.col("id").alias("id_r"))
+    edges = (
+        a.join(b, "block")
+        .filter(F.col("id_l") < F.col("id_r"))
+        .groupBy("id_l", "id_r")
+        .agg(F.count(F.lit(1)).alias("cbs"))
+    )
+    if cache_handle is not None:
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+        cache_handle.append(edges)
+    stats = edges.agg(
+        F.sum("cbs").alias("_sum_cbs"), F.count(F.lit(1)).alias("_n_edges")
+    )
+    return (
+        edges.crossJoin(F.broadcast(stats))
+        .filter(F.col("cbs") * F.col("_n_edges") >= F.col("_sum_cbs"))
+        .select("id_l", "id_r", "cbs")
+    )
+
+
+def meta_block_pairs_sql(
+    table: str,
+    id_col: str,
+    key_exprs: dict[str, str],
+    *,
+    max_block_rows: int = 2_000,
+) -> str:
+    """DuckDB oracle twin of meta_block_pairs — same key expressions,
+    same size guard, same integer-exact WEP prune."""
+    unions = "\nUNION ALL\n".join(
+        f"""SELECT {id_col} AS id, '{kname}=' || CAST(({kexpr}) AS STRING) AS block
+            FROM {table}
+            WHERE ({kexpr}) IS NOT NULL AND trim(CAST(({kexpr}) AS STRING)) <> ''"""
+        for kname, kexpr in key_exprs.items()
+    )
+    return f"""
+        WITH asg AS ({unions}),
+        sized AS (
+            SELECT block FROM asg GROUP BY block
+            HAVING count(*) BETWEEN 2 AND {max_block_rows}
+        ),
+        kept AS (SELECT a.* FROM asg a JOIN sized USING (block)),
+        edges AS (
+            SELECT x.id AS id_l, y.id AS id_r, count(*) AS cbs
+            FROM kept x JOIN kept y
+              ON x.block = y.block AND x.id < y.id
+            GROUP BY x.id, y.id
+        ),
+        st AS (SELECT sum(cbs) AS sum_cbs, count(*) AS n_edges FROM edges)
+        SELECT id_l, id_r, cbs FROM edges, st
+        WHERE cbs * n_edges >= sum_cbs
+    """

@@ -1,0 +1,55 @@
+"""Golden-record survivorship: majority vote, deterministic tiebreak,
+blank/null handling, DuckDB oracle parity."""
+
+from __future__ import annotations
+
+import duckdb
+
+from bigmatch_utilities_spark.operators.golden_record import (
+    golden_record,
+    golden_record_sql,
+)
+
+# (cluster, name, city): cluster c1 → "ann" wins 2:1, city tie between
+# "austin"/"boston" (1 each) → smallest ("austin") wins; blanks and NULLs
+# never vote; a NULL cluster row is excluded entirely
+ROWS = [
+    ("c1", "ann", "austin"),
+    ("c1", "ann", "boston"),
+    ("c1", "anne", None),
+    ("c2", "", "chicago"),
+    ("c2", "bob", "  "),
+    (None, "zed", "zurich"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(ROWS, ["cluster", "name", "city"])
+
+
+def test_vote_tiebreak_and_blanks(spark):
+    out = {
+        r["cluster_id"]: (r["name"], r["city"])
+        for r in golden_record(_df(spark), "cluster", ["name", "city"]).collect()
+    }
+    assert out == {
+        "c1": ("ann", "austin"),  # majority name; tie city → smallest
+        "c2": ("bob", "chicago"),  # blank votes ignored
+    }
+
+
+def test_oracle_parity(spark, tmp_path):
+    df = _df(spark)
+    pq = str(tmp_path / "gr.parquet")
+    df.write.parquet(pq)
+    got = sorted(
+        tuple(r)
+        for r in golden_record(df, "cluster", ["name", "city"]).collect()
+    )
+    con = duckdb.connect()
+    con.sql(f"create view t as select * from '{pq}/*.parquet'")
+    want = sorted(
+        tuple(r)
+        for r in con.sql(golden_record_sql("t", "cluster", ["name", "city"])).fetchall()
+    )
+    assert got == want

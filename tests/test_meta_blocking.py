@@ -1,0 +1,84 @@
+"""Meta-blocking: CBS edge weights, integer-exact WEP prune, blank-key
+and block-size guards, DuckDB oracle parity."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from bigmatch_utilities_spark.operators.meta_blocking import (
+    block_assignments,
+    meta_block_pairs,
+    meta_block_pairs_sql,
+)
+
+# (doc_id, text, lang, n_chars): 1/2 agree on every key family, 1/3 only
+# on the md5 of identical text? no — 3 has different text; 3/4 share only
+# the coarse lang_len bucket; 5 has a NULL lang (blank key) and unique text
+DOCS = [
+    (1, "shared prefix aaaa", "py", 18),
+    (2, "shared prefix aaaa", "py", 18),
+    (3, "shared prefix bbbb", "py", 18),
+    (4, "different body cc", "py", 17),
+    (5, "unique text dddd", None, 16),
+]
+
+KEYS = {
+    "lang_len": "lang || '|' || CAST(CAST(floor(n_chars / 10) AS BIGINT) AS STRING)",
+    "md5p": "substr(md5(text), 1, 4)",
+    "pfx": "substr(lower(text), 1, 12)",
+}
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text", "lang", "n_chars"])
+
+
+def test_blank_keys_propose_nothing(spark):
+    asg = block_assignments(_docs(spark), "doc_id", KEYS)
+    rows = asg.filter(F.col("id") == 5).collect()
+    # doc 5: lang NULL → `lang || ...` is NULL → dropped; md5/pfx remain
+    assert {r["block"].split("=")[0] for r in rows} == {"md5p", "pfx"}
+
+
+def test_cbs_weights_and_wep_prune(spark):
+    edges = {
+        (r["id_l"], r["id_r"]): r["cbs"]
+        for r in meta_block_pairs(_docs(spark), "doc_id", KEYS).collect()
+    }
+    # raw CBS: (1,2) share lang_len+md5p+pfx = 3; (1,3)/(2,3) share
+    # lang_len+pfx = 2; (1,4)(2,4)(3,4) share lang_len = 1 → mean = 10/6;
+    # WEP keeps cbs*6 >= 10, i.e. cbs >= 2
+    assert edges == {(1, 2): 3, (1, 3): 2, (2, 3): 2}
+
+
+def test_block_size_guard(spark):
+    # cap of 2 drops the 4-member lang_len block AND the 3-member pfx
+    # block; only the 2-member md5p block survives → a single (1,2) edge
+    # with one vote (which trivially clears its own mean)
+    edges = {
+        (r["id_l"], r["id_r"]): r["cbs"]
+        for r in meta_block_pairs(
+            _docs(spark), "doc_id", KEYS, max_block_rows=2
+        ).collect()
+    }
+    assert edges == {(1, 2): 1}
+
+
+def test_oracle_parity(spark, tmp_path):
+    docs = _docs(spark)
+    pq = str(tmp_path / "docs.parquet")
+    docs.write.parquet(pq)
+    got = sorted(
+        tuple(r)
+        for r in meta_block_pairs(docs, "doc_id", KEYS, max_block_rows=256).collect()
+    )
+    con = duckdb.connect()
+    con.sql(f"create view documents as select * from '{pq}/*.parquet'")
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            meta_block_pairs_sql("documents", "doc_id", KEYS, max_block_rows=256)
+        ).fetchall()
+    )
+    assert got == want
