@@ -1,0 +1,66 @@
+"""spark-submit entrypoint: golden-record fusion of clustered entities.
+
+    spark-submit --py-files bigmatch_utilities_spark.zip jobs/run_fuse.py \
+        --input <records parquet> --clusters <(id, cluster_id) parquet> \
+        --output <dir> --fields lang,path [--id-col record_id] \
+        [--keep-singletons]
+
+Completes the pipeline: run_match (pairs) -> run_closure (clusters) ->
+run_fuse (one canonical row per entity).  The input is joined to the
+assignment table on the id column, then operators/golden_record elects
+the canonical value per (cluster, field) by majority vote with a
+deterministic smallest-value tiebreak.
+
+--keep-singletons also emits entities whose cluster has a single member
+(the default drops nothing either — singletons ARE size-1 clusters in the
+closure output; the flag exists to make that explicit in scripts).
+
+Scale: one hash join on the id column (broadcast if the assignment table
+is small, AQE decides), then the golden_record plan — two shuffles for
+any number of fused fields, no windows.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="records parquet")
+    p.add_argument(
+        "--clusters", required=True, help="(id, cluster_id) assignment parquet"
+    )
+    p.add_argument("--output", required=True)
+    p.add_argument("--id-col", default="record_id")
+    p.add_argument(
+        "--fields",
+        required=True,
+        help="comma-separated record columns to fuse into the golden record",
+    )
+    p.add_argument("--keep-singletons", action="store_true")
+    args = p.parse_args()
+
+    from bigmatch_utilities_spark.operators.golden_record import golden_record
+
+    spark = SparkSession.builder.appName("bigmatch-run-fuse").getOrCreate()
+    records = spark.read.parquet(args.input)
+    clusters = spark.read.parquet(args.clusters)
+    fields = [f for f in args.fields.split(",") if f]
+    joined = records.join(
+        clusters.select(F.col("id").alias(args.id_col), "cluster_id"),
+        args.id_col,
+    )
+    golden = golden_record(joined, "cluster_id", fields)
+    golden.write.mode("overwrite").parquet(args.output)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -53,3 +53,10 @@ def test_oracle_parity(spark, tmp_path):
         for r in con.sql(golden_record_sql("t", "cluster", ["name", "city"])).fetchall()
     )
     assert got == want
+
+
+def test_plan_shape(spark):
+    """Scale hygiene: the election is a min-struct argmax, not a window;
+    field count never multiplies the shuffle count (melt once, pivot once)."""
+    plan = golden_record(_df(spark), "cluster", ["name", "city"])._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan

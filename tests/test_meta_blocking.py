@@ -82,3 +82,11 @@ def test_oracle_parity(spark, tmp_path):
         ).fetchall()
     )
     assert got == want
+
+
+def test_plan_shape(spark):
+    """Scale hygiene: no Window node anywhere; the WEP scalar joins in via
+    BroadcastNestedLoopJoin (1-row frame), never a shuffled join."""
+    plan = meta_block_pairs(_docs(spark), "doc_id", KEYS)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
