@@ -322,13 +322,13 @@ def main() -> None:
     ).join(lab.select(F.col("record_id").alias("id_mem")), "id_mem", "left_semi")
     pos = lab.filter(F.col("true_cluster") >= 0)
     truth = (
-        pos.select("true_cluster", F.col("record_id").alias("id_l"))
+        pos.select("true_cluster", F.col("record_id").alias("id_rec"))
         .join(
-            pos.select("true_cluster", F.col("record_id").alias("id_r")),
+            pos.select("true_cluster", F.col("record_id").alias("id_mem")),
             "true_cluster",
         )
-        .filter(F.col("id_l") < F.col("id_r"))
-        .select("id_l", "id_r")
+        .filter(F.col("id_rec") < F.col("id_mem"))
+        .select("id_rec", "id_mem")
     )
     m = pairwise_metrics(pred, truth, "id_rec", "id_mem").collect()[0]
     counters["pairwise_f1"] = float(m["f1"])
