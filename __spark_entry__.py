@@ -1121,6 +1121,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ev_pairwise_metrics"] = ev
 
+    # ---- PC1: per-pass blocking completeness/quality audit -----------------
+    def pc(spark, sf):
+        from bigmatch_utilities_spark.operators.evaluate import pass_completeness
+
+        d = _docs_keyed(spark, sf)
+
+        def pairs_on(cols, pass_id):
+            l = d.select(F.col("doc_id").alias("id_l"), *cols)
+            r = d.select(
+                F.col("doc_id").alias("id_r"),
+                *[F.col(c).alias(f"{c}_r") for c in cols],
+            )
+            cond = [F.col(c) == F.col(f"{c}_r") for c in cols]
+            return (
+                l.join(r, cond + [F.col("id_l") < F.col("id_r")])
+                .select("id_l", "id_r")
+                .withColumn("pass_id", F.lit(pass_id))
+            )
+
+        cands = pairs_on(["lang", "n_chars"], 0).unionByName(
+            pairs_on(["lang", "bucket"], 1)
+        )
+        # truth: identical-text duplicate pairs across the WHOLE table —
+        # computed without any blocking, so per-pass pc is an honest recall
+        h = _t(spark, sf, "documents").select(
+            "doc_id", F.md5("text").alias("_h")
+        )
+        truth = h.select(F.col("doc_id").alias("id_l"), "_h").join(
+            h.select(F.col("doc_id").alias("id_r"), F.col("_h").alias("_h_r")),
+            (F.col("_h") == F.col("_h_r")) & (F.col("id_l") < F.col("id_r")),
+        )
+        return pass_completeness(cands, truth)
+
+    q["pc_pass_completeness"] = pc
+
     # ---- WN1: winnowing fingerprint profile (MOSS-style) ------------------
     def wn_profile(spark, sf):
         from bigmatch_utilities_spark.operators.winnow import winnow_profile
@@ -2075,6 +2110,25 @@ def oracle_sql() -> dict[str, str]:
     _pred_sql = f"SELECT id_l, id_r FROM ({_SCORED_PAIRS_SQL}) WHERE weight >= 2.0"
     _truth_sql = f"SELECT id_l, id_r FROM ({_SCORED_PAIRS_SQL}) WHERE is_exact"
     o["ev_pairwise_metrics"] = pairwise_metrics_sql(_pred_sql, _truth_sql)
+
+    # pc: per-pass blocking completeness vs global identical-text truth
+    from bigmatch_utilities_spark.operators.evaluate import pass_completeness_sql
+
+    _pc_cands_sql = f"""
+        SELECT a.doc_id AS id_l, b.doc_id AS id_r, 0 AS pass_id
+        FROM documents a JOIN documents b
+          ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT a.doc_id AS id_l, b.doc_id AS id_r, 1 AS pass_id
+        FROM ({_DOCS_KEYED_SQL}) a JOIN ({_DOCS_KEYED_SQL}) b
+          ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """
+    _pc_truth_sql = """
+        SELECT a.doc_id AS id_l, b.doc_id AS id_r
+        FROM documents a JOIN documents b
+          ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+    """
+    o["pc_pass_completeness"] = pass_completeness_sql(_pc_cands_sql, _pc_truth_sql)
 
     # wn: winnowing fingerprints (profile + shared-fp pairs)
     from bigmatch_utilities_spark.operators.winnow import winnow_cte_sql
