@@ -761,7 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pairs = l.join(r, (F.col("hkey") == F.col("hk2")) & (F.col("id_l") < F.col("id_r")))
         cols = [
             F.round(similarity(code, F.col("t_l"), F.col("t_r")), 6).alias(f"sim_{code}")
-            for code in ("c", "ci", "uo", "uoi", "s")
+            for code in ("c", "ci", "uo", "uoi", "s", "e", "ei")
         ] + [
             F.round(similarity(code, F.col("n_l"), F.col("n_r")), 6).alias(f"sim_{code}")
             for code in ("p", "y", "q")
@@ -1763,7 +1763,7 @@ def oracle_sql() -> dict[str, str]:
 
     str_sims = ",\n               ".join(
         f"round({similarity_sql(code, 'a.text_32', 'b.text_32')}, 6) AS sim_{code}"
-        for code in ("c", "ci", "uo", "uoi", "s")
+        for code in ("c", "ci", "uo", "uoi", "s", "e", "ei")
     )
     num_sims = ",\n               ".join(
         f"round({similarity_sql(code, 'a.n_chars_s', 'b.n_chars_s')}, 6) AS sim_{code}"

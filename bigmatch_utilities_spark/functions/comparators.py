@@ -207,6 +207,19 @@ def similarity(comparator: str, left: Column | str, right: Column | str) -> Colu
         return jaro_winkler(F.lower(lc), F.lower(rc))
     if comparator == "s":
         return jaro_winkler(_tok_sorted(F.lower(lc)), _tok_sorted(F.lower(rc)))
+    if comparator in ("e", "ei"):
+        # normalized edit similarity: 1 - lev/max(len) — the classic
+        # typo-tolerant comparator BigMatch lacks (its string codes are all
+        # JW-family); both engines implement plain unweighted Levenshtein,
+        # so the values cross-check exactly. Both-empty → 1.0; either side
+        # NULL → 0.0 (blank semantics stay the scoring layer's job).
+        a = F.lower(lc) if comparator == "ei" else lc
+        b = F.lower(rc) if comparator == "ei" else rc
+        mx = F.greatest(F.length(a), F.length(b)).cast("double")
+        sim = F.when(mx == 0, F.lit(1.0)).otherwise(
+            F.lit(1.0) - F.levenshtein(a, b).cast("double") / mx
+        )
+        return F.coalesce(sim, F.lit(0.0))
     if comparator in ("p", "y", "q"):
         # try_cast: ANSI mode (Spark 4 default) makes plain cast throw on junk
         a = lc.try_cast("double")
@@ -252,6 +265,14 @@ def similarity_sql(comparator: str, left: str, right: str) -> str:
                 f"string_split_regex(trim(lower({c})), ' +'), x -> x <> '')), ' ')"
             )
         return f"jaro_winkler_similarity({tok(left)}, {tok(right)})"
+    if comparator in ("e", "ei"):
+        a = f"lower({left})" if comparator == "ei" else left
+        b = f"lower({right})" if comparator == "ei" else right
+        mx = f"greatest(length({a}), length({b}))::DOUBLE"
+        return (
+            f"coalesce(CASE WHEN {mx} = 0 THEN 1.0 "
+            f"ELSE 1.0 - levenshtein({a}, {b})::DOUBLE / {mx} END, 0.0)"
+        )
     if comparator in ("p", "y", "q"):
         a = f"try_cast({left} AS DOUBLE)"
         b = f"try_cast({right} AS DOUBLE)"

@@ -124,7 +124,9 @@ def test_nulls_and_empty_batch():
     np.testing.assert_allclose(got, [0.0, 0.0])
 
 
-@pytest.mark.parametrize("comparator", ["c", "ci", "uo", "uoi", "p", "y", "q", "s"])
+@pytest.mark.parametrize(
+    "comparator", ["c", "ci", "uo", "uoi", "p", "y", "q", "s", "e", "ei"]
+)
 def test_spark_similarity_matches_duckdb_sql(spark, comparator):
     """Column-expression similarity and its SQL rendering agree on every
     comparator — this is the exact contract the driver's oracle check uses."""
