@@ -1156,6 +1156,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pc_pass_completeness"] = pc
 
+    # ---- SW1: transposition-tolerant field-pair comparison -----------------
+    def sw(spark, sf):
+        from bigmatch_utilities_spark.functions.comparators import (
+            swapped_agreement,
+        )
+
+        p = _blocked_pairs(spark, sf)
+        # deterministically transpose the mem field pair on odd id_r so the
+        # crossed alignment genuinely wins on half the pairs
+        odd = F.col("id_r") % 2 == 1
+        mem_a = F.when(odd, F.col("mem_source")).otherwise(F.col("mem_text_32"))
+        mem_b = F.when(odd, F.col("mem_text_32")).otherwise(F.col("mem_source"))
+        return p.select(
+            "id_l",
+            "id_r",
+            F.round(
+                swapped_agreement(
+                    "e", F.col("rec_text_32"), F.col("rec_source"), mem_a, mem_b
+                ),
+                6,
+            ).alias("sim_swapped"),
+        )
+
+    q["sw_swapped_compare"] = sw
+
     # ---- WN1: winnowing fingerprint profile (MOSS-style) ------------------
     def wn_profile(spark, sf):
         from bigmatch_utilities_spark.operators.winnow import winnow_profile
@@ -2129,6 +2154,21 @@ def oracle_sql() -> dict[str, str]:
           ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
     """
     o["pc_pass_completeness"] = pass_completeness_sql(_pc_cands_sql, _pc_truth_sql)
+
+    # sw: transposition-tolerant field-pair comparison (odd id_r swapped)
+    from bigmatch_utilities_spark.functions.comparators import (
+        swapped_agreement_sql,
+    )
+
+    _sw_mem_a = "CASE WHEN id_r % 2 = 1 THEN mem_source ELSE mem_text_32 END"
+    _sw_mem_b = "CASE WHEN id_r % 2 = 1 THEN mem_text_32 ELSE mem_source END"
+    o["sw_swapped_compare"] = f"""
+        SELECT id_l, id_r,
+               round({swapped_agreement_sql(
+                   'e', 'rec_text_32', 'rec_source', _sw_mem_a, _sw_mem_b
+               )}, 6) AS sim_swapped
+        FROM ({_BLOCKED_PAIRS_SQL})
+    """
 
     # wn: winnowing fingerprints (profile + shared-fp pairs)
     from bigmatch_utilities_spark.operators.winnow import winnow_cte_sql

@@ -294,3 +294,45 @@ def similarity_sql(comparator: str, left: str, right: str) -> str:
             f"WHEN {diff} <= 2 THEN 0.6 WHEN {diff} <= 3 THEN 0.4 ELSE 0.0 END)::DOUBLE"
         )
     raise ValueError(f"unknown comparator {comparator!r}")
+
+
+def swapped_agreement(
+    comparator: str,
+    rec_a: Column | str,
+    rec_b: Column | str,
+    mem_a: Column | str,
+    mem_b: Column | str,
+) -> Column:
+    """Transposition-tolerant agreement over a FIELD PAIR: the classic
+    census trick for first/last name swaps ("MARIA GARCIA" keyed as
+    lastname=MARIA). Scores the straight alignment (a-a, b-b) and the
+    crossed one (a-b, b-a) with the given comparator and takes the better
+    mean — a swap costs nothing instead of two disagreements.
+
+    The reference's comparators are strictly positional (one field per
+    BlockingPass row, `/root/reference/app/BigMatchParmFile.py:434-470`);
+    swap tolerance is the standard remedy the engine itself lacks. Pure
+    column expression — whole-stage codegen, no UDF, no shuffle.
+    """
+    straight = (
+        similarity(comparator, rec_a, mem_a) + similarity(comparator, rec_b, mem_b)
+    ) / 2.0
+    crossed = (
+        similarity(comparator, rec_a, mem_b) + similarity(comparator, rec_b, mem_a)
+    ) / 2.0
+    return F.greatest(straight, crossed)
+
+
+def swapped_agreement_sql(
+    comparator: str, rec_a: str, rec_b: str, mem_a: str, mem_b: str
+) -> str:
+    """DuckDB twin of :func:`swapped_agreement`."""
+    straight = (
+        f"(({similarity_sql(comparator, rec_a, mem_a)}) + "
+        f"({similarity_sql(comparator, rec_b, mem_b)})) / 2.0"
+    )
+    crossed = (
+        f"(({similarity_sql(comparator, rec_a, mem_b)}) + "
+        f"({similarity_sql(comparator, rec_b, mem_a)})) / 2.0"
+    )
+    return f"greatest({straight}, {crossed})"

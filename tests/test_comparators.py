@@ -196,3 +196,39 @@ def test_waterfall_breakdown_sums_to_pair_weight(spark):
     ).collect()
     for r in out:
         assert r.sum_parts == pytest.approx(r.total, abs=1e-12)
+
+
+def test_swapped_agreement_crossed_wins(spark):
+    from bigmatch_utilities_spark.functions.comparators import (
+        swapped_agreement,
+        swapped_agreement_sql,
+    )
+
+    rows = [
+        ("MARIA", "GARCIA", "MARIA", "GARCIA"),   # straight exact -> 1.0
+        ("MARIA", "GARCIA", "GARCIA", "MARIA"),   # swapped exact  -> 1.0
+        ("MARIA", "GARCIA", "GARCIA", "MARIE"),   # swapped, 1 edit in MARIA/MARIE
+        ("MARIA", "GARCIA", "LOPEZ", "JUAN"),     # neither aligns
+    ]
+    df = spark.createDataFrame(rows, ["ra", "rb", "ma", "mb"])
+    got = [
+        r[0]
+        for r in df.select(
+            swapped_agreement("e", "ra", "rb", "ma", "mb").alias("s")
+        ).collect()
+    ]
+    assert got[0] == 1.0 and got[1] == 1.0
+    # crossed mean: (1.0 + (1 - 1/5)) / 2 = 0.9
+    assert got[2] == pytest.approx(0.9, abs=1e-9)
+    assert got[3] < 0.5
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["ra", "rb", "ma", "mb"]))
+    want = [
+        r[0]
+        for r in con.sql(
+            f"select {swapped_agreement_sql('e', 'ra', 'rb', 'ma', 'mb')} as s from t"
+        ).fetchall()
+    ]
+    for g, w in zip(got, want):
+        assert g == pytest.approx(w, abs=1e-12)
