@@ -40,7 +40,11 @@ from dataclasses import dataclass, field, replace
 #: The reference GUI only labels these ("ci (inverted string comparison)");
 #: the i-suffix semantics are underdocumented, so this engine defines them
 #: as case-insensitive variants — documented, deterministic, and testable.
-COMPARATORS = ("c", "ci", "uo", "uoi", "p", "y", "q", "s")
+#: ``e``/``ei`` are engine extensions (normalized Levenshtein edit
+#: similarity, functions/comparators.py) — the typo-tolerant comparator
+#: the JW-only reference vocabulary lacks; grammar position identical to
+#: any other method token (app/BigMatchParmFile.py:472-506).
+COMPARATORS = ("c", "ci", "uo", "uoi", "p", "y", "q", "s", "e", "ei")
 
 DEFAULT_M = 0.90  # GUI spinner defaults, /root/reference/app/BlockingPass.py:75-76
 DEFAULT_U = 0.10

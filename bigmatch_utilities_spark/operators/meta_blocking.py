@@ -2,7 +2,7 @@
 
 The reference's answer to candidate explosion is manual: the user tunes
 each pass's blocking fields until the pair counts look sane
-(`/root/reference/app/BlockingPass_Model.py` holds the per-pass key
+(`/root/reference/app/BlockingPass.py` holds the per-pass key
 choices; nothing weighs the evidence across passes).  Meta-blocking
 (Papadakis et al., TKDE 2014) makes that tuning automatic and
 data-driven: build the block graph from EVERY key at once, weight each
@@ -17,7 +17,7 @@ Spark-first shape, all declarative:
 
 1. assignments: one ``select`` per key expression, unioned — (id, block)
    with blank/null keys dropped (the reference's blank_flag semantics,
-   `/root/reference/app/bigmatch_model.py` BLANK handling);
+   `/root/reference/app/BlockingPass.py:498-499`);
 2. block-size guard: singleton blocks propose nothing and mega-blocks
    are boilerplate canopies — ``HAVING 2 <= n <= max_block_rows`` before
    any pair is formed (same discipline as operators/blocking.py);

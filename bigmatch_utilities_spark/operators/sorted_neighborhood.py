@@ -130,8 +130,14 @@ def sorted_neighborhood_pairs(
 def sorted_neighborhood_sql(
     table: str, key_exprs: list[str], id_expr: str, *, window: int = 5
 ) -> str:
-    """DuckDB oracle twin of sorted_neighborhood_pairs."""
-    order = ", ".join([*key_exprs, id_expr])
+    """DuckDB oracle twin of sorted_neighborhood_pairs.
+
+    Every ORDER BY term is rendered `<expr> NULLS FIRST`: Spark's ASC sort
+    (and repartitionByRange) puts NULLs first while DuckDB defaults to
+    NULLS LAST — without the qualifier, a NULL in any key column would
+    shift the oracle's ranks and diverge the emitted pair set.
+    """
+    order = ", ".join(f"{e} NULLS FIRST" for e in [*key_exprs, id_expr])
     return f"""
         WITH sn_ranked AS (
           SELECT {id_expr} AS id,

@@ -13,9 +13,14 @@ plans:
    N via a 1-row broadcast cross-join (stays lazy — no driver action);
 3. weight = tf * (ln((N+1)/(df+1)) + 1), QUANTIZED to a 1e-4-granular
    integer. Everything downstream (dot products, norms) is exact 64-bit
-   integer arithmetic, so Spark and the DuckDB oracle agree bit-for-bit —
-   no float-summation-order hazard; the only floats are one final
-   sqrt/divide on identical integers.
+   integer arithmetic, killing the float-summation-order hazard; the only
+   floats are one final sqrt/divide on identical integers. Residual
+   hazard: the quantization itself rounds ONE float product per posting,
+   and JVM Math.log / DuckDB libm ln are each only ~1-ulp accurate — a
+   product landing exactly on a .5 rounding edge could quantize w
+   off-by-one between engines. Observed never in practice (the bench
+   corpus quantizes identically), but cross-engine agreement is
+   "exact-given-identical-w", not a hard guarantee on adversarial inputs.
 4. pair cosine: join postings to both sides of the candidate pairs on
    token (shuffles bounded by the candidate set, not N²), integer dot
    product, divide by the integer-exact norms.

@@ -3,7 +3,7 @@
     spark-submit --py-files bigmatch_utilities_spark.zip jobs/run_fuse.py \
         --input <records parquet> --clusters <(id, cluster_id) parquet> \
         --output <dir> --fields lang,path [--id-col record_id] \
-        [--keep-singletons]
+        [--drop-singletons] [--weight-col <records double column>]
 
 Completes the pipeline: run_match (pairs) -> run_closure (clusters) ->
 run_fuse (one canonical row per entity).  The input is joined to the
@@ -11,13 +11,20 @@ assignment table on the id column, then operators/golden_record elects
 the canonical value per (cluster, field) by majority vote with a
 deterministic smallest-value tiebreak.
 
---keep-singletons also emits entities whose cluster has a single member
-(the default drops nothing either — singletons ARE size-1 clusters in the
-closure output; the flag exists to make that explicit in scripts).
+--drop-singletons filters out clusters with a single member before fusing
+(a singleton "entity" is just its source record — skipping them saves the
+melt for the usual long tail of unmatched rows).  The default fuses every
+cluster, singletons included.
+
+--weight-col names a double column on the joined frame (e.g. an
+EM-calibrated edge strength propagated onto members): votes are then
+weighted by it instead of counted, same deterministic tie-break
+(golden_record weight_col semantics).
 
 Scale: one hash join on the id column (broadcast if the assignment table
-is small, AQE decides), then the golden_record plan — two shuffles for
-any number of fused fields, no windows.
+is small, AQE decides), the optional singleton filter is one map-side
+combined groupBy on cluster_id + a semi-join, then the golden_record plan
+— two shuffles for any number of fused fields, no windows.
 """
 
 from __future__ import annotations
@@ -44,7 +51,18 @@ def main() -> None:
         required=True,
         help="comma-separated record columns to fuse into the golden record",
     )
-    p.add_argument("--keep-singletons", action="store_true")
+    p.add_argument(
+        "--drop-singletons",
+        action="store_true",
+        help="skip clusters with a single member (fuse only true multi-"
+        "record entities)",
+    )
+    p.add_argument(
+        "--weight-col",
+        default=None,
+        help="double column on the joined records: weight votes by it "
+        "instead of counting rows (golden_record weight_col)",
+    )
     args = p.parse_args()
 
     from bigmatch_utilities_spark.operators.golden_record import golden_record
@@ -57,7 +75,15 @@ def main() -> None:
         clusters.select(F.col("id").alias(args.id_col), "cluster_id"),
         args.id_col,
     )
-    golden = golden_record(joined, "cluster_id", fields)
+    if args.drop_singletons:
+        multi = (
+            joined.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .select("cluster_id")
+        )
+        joined = joined.join(multi, "cluster_id", "left_semi")
+    golden = golden_record(joined, "cluster_id", fields, weight_col=args.weight_col)
     golden.write.mode("overwrite").parquet(args.output)
     spark.stop()
 

@@ -84,3 +84,30 @@ def test_datadict_header_variants():
     text = "columnname,startpos,width,seq_yn\nfoo,1,5,\nbar,6,3,y\n"
     fields = parse_datadict(text)
     assert fields[0].name == "foo" and fields[1].is_unique_id
+
+
+def test_edit_comparator_config_reachable():
+    """e/ei validate in MatchField and survive a parmf round-trip — the
+    comparator grammar position is just another method token
+    (app/BigMatchParmFile.py:472-506)."""
+    from bigmatch_utilities_spark.config import (
+        BlockingPassSpec,
+        BlockField,
+        FieldRef,
+        MatchConfig,
+        MatchField,
+    )
+
+    mf = MatchField(name="path", comparator="e", m=0.9, u=0.05)
+    mfi = MatchField(name="path", comparator="ei", m=0.9, u=0.05)
+    cfg = MatchConfig(
+        passes=(
+            BlockingPassSpec(
+                block_fields=(BlockField(name="lang"),),
+                match_fields=(mf, mfi),
+            ),
+        ),
+        id_field=FieldRef(name="record_id"),
+    )
+    assert parse_parmf(write_parmf(cfg)).passes[0].match_fields[0].comparator == "e"
+    assert parse_parmf(write_parmf(cfg)).passes[0].match_fields[1].comparator == "ei"

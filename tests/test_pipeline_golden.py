@@ -181,3 +181,42 @@ def test_manual_accepts_override_threshold(golden, spark):
         (above["id_rec"], above["id_mem"]),
     }
     assert good - touched == base_good - touched
+
+
+def test_scored_pass_with_edit_comparator(spark):
+    """A MatchField(comparator='e') flows through score_pass end-to-end:
+    a one-edit typo scores between exact-agree and full-disagree."""
+    from bigmatch_utilities_spark.config import (
+        BlockingPassSpec,
+        BlockField,
+        CutoffSpec,
+        MatchField,
+    )
+    from bigmatch_utilities_spark.operators.pipeline import score_pass
+    from bigmatch_utilities_spark.operators.scoring import (
+        agreement_weight,
+        disagreement_weight,
+    )
+
+    rec = spark.createDataFrame(
+        [(1, "b", "smith"), (2, "b", "smyth"), (3, "b", "jones")],
+        ["rid", "blk", "surname"],
+    )
+    spec = BlockingPassSpec(
+        block_fields=(BlockField(name="blk"),),
+        match_fields=(MatchField(name="surname", comparator="e", m=0.9, u=0.05),),
+        cutoff=CutoffSpec(hi=3.0, lo=-100.0),
+        print_cutoff=CutoffSpec(hi=3.0, lo=-100.0),
+        star_block_rows=None,
+    )
+    out = {
+        (r["id_rec"], r["id_mem"]): r["weight"]
+        for r in score_pass(rec, rec, spec, 0, "rid", dedupe=True).collect()
+    }
+    agr = agreement_weight(0.9, 0.05)
+    dis = disagreement_weight(0.9, 0.05)
+    # smith/smyth: 1 edit over len 5 -> sim 0.8, interpolated weight strictly between
+    w_typo = out[(1, 2)]
+    assert dis < w_typo < agr
+    # smith/jones: sim 0.2 -> full disagreement
+    assert abs(out[(1, 3)] - dis) < 1e-9

@@ -65,3 +65,50 @@ def test_run_fuse_cli(spark, tmp_path, monkeypatch):
         (r["cluster_id"], r["lang"]) for r in joined.select("cluster_id", "lang").distinct().collect()
     }
     assert all((r.cluster_id, r.lang) in valid for r in got.itertuples())
+
+
+def test_run_fuse_drop_singletons_and_weight(spark, tmp_path, monkeypatch):
+    """--drop-singletons filters size-1 clusters; --weight-col flips an
+    election a raw count would decide the other way."""
+    records = spark.createDataFrame(
+        [
+            (1, "py", 0.1),
+            (2, "py", 0.1),
+            (3, "go", 5.0),   # heavy vote: 'go' beats 2x 'py' when weighted
+            (4, "rs", 1.0),   # singleton cluster
+        ],
+        ["record_id", "lang", "w"],
+    )
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20)], ["id", "cluster_id"]
+    )
+    inp, cl = str(tmp_path / "r"), str(tmp_path / "c")
+    records.write.parquet(inp)
+    clusters.write.parquet(cl)
+    out = str(tmp_path / "g")
+
+    import importlib.util
+    import os
+    import sys
+
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "run_fuse.py",
+            "--input", inp, "--clusters", cl, "--output", out,
+            "--id-col", "record_id", "--fields", "lang",
+            "--drop-singletons", "--weight-col", "w",
+        ],
+    )
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    spec = importlib.util.spec_from_file_location(
+        "run_fuse2",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "jobs", "run_fuse.py"),
+    )
+    rf = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rf)
+    rf.main()
+
+    got = {r.cluster_id: r.lang for r in duckdb.sql(f"SELECT * FROM '{out}/*.parquet'").df().itertuples()}
+    assert got == {10: "go"}  # singleton cluster 20 dropped; weighted winner

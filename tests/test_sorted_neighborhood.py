@@ -77,3 +77,34 @@ def test_oracle_parity(spark, tmp_path):
         ).fetchall()
     }
     assert got == want
+
+
+def test_oracle_parity_with_null_keys(spark, tmp_path):
+    """NULL key values: Spark's ASC sort puts NULLS FIRST; the oracle SQL
+    must say so explicitly (DuckDB defaults NULLS LAST) or ranks — and the
+    pair set — diverge."""
+    rows = [
+        (1, None, 30),
+        (2, "ann", None),
+        (3, None, None),
+        (4, "ann", 25),
+        (5, "bob", 40),
+    ]
+    df = spark.createDataFrame(rows, ["rid", "name", "age"])
+    pq = str(tmp_path / "n.parquet")
+    df.write.parquet(pq)
+    got = {
+        (r["id_l"], r["id_r"], r["dist"])
+        for r in sorted_neighborhood_pairs(
+            df, ["name", "age"], "rid", window=3, num_partitions=2
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.sql(f"create view n as select * from '{pq}/*.parquet'")
+    want = {
+        tuple(r)
+        for r in con.sql(
+            sorted_neighborhood_sql("n", ["name", "age"], "rid", window=3)
+        ).fetchall()
+    }
+    assert got == want
