@@ -296,6 +296,30 @@ def main() -> None:
 
     counters["inc_closure_rows"] = timed("inc_closure", q_inc_closure)
 
+    # round-5 keys: declarative equi+SNM mixed-pass pipeline and
+    # containment-normalized winnowing
+    def q_snm_mix():
+        import __spark_entry__ as entrymod
+
+        return entrymod.queries()["sp_snm_pass_mix"](spark, SF_DIR).count()
+
+    counters["snm_mix_pairs"] = timed("snm_mix", q_snm_mix)
+
+    def q_containment():
+        from bigmatch_utilities_spark.operators.winnow import (
+            winnow_containment_pairs,
+        )
+
+        caches: list = []
+        n = winnow_containment_pairs(
+            docs, "text", "doc_id", cache_handle=caches
+        ).count()
+        for c in caches:
+            c.unpersist()
+        return n
+
+    counters["containment_pairs"] = timed("containment", q_containment)
+
     # throughput denominator: candidate pairs actually entering the
     # comparator stage (BASELINE's candidate-pairs/sec unit), counted on
     # the same plans after the timed runs so the count jobs don't pollute

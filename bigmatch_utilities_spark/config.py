@@ -105,6 +105,39 @@ class MatchField(FieldRef):
 
 
 @dataclass(frozen=True)
+class MatchFieldPair:
+    """A transposition-tolerant FIELD PAIR (e.g. first/last name): scored
+    by ``swapped_agreement`` — the better of the straight (a-a, b-b) and
+    crossed (a-b, b-a) alignments under ``comparator`` — with its own
+    (m, u), contributing one FS weight term to the pair weight.
+
+    The reference's matching rows are strictly positional (one field per
+    row, /root/reference/app/BigMatchParmFile.py:434-470); a swapped
+    census record ("MARIA GARCIA" keyed lastname=MARIA) costs two full
+    disagreements there. Engine extension: native MatchConfig only
+    (write_parmf refuses — the parmf grammar has no pair rows).
+    """
+
+    name_a: str
+    name_b: str
+    comparator: str = "uo"
+    m: float = DEFAULT_M
+    u: float = DEFAULT_U
+
+    def __post_init__(self) -> None:
+        if self.comparator not in COMPARATORS:
+            raise ValueError(f"unknown comparator {self.comparator!r}")
+        if not (0.0 < self.u < self.m < 1.0):
+            raise ValueError(f"need 0 < u < m < 1, got m={self.m} u={self.u}")
+        if self.name_a == self.name_b:
+            raise ValueError("a field pair needs two distinct fields")
+
+    @property
+    def name(self) -> str:
+        return f"{self.name_a}~{self.name_b}"
+
+
+@dataclass(frozen=True)
 class CutoffSpec:
     hi: float = DEFAULT_CUTOFF_HI
     lo: float = DEFAULT_CUTOFF_LO
@@ -132,6 +165,35 @@ class BlockingPassSpec:
     #: re-scoring it only to lose first-pass-wins later is pure waste (and
     #: the dominant waste when boilerplate blocks echo through loose keys).
     suppress_equal: tuple[str, ...] = ()
+    #: Pass kind. "equi" (default) = the reference's blocked equi-join:
+    #: candidates agree EXACTLY on every blocking field. "snm" = sorted-
+    #: neighborhood: the file is ordered by the blocking fields (plus the
+    #: id as tiebreak) and every record is paired with its snm_window-1
+    #: successors (operators/sorted_neighborhood.py) — the loose mop-up
+    #: pass the reference approximates with ever-coarser equi keys
+    #: (samplefiles/parmf_new.txt runs NINE passes for this reason); one
+    #: SNM pass catches near-misses no derived equi key can. Engine
+    #: extension: the parmf grammar cannot express it (write_parmf
+    #: refuses), native MatchConfig only. Same scoring, cutoff, and
+    #: first-pass-wins semantics as any other pass.
+    kind: str = "equi"
+    #: SNM window width (kind="snm" only): each record pairs with its
+    #: snm_window-1 sort-order successors, so pair volume is exactly
+    #: (snm_window-1)·N − edge truncation — linear in N.
+    snm_window: int = 5
+    #: Transposition-tolerant field PAIRS scored via swapped_agreement
+    #: (functions/comparators.py): each contributes ONE FS weight term
+    #: computed on the better of the straight and crossed alignments.
+    match_field_pairs: tuple["MatchFieldPair", ...] = ()
+
+    def __post_init__(self) -> None:
+        if self.kind not in ("equi", "snm"):
+            raise ValueError(f"unknown pass kind {self.kind!r}")
+        if self.kind == "snm":
+            if self.snm_window < 2:
+                raise ValueError("snm_window must be >= 2")
+            if self.star_block_rows:
+                raise ValueError("star_block_rows is an equi-pass option")
 
 
 @dataclass(frozen=True)
@@ -147,7 +209,14 @@ class MatchConfig:
         return sorted({bf.name for p in self.passes for bf in p.block_fields})
 
     def match_field_names(self) -> list[str]:
-        return sorted({mf.name for p in self.passes for mf in p.match_fields})
+        singles = {mf.name for p in self.passes for mf in p.match_fields}
+        paired = {
+            n
+            for p in self.passes
+            for fp in p.match_field_pairs
+            for n in (fp.name_a, fp.name_b)
+        }
+        return sorted(singles | paired)
 
     def all_field_names(self) -> list[str]:
         return sorted(set(self.block_field_names()) | set(self.match_field_names()))
@@ -271,7 +340,16 @@ def _fmt_mu(v: float) -> str:
 
 def write_parmf(cfg: MatchConfig) -> str:
     """Emit the reference parmf layout (writer shape per
-    /root/reference/app/BlockingPass.py:588-715)."""
+    /root/reference/app/BlockingPass.py:588-715).
+
+    Refuses configs using engine extensions the grammar cannot express
+    (SNM passes, match_field_pairs) rather than silently dropping them.
+    """
+    for p in cfg.passes:
+        if p.kind != "equi":
+            raise ValueError(f"parmf grammar cannot express a {p.kind!r} pass")
+        if p.match_field_pairs:
+            raise ValueError("parmf grammar cannot express match_field_pairs")
     out: list[str] = []
     np_ = len(cfg.passes)
     out.append(

@@ -71,23 +71,44 @@ def pass_candidates(
     fields a downstream gamma/EM step reads that this pass does not score).
     """
     carry = [mf.name for mf in spec.match_fields]
+    for fp in spec.match_field_pairs:
+        for f in (fp.name_a, fp.name_b):
+            if f not in carry:
+                carry.append(f)
     for f in extra_carry or []:
         if f not in carry:
             carry.append(f)
     carry_sup = carry + [f for f in spec.suppress_equal if f not in carry]
-    pairs = candidate_pairs(
-        rec,
-        mem,
-        spec,
-        id_col,
-        dedupe=dedupe,
-        broadcast_mem=broadcast_mem,
-        salt=salt,
-        shard_rows=shard_rows,
-        max_block_rows=max_block_rows,
-        carry_rec=carry_sup,
-        carry_mem=carry_sup,
-    )
+    if spec.kind == "snm":
+        from bigmatch_utilities_spark.operators.sorted_neighborhood import (
+            snm_candidate_pairs,
+        )
+
+        # salt/shard/star/broadcast are equi-join knobs; SNM's pair volume
+        # is (window-1)·N by construction, so none of them apply.
+        pairs = snm_candidate_pairs(
+            rec,
+            mem,
+            spec,
+            id_col,
+            dedupe=dedupe,
+            carry_rec=carry_sup,
+            carry_mem=carry_sup,
+        )
+    else:
+        pairs = candidate_pairs(
+            rec,
+            mem,
+            spec,
+            id_col,
+            dedupe=dedupe,
+            broadcast_mem=broadcast_mem,
+            salt=salt,
+            shard_rows=shard_rows,
+            max_block_rows=max_block_rows,
+            carry_rec=carry_sup,
+            carry_mem=carry_sup,
+        )
     # Suppress pairs an earlier exact pass already decided (spec.suppress_equal)
     # BEFORE any comparator UDF runs — the filter is a JVM predicate on the
     # join output, so redundant mega-block echoes never reach Python.
@@ -142,10 +163,13 @@ def score_pass(
         max_block_rows=max_block_rows,
         extra_carry=[mf.name for mf in gamma_fields],
     )
-    w = pair_weight(spec.match_fields)
+    w = pair_weight(spec.match_fields, field_pairs=spec.match_field_pairs)
     scored = (
         pairs.withColumn("weight", w)
-        .withColumn("is_exact", is_exact(spec.match_fields))
+        .withColumn(
+            "is_exact",
+            is_exact(spec.match_fields, field_pairs=spec.match_field_pairs),
+        )
         .withColumn("pass_id", F.lit(pass_id))
     )
     if gamma_fields:

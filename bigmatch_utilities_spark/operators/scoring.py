@@ -31,8 +31,13 @@ from functools import reduce
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from bigmatch_utilities_spark.config import MatchField
-from bigmatch_utilities_spark.functions.comparators import similarity, similarity_sql
+from bigmatch_utilities_spark.config import MatchField, MatchFieldPair
+from bigmatch_utilities_spark.functions.comparators import (
+    similarity,
+    similarity_sql,
+    swapped_agreement,
+    swapped_agreement_sql,
+)
 
 #: similarity below this is full disagreement; linear interpolation above.
 PARTIAL_FLOOR = 0.75
@@ -46,6 +51,22 @@ def disagreement_weight(m: float, u: float) -> float:
     return math.log2((1.0 - m) / (1.0 - u))
 
 
+def _weight_from_sim(
+    agr: float, dis: float, sim: Column, blank: Column, partial_floor: float
+) -> Column:
+    """FS weight for one term: agr at sim=1, interpolated down to dis at
+    the partial floor, full dis below, 0 when blank."""
+    interp = F.lit(dis) + (F.lit(agr) - F.lit(dis)) * (sim - F.lit(partial_floor)) / F.lit(
+        1.0 - partial_floor
+    )
+    return (
+        F.when(blank, F.lit(0.0))
+        .when(sim >= 1.0, F.lit(agr))
+        .when(sim >= partial_floor, interp)
+        .otherwise(F.lit(dis))
+    )
+
+
 def field_weight(
     mf: MatchField,
     sim: Column,
@@ -57,14 +78,78 @@ def field_weight(
     agr = agreement_weight(mf.m, mf.u)
     dis = disagreement_weight(mf.m, mf.u)
     blank = (left.isNull() | (F.trim(left) == "")) | (right.isNull() | (F.trim(right) == ""))
-    interp = F.lit(dis) + (F.lit(agr) - F.lit(dis)) * (sim - F.lit(partial_floor)) / F.lit(
-        1.0 - partial_floor
+    return _weight_from_sim(agr, dis, sim, blank, partial_floor)
+
+
+def _pair_blank(
+    fp: MatchFieldPair, rec_prefix: str, mem_prefix: str
+) -> Column:
+    """A field PAIR is blank when either side is blank in BOTH its
+    fields — one present field still carries signal through the better
+    alignment; a fully-blank side carries none."""
+    def blank(c: Column) -> Column:
+        return c.isNull() | (F.trim(c) == "")
+
+    rec_blank = blank(F.col(rec_prefix + fp.name_a)) & blank(
+        F.col(rec_prefix + fp.name_b)
+    )
+    mem_blank = blank(F.col(mem_prefix + fp.name_a)) & blank(
+        F.col(mem_prefix + fp.name_b)
+    )
+    return rec_blank | mem_blank
+
+
+def pair_field_weight(
+    fp: MatchFieldPair,
+    rec_prefix: str = "rec_",
+    mem_prefix: str = "mem_",
+    partial_floor: float = PARTIAL_FLOOR,
+) -> Column:
+    """FS weight term for a transposition-tolerant field pair: the
+    swapped_agreement similarity (best of straight/crossed alignment)
+    interpolated between this pair's (m, u) weights."""
+    agr = agreement_weight(fp.m, fp.u)
+    dis = disagreement_weight(fp.m, fp.u)
+    sim = swapped_agreement(
+        fp.comparator,
+        F.col(rec_prefix + fp.name_a),
+        F.col(rec_prefix + fp.name_b),
+        F.col(mem_prefix + fp.name_a),
+        F.col(mem_prefix + fp.name_b),
+    )
+    return _weight_from_sim(
+        agr, dis, sim, _pair_blank(fp, rec_prefix, mem_prefix), partial_floor
+    )
+
+
+def pair_field_weight_sql(
+    fp: MatchFieldPair,
+    rec_prefix: str = "rec_",
+    mem_prefix: str = "mem_",
+    partial_floor: float = PARTIAL_FLOOR,
+) -> str:
+    """DuckDB twin of :func:`pair_field_weight`."""
+    agr = agreement_weight(fp.m, fp.u)
+    dis = disagreement_weight(fp.m, fp.u)
+    ra, rb = rec_prefix + fp.name_a, rec_prefix + fp.name_b
+    ma, mb = mem_prefix + fp.name_a, mem_prefix + fp.name_b
+    sim = swapped_agreement_sql(fp.comparator, ra, rb, ma, mb)
+
+    def blank(c: str) -> str:
+        return f"({c} IS NULL OR trim({c}) = '')"
+
+    blank_pred = (
+        f"(({blank(ra)} AND {blank(rb)}) OR ({blank(ma)} AND {blank(mb)}))"
+    )
+    interp = (
+        f"({dis!r} + ({agr!r} - {dis!r}) * ({sim} - {partial_floor!r}) / "
+        f"{1.0 - partial_floor!r})"
     )
     return (
-        F.when(blank, F.lit(0.0))
-        .when(sim >= 1.0, F.lit(agr))
-        .when(sim >= partial_floor, interp)
-        .otherwise(F.lit(dis))
+        f"(CASE WHEN {blank_pred} THEN 0.0 "
+        f"WHEN {sim} >= 1.0 THEN {agr!r} "
+        f"WHEN {sim} >= {partial_floor!r} THEN {interp} "
+        f"ELSE {dis!r} END)"
     )
 
 
@@ -94,14 +179,18 @@ def pair_weight(
     match_fields: tuple[MatchField, ...],
     rec_prefix: str = "rec_",
     mem_prefix: str = "mem_",
+    field_pairs: tuple[MatchFieldPair, ...] = (),
 ) -> Column:
-    """Total pair weight = Σ field weights, over `rec_<f>` / `mem_<f>` cols."""
+    """Total pair weight = Σ field weights (+ Σ swap-tolerant pair-field
+    weights), over `rec_<f>` / `mem_<f>` cols."""
     terms = []
     for mf in match_fields:
         lc = F.col(rec_prefix + mf.name)
         rc = F.col(mem_prefix + mf.name)
         sim = similarity(mf.comparator, lc, rc)
         terms.append(field_weight(mf, sim, lc, rc))
+    for fp in field_pairs:
+        terms.append(pair_field_weight(fp, rec_prefix, mem_prefix))
     return reduce(lambda a, b: a + b, terms)
 
 
@@ -129,21 +218,35 @@ def pair_weight_sql(
     match_fields: tuple[MatchField, ...],
     rec_prefix: str = "rec_",
     mem_prefix: str = "mem_",
+    field_pairs: tuple[MatchFieldPair, ...] = (),
 ) -> str:
     terms = [
         field_weight_sql(mf, rec_prefix + mf.name, mem_prefix + mf.name)
         for mf in match_fields
-    ]
+    ] + [pair_field_weight_sql(fp, rec_prefix, mem_prefix) for fp in field_pairs]
     return "(" + " + ".join(terms) + ")"
 
 
 def is_exact(match_fields: tuple[MatchField, ...],
-             rec_prefix: str = "rec_", mem_prefix: str = "mem_") -> Column:
+             rec_prefix: str = "rec_", mem_prefix: str = "mem_",
+             field_pairs: tuple[MatchFieldPair, ...] = ()) -> Column:
     """The reference's exact-match partition: rec match values == mem match
-    values as concatenated strings (app/MatchReview.py:157-173)."""
+    values as concatenated strings (app/MatchReview.py:157-173). A
+    swap-tolerant field pair is exact when EITHER alignment (straight or
+    crossed) matches exactly — a pure transposition is still an exact
+    match under pair semantics."""
+    def eq(a: str, b: str) -> Column:
+        return F.coalesce(F.col(a), F.lit("")) == F.coalesce(F.col(b), F.lit(""))
+
     conds = [
-        F.coalesce(F.col(rec_prefix + mf.name), F.lit(""))
-        == F.coalesce(F.col(mem_prefix + mf.name), F.lit(""))
-        for mf in match_fields
+        eq(rec_prefix + mf.name, mem_prefix + mf.name) for mf in match_fields
     ]
+    for fp in field_pairs:
+        straight = eq(rec_prefix + fp.name_a, mem_prefix + fp.name_a) & eq(
+            rec_prefix + fp.name_b, mem_prefix + fp.name_b
+        )
+        crossed = eq(rec_prefix + fp.name_a, mem_prefix + fp.name_b) & eq(
+            rec_prefix + fp.name_b, mem_prefix + fp.name_a
+        )
+        conds.append(straight | crossed)
     return reduce(lambda a, b: a & b, conds)

@@ -214,3 +214,77 @@ def winnow_shared_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("shared"))
     )
     return pairs.filter(F.col("shared") >= min_shared)
+
+
+def winnow_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 12,
+    w: int = 10,
+    min_shared: int = 3,
+    max_bucket: int | None = 64,
+    cache_handle: list | None = None,
+) -> DataFrame:
+    """winnow_shared_pairs + CONTAINMENT normalization:
+    (id_l, id_r, shared, containment) where containment =
+    shared / min(n_fps_l, n_fps_r).
+
+    A paragraph copied into a much larger file shares only a small
+    fraction of the big file's fingerprints, so symmetric Jaccard-style
+    scores bury it; dividing by the SMALLER document's fingerprint count
+    (the asymmetric containment MOSS ranks by) scores the copied-into
+    case near 1.0 regardless of the host file's size.
+
+    Denominators are the full per-document winnowed set sizes; the
+    numerator inherits winnow_shared_pairs' scale guards (singleton drop,
+    hot-bucket cap), which can undercount `shared` for boilerplate
+    fingerprints — the identical guards run in the oracle SQL, so the
+    value is deterministic cross-engine. Containment is rounded to 6dp
+    (one float divide on exact integers, same 6dp discipline as every
+    float column the driver compares).
+
+    Plan: the per-doc fingerprint count rides the exploded frame as a
+    map-side column (no extra join against a profile table); otherwise
+    identical shape to winnow_shared_pairs — two shuffles total.
+    """
+    fp = with_winnow_fingerprints(
+        df.select(F.col(id_col).alias("id"), text_col), text_col, "fps", k=k, w=w
+    )
+    # see winnow_shared_pairs for the explode_outer rationale
+    fps = (
+        fp.select("id", F.size("fps").alias("n_fps"), F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )
+    if cache_handle is not None:
+        fps = fps.persist()
+        cache_handle.append(fps)
+    kept = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_n")).filter(F.col("_n") > 1)
+    if max_bucket:
+        kept = kept.filter(F.col("_n") <= max_bucket)
+    fps = fps.join(kept.select("fp"), "fp")
+    pairs = (
+        fps.alias("a")
+        .join(fps.alias("b"), "fp")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_l"), F.col("b.id").alias("id_r"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("shared"),
+            F.max(F.col("a.n_fps")).alias("_n_l"),
+            F.max(F.col("b.n_fps")).alias("_n_r"),
+        )
+    )
+    return (
+        pairs.filter(F.col("shared") >= min_shared)
+        .select(
+            "id_l",
+            "id_r",
+            "shared",
+            F.round(
+                F.col("shared").cast("double")
+                / F.least("_n_l", "_n_r").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+    )

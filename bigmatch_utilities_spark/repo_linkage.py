@@ -161,8 +161,15 @@ def run_repo_linkage(
     persist: bool = False,
     cache_handle: list | None = None,
     gamma_fields: tuple | None = None,
+    transform=None,
 ) -> MatchResult:
     """Full multi-pass linkage over a prepared repo-files DataFrame.
+
+    transform: optional DataFrame -> DataFrame hook applied to the
+    PREPARED frame before any pass runs — the quality-step seam (e.g.
+    jobs/run_match --standardize rewrites match columns through
+    operators.standardize here, so every blocking and scoring pass —
+    including the LSH canopy — sees canonicalized values).
 
     minhash_max_bucket: LSH buckets above this are template/boilerplate
     canopies, not duplicate evidence — their members' true duplicates are
@@ -185,6 +192,8 @@ def run_repo_linkage(
     reads them straight off ``result.pairs`` — no second scan
     (operators.pipeline.score_pass)."""
     prepared = prepare(df)
+    if transform is not None:
+        prepared = transform(prepared)
     if persist:
         prepared = prepared.persist()
         if cache_handle is not None:

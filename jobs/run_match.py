@@ -31,6 +31,55 @@ from bigmatch_utilities_spark.repo_linkage import (
 )
 
 
+#: --standardize MAPFILEs at or under this many entries compile into the
+#: codegen CASE-chain path; larger ones take the broadcast-join path.
+STANDARDIZE_EXPR_MAX = 500
+
+
+def _standardizer(spark, specs: list[str]):
+    """Compile --standardize COL[:MAPFILE] options into a prepared-frame
+    transform. Identity when no options were given."""
+
+    def load_map(path: str) -> dict[str, str]:
+        import csv as _csv
+
+        with open(path, newline="") as fh:
+            rows = [r for r in _csv.reader(fh) if len(r) >= 2]
+        # tolerate a header row
+        if rows and rows[0][0].strip().lower() in ("token", "from", "src"):
+            rows = rows[1:]
+        return {r[0].strip().lower(): r[1].strip().lower() for r in rows}
+
+    parsed: list[tuple[str, dict[str, str] | None]] = []
+    for s in specs:
+        col, _, mapfile = s.partition(":")
+        parsed.append((col, load_map(mapfile) if mapfile else None))
+
+    def apply(df):
+        from pyspark.sql import functions as F
+
+        from bigmatch_utilities_spark.operators.standardize import (
+            standardize_expr,
+            standardize_join,
+        )
+
+        for col, syn in parsed:
+            if col not in df.columns:
+                raise ValueError(f"--standardize column {col!r} not in input")
+            if syn is not None and len(syn) > STANDARDIZE_EXPR_MAX:
+                mapping = spark.createDataFrame(
+                    list(syn.items()), "token string, canonical string"
+                )
+                df = standardize_join(
+                    df, col, ID_COL, mapping, out_col=f"_std_{col}"
+                ).withColumn(col, F.col(f"_std_{col}")).drop(f"_std_{col}")
+            else:
+                df = df.withColumn(col, standardize_expr(F.col(col), syn))
+        return df
+
+    return apply if parsed else (lambda df: df)
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--input", required=True)
@@ -60,6 +109,19 @@ def main() -> None:
         "is written (reference MatchReview accept_usr semantics)",
     )
     p.add_argument("--accept-threshold", type=float, default=4.0)
+    p.add_argument(
+        "--standardize",
+        action="append",
+        default=[],
+        metavar="COL[:MAPFILE]",
+        help="standardize a derived match/blocking column in-plan before "
+        "any pass runs (operators.standardize): lowercase + token "
+        "normalization + synonym canonicalization. MAPFILE is a two-column "
+        "CSV (token,canonical); omitted = the built-in nickname/"
+        "abbreviation map. Repeatable. Small maps compile into a codegen "
+        "CASE chain; maps over 500 entries run as a broadcast dictionary "
+        "join (identical output, pinned by test)",
+    )
     p.add_argument(
         "--estimate-mu",
         action="store_true",
@@ -91,10 +153,12 @@ def main() -> None:
 
         gamma_fields = _FUZZY_FIELDS
 
+    standardize = _standardizer(spark, args.standardize)
+
     if args.checkpoint:
         ckpt = CheckpointedMatch(spark, args.checkpoint)
         result = ckpt.run(
-            prepare(df), None, repo_match_config(), id_col=ID_COL,
+            standardize(prepare(df)), None, repo_match_config(), id_col=ID_COL,
             slices=args.slices,
             max_block_rows=args.max_block_rows, shard_rows=shard_rows,
             gamma_fields=gamma_fields,
@@ -106,6 +170,7 @@ def main() -> None:
             max_block_rows=args.max_block_rows,
             shard_rows=shard_rows,
             gamma_fields=gamma_fields,
+            transform=standardize,
         )
 
     if args.decisions:

@@ -220,3 +220,90 @@ def test_scored_pass_with_edit_comparator(spark):
     assert dis < w_typo < agr
     # smith/jones: sim 0.2 -> full disagreement
     assert abs(out[(1, 3)] - dis) < 1e-9
+
+
+def test_match_field_pair_swap_tolerance(spark):
+    """A MatchFieldPair scores a transposed first/last name as an exact
+    agreement (crossed alignment wins); strictly-positional fields would
+    charge two disagreements. Also exact under pair semantics."""
+    from bigmatch_utilities_spark.config import (
+        BlockField,
+        BlockingPassSpec,
+        CutoffSpec,
+        FieldRef,
+        MatchConfig,
+        MatchField,
+        MatchFieldPair,
+    )
+    from bigmatch_utilities_spark.operators.pipeline import run_match
+    from bigmatch_utilities_spark.operators.scoring import agreement_weight
+
+    rows = [
+        (1, "b", "maria", "garcia"),
+        (2, "b", "garcia", "maria"),    # pure swap of 1
+        (3, "b", "maria", "lopez"),     # half agreement whichever way
+    ]
+    df = spark.createDataFrame(rows, ["rid", "blk", "fname", "lname"])
+    cut = CutoffSpec(hi=3.0, lo=-50.0)
+    cfg = MatchConfig(
+        passes=(
+            BlockingPassSpec(
+                block_fields=(BlockField(name="blk"),),
+                match_fields=(),
+                match_field_pairs=(
+                    MatchFieldPair(
+                        name_a="fname", name_b="lname",
+                        comparator="c", m=0.9, u=0.1,
+                    ),
+                ),
+                cutoff=cut, print_cutoff=cut,
+            ),
+        ),
+        id_field=FieldRef(name="rid"),
+        dedupe_single_file=True,
+    )
+    res = run_match(df, None, cfg, persist=False)
+    out = {(r["id_rec"], r["id_mem"]): r for r in res.pairs.collect()}
+    agr = agreement_weight(0.9, 0.1)
+    # swap pair: crossed alignment is a full agreement
+    assert abs(out[(1, 2)]["weight"] - agr) < 1e-9
+    assert out[(1, 2)]["is_exact"]
+    # half agreement scores strictly below full
+    assert out[(1, 3)]["weight"] < out[(1, 2)]["weight"]
+    assert not out[(1, 3)]["is_exact"]
+
+
+def test_write_parmf_refuses_extensions():
+    import pytest
+
+    from bigmatch_utilities_spark.config import (
+        BlockField,
+        BlockingPassSpec,
+        FieldRef,
+        MatchConfig,
+        MatchField,
+        MatchFieldPair,
+        write_parmf,
+    )
+
+    base = dict(
+        block_fields=(BlockField(name="k"),),
+        match_fields=(MatchField(name="k"),),
+    )
+    snm_cfg = MatchConfig(
+        passes=(BlockingPassSpec(kind="snm", **base),),
+        id_field=FieldRef(name="rid"),
+    )
+    pair_cfg = MatchConfig(
+        passes=(
+            BlockingPassSpec(
+                match_field_pairs=(MatchFieldPair(name_a="a", name_b="b"),),
+                **base,
+            ),
+        ),
+        id_field=FieldRef(name="rid"),
+    )
+    with pytest.raises(ValueError):
+        write_parmf(snm_cfg)
+    with pytest.raises(ValueError):
+        write_parmf(pair_cfg)

@@ -108,3 +108,133 @@ def test_oracle_parity_with_null_keys(spark, tmp_path):
         ).fetchall()
     }
     assert got == want
+
+
+def _spec(window=3, fields=("name",), kind="snm"):
+    from bigmatch_utilities_spark.config import (
+        BlockField,
+        BlockingPassSpec,
+        CutoffSpec,
+        MatchField,
+    )
+
+    return BlockingPassSpec(
+        block_fields=tuple(BlockField(name=f) for f in fields),
+        match_fields=(MatchField(name="name", comparator="c", m=0.9, u=0.1),),
+        cutoff=CutoffSpec(hi=2.0, lo=-50.0),
+        print_cutoff=CutoffSpec(hi=2.0, lo=-50.0),
+        kind=kind,
+        snm_window=window,
+    )
+
+
+def test_snm_candidate_pairs_contract_dedupe(spark):
+    """kind='snm' self pass: candidate_pairs output contract, id canon,
+    carried values follow their ids."""
+    from bigmatch_utilities_spark.operators.sorted_neighborhood import (
+        snm_candidate_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(5, "ann"), (1, "bob"), (9, "ann"), (2, "carl")], ["rid", "name"]
+    )
+    got = {
+        (r["id_rec"], r["id_mem"]): (r["rec_name"], r["mem_name"])
+        for r in snm_candidate_pairs(
+            df, None, _spec(window=2), "rid", dedupe=True
+        ).collect()
+    }
+    # sort order: ann(5), ann(9), bob(1), carl(2); window 2 pairs neighbors
+    assert set(got) == {(5, 9), (1, 9), (1, 2)}
+    assert got[(5, 9)] == ("ann", "ann")
+    assert got[(1, 9)] == ("bob", "ann")  # rec carries id 1's value
+
+
+def test_snm_candidate_pairs_two_file(spark):
+    """Two-file SNM: merged sort, only cross-file neighbors, id_rec from
+    the rec side."""
+    from bigmatch_utilities_spark.operators.sorted_neighborhood import (
+        snm_candidate_pairs,
+    )
+
+    rec = spark.createDataFrame([(1, "ann"), (2, "carl")], ["rid", "name"])
+    mem = spark.createDataFrame([(7, "anne"), (8, "carla")], ["rid", "name"])
+    got = {
+        (r["id_rec"], r["id_mem"]): (r["rec_name"], r["mem_name"])
+        for r in snm_candidate_pairs(rec, mem, _spec(window=2), "rid").collect()
+    }
+    # merged order: ann(r1), anne(m7), carl(r2), carla(m8); every adjacent
+    # step is cross-file, so all three neighbor pairs emit
+    assert got == {
+        (1, 7): ("ann", "anne"),
+        (2, 7): ("carl", "anne"),
+        (2, 8): ("carl", "carla"),
+    }
+
+
+def test_snm_pass_in_run_match(spark):
+    """A MatchConfig mixing an equi pass and an SNM pass: the SNM pass
+    recovers a typo'd pair the equi key loses; first-pass-wins holds."""
+    from bigmatch_utilities_spark.config import (
+        BlockField,
+        BlockingPassSpec,
+        CutoffSpec,
+        FieldRef,
+        MatchConfig,
+        MatchField,
+    )
+    from bigmatch_utilities_spark.operators.pipeline import run_match
+
+    rows = [
+        (1, "k1", "smith"),
+        (2, "k1", "smith"),   # equi pair with 1
+        (3, "k2", "smyth"),   # equi key differs; SNM on surname finds 3~1/2
+        (4, "zz", "jones"),
+    ]
+    df = spark.createDataFrame(rows, ["rid", "key", "surname"])
+    mf = (MatchField(name="surname", comparator="e", m=0.9, u=0.05),)
+    cut = CutoffSpec(hi=3.0, lo=-50.0)
+    cfg = MatchConfig(
+        passes=(
+            BlockingPassSpec(
+                block_fields=(BlockField(name="key"),),
+                match_fields=mf, cutoff=cut, print_cutoff=cut,
+            ),
+            BlockingPassSpec(
+                block_fields=(BlockField(name="surname"),),
+                match_fields=mf, cutoff=cut, print_cutoff=cut,
+                kind="snm", snm_window=3,
+            ),
+        ),
+        id_field=FieldRef(name="rid"),
+        dedupe_single_file=True,
+    )
+    res = run_match(df, None, cfg, persist=False)
+    got = {(r["id_rec"], r["id_mem"]): r["pass_id"] for r in res.pairs.collect()}
+    assert got[(1, 2)] == 0          # equi pair, first pass wins
+    assert (2, 3) in got or (1, 3) in got  # SNM mop-up found the typo
+    assert all(p in (0, 1) for p in got.values())
+
+
+def test_snm_config_validation():
+    import pytest
+
+    from bigmatch_utilities_spark.config import (
+        BlockField,
+        BlockingPassSpec,
+        MatchField,
+    )
+
+    with pytest.raises(ValueError):
+        BlockingPassSpec(
+            block_fields=(BlockField(name="k"),),
+            match_fields=(MatchField(name="k"),),
+            kind="snm",
+            snm_window=1,
+        )
+    with pytest.raises(ValueError):
+        BlockingPassSpec(
+            block_fields=(BlockField(name="k"),),
+            match_fields=(MatchField(name="k"),),
+            kind="fuzzy",
+        )

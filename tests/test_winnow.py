@@ -118,3 +118,45 @@ def test_no_inferred_filter_reinline(spark):
     for line in plan.splitlines():
         if line.strip().startswith("+- Filter") or line.strip().startswith("Filter"):
             assert "md5" not in line, "k-gram chain re-inlined into a Filter"
+
+
+def test_containment_scores_copied_paragraph_high(spark):
+    """A paragraph copied into a much larger host file: symmetric shared
+    count is small relative to the host, but containment (shared / min
+    side) scores near 1.0 — the asymmetric MOSS case plain Jaccard buries."""
+    from bigmatch_utilities_spark.operators.winnow import (
+        winnow_containment_pairs,
+        winnow_profile,
+    )
+
+    para = "the quick brown fox jumps over the lazy dog again and again " * 4
+    host = (
+        "completely different opening content with many unrelated words "
+        * 20
+        + para
+        + " trailing host material that keeps going with more filler words "
+        * 20
+    )
+    df = spark.createDataFrame(
+        [(1, para), (2, host), (3, "unrelated third document entirely " * 10)],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["id_l"], r["id_r"]): (r["shared"], r["containment"])
+        for r in winnow_containment_pairs(
+            df, "text", "doc_id", max_bucket=None
+        ).collect()
+    }
+    assert (1, 2) in out
+    shared, containment = out[(1, 2)]
+    n = {
+        r["id"]: r["n_fps"]
+        for r in winnow_profile(df, "text", "doc_id").collect()
+    }
+    # denominator is the SMALLER side (the paragraph), so the copied-into
+    # case scores high even though the host is much larger
+    assert n[2] > 2 * n[1]
+    assert containment > 0.8
+    assert abs(containment - round(shared / min(n[1], n[2]), 6)) < 1e-9
+    # the unrelated doc pairs with nothing
+    assert not any(3 in k for k in out)
