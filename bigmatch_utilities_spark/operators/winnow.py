@@ -58,6 +58,7 @@ def with_winnow_fingerprints(
     *,
     k: int = 12,
     w: int = 10,
+    spread: bool | None = None,
 ) -> DataFrame:
     """Adds `out_col` array<long>: the winnowed fingerprint set of
     `text_col`. Two staged projections, no shuffle.
@@ -72,11 +73,18 @@ def with_winnow_fingerprints(
     input has fewer partitions than the cluster's default parallelism, the
     rows are spread first; at real scale (partitions >> cores) the check
     is a no-op and adds no shuffle.
+
+    spread: True forces the spread repartition, False skips it, None
+    (default) auto-detects by comparing the input's partition count to
+    defaultParallelism. The auto path reads the partition count off the
+    DataFrame's RDD lineage (driver-side metadata only — no job); callers
+    on a query path that must stay pure-DataFrame can pass an explicit
+    bool to avoid the RDD conversion entirely.
     """
-    n_in = df.rdd.getNumPartitions()
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if n_in < target:
-        df = df.repartition(target)
+    if spread is None:
+        spread = df.rdd.getNumPartitions() < df.sparkSession.sparkContext.defaultParallelism
+    if spread:
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     # the normalized text is staged as a column BEFORE the k-gram
     # transform: inlined, the regexp_replace would re-evaluate once per
     # k-gram inside the lambda (O(n²) character work per row — measured
