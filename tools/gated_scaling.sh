@@ -7,6 +7,7 @@ GATE=${GATE:-0.95}
 LOW=${LOW:-8}
 HIGH=${HIGH:-32}
 CLUSTERS=${CLUSTERS:-2000000}
+REPEATS=${REPEATS:-2}
 OUT=${OUT:-/tmp/scaling_gated.json}
 LOG=${LOG:-/tmp/scaling_gated.log}
 cd /root/repo
@@ -21,7 +22,7 @@ for i in $(seq 1 ${ITERS:-72}); do
   if [ "$ok" = "1" ]; then
     echo "$(date +%H:%M:%S) gate open — launching scaling run" >> "$LOG"
     python jobs/bench_scaling.py --clusters "$CLUSTERS" \
-      --low "$LOW" --high "$HIGH" --repeats 2 > "$OUT" 2>> "$LOG"
+      --low "$LOW" --high "$HIGH" --repeats "$REPEATS" > "$OUT" 2>> "$LOG"
     echo "$(date +%H:%M:%S) done rc=$?" >> "$LOG"
     # post-run probe: record whether the window stayed quiet
     python tools/cpu_ceiling.py --low "$LOW" --high "$HIGH" 2>/dev/null \
