@@ -80,8 +80,9 @@ def _standardizer(spark, specs: list[str]):
     return apply if parsed else (lambda df: df)
 
 
-def main() -> None:
-    p = argparse.ArgumentParser()
+def add_match_args(p: argparse.ArgumentParser) -> None:
+    """Match-stage options shared with jobs/run_pipeline.py (which composes
+    this stage with closure + fusion in one spark-submit)."""
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--checkpoint", default=None)
@@ -131,10 +132,13 @@ def main() -> None:
         "the emitted pairs (above each pass's print floor), so estimates "
         "are conditional on that floor",
     )
-    args = p.parse_args()
-    shard_rows = args.shard_rows or None
 
-    spark = SparkSession.builder.appName("bigmatch-run-match").getOrCreate()
+
+def match_stage(spark: SparkSession, args: argparse.Namespace) -> None:
+    """Run the multi-pass match and write <output>/{pairs,good_pairs}
+    (+ mu_estimates/cutoff_suggestions/weight_histogram with --estimate-mu).
+    Factored out of main() so run_pipeline.py reuses the identical stage."""
+    shard_rows = args.shard_rows or None
     # catalog (Iceberg) table name or a write_table() parquet fallback dir —
     # read_table resolves either to the same partition-prunable scan
     df = read_table(
@@ -218,6 +222,14 @@ def main() -> None:
             bin_width=0.5,
             lam=lam,
         ).write.mode("overwrite").parquet(f"{args.output}/weight_histogram")
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    add_match_args(p)
+    args = p.parse_args()
+    spark = SparkSession.builder.appName("bigmatch-run-match").getOrCreate()
+    match_stage(spark, args)
     spark.stop()
 
 

@@ -1,0 +1,147 @@
+"""run_pipeline CLI: match -> closure -> fuse in ONE job, with stage-level
+--resume idempotence. Runs main() in-process (getOrCreate reuses the test
+session) so the real argument wiring is exercised without a JVM spawn."""
+
+from __future__ import annotations
+
+import glob
+import importlib.util
+import os
+import sys
+
+import duckdb
+from pyspark.sql import functions as F
+
+
+def _load(name: str):
+    spec = importlib.util.spec_from_file_location(
+        name,
+        os.path.join(
+            os.path.dirname(os.path.dirname(__file__)), "jobs", f"{name}.py"
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _mtimes(path: str) -> dict[str, float]:
+    return {
+        f: os.path.getmtime(f) for f in glob.glob(f"{path}/**/*", recursive=True)
+    }
+
+
+def test_run_pipeline_end_to_end_and_resume(spark, tmp_path, monkeypatch):
+    from bigmatch_utilities_spark.repo_linkage import link_and_cluster
+    from bigmatch_utilities_spark.synthdata import repo_files_df
+
+    records = repo_files_df(spark, seed=42, n_clusters=40)
+    inp = str(tmp_path / "records")
+    records.write.mode("overwrite").parquet(inp)
+    out = str(tmp_path / "out")
+
+    argv = [
+        "run_pipeline.py",
+        "--input", inp,
+        "--output", out,
+        "--no-minhash",
+        "--fuse-fields", "lang,repo",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    rp = _load("run_pipeline")
+    rp.main()
+
+    # every stage wrote its terminal output
+    for stage in ("pairs", "good_pairs", "clusters", "entities"):
+        assert os.path.exists(f"{out}/{stage}/_SUCCESS"), stage
+
+    # the composed pipeline's clusters == the library-level link_and_cluster
+    expected = {
+        (r.id, r.cluster_id)
+        for r in link_and_cluster(
+            spark.read.parquet(inp), use_minhash_pass=False
+        ).collect()
+    }
+    got = {
+        (r.id, r.cluster_id)
+        for r in spark.read.parquet(f"{out}/clusters").collect()
+    }
+    assert got == expected
+
+    # one golden row per cluster, fused columns present
+    entities = duckdb.sql(f"SELECT * FROM '{out}/entities/*.parquet'").df()
+    n_clusters = len({c for _, c in got})
+    assert len(entities) == n_clusters
+    assert set(entities.columns) == {"cluster_id", "lang", "repo"}
+
+    # --resume: all three stages skip (no output file rewritten)
+    before = {s: _mtimes(f"{out}/{s}") for s in ("good_pairs", "clusters", "entities")}
+    monkeypatch.setattr(sys, "argv", argv + ["--resume"])
+    rp2 = _load("run_pipeline")
+    rp2.main()
+    after = {s: _mtimes(f"{out}/{s}") for s in ("good_pairs", "clusters", "entities")}
+    assert before == after
+
+    # --resume with a missing tail stage re-runs JUST that stage
+    import shutil
+
+    shutil.rmtree(f"{out}/entities")
+    rp3 = _load("run_pipeline")
+    rp3.main()
+    assert os.path.exists(f"{out}/entities/_SUCCESS")
+    entities2 = duckdb.sql(f"SELECT * FROM '{out}/entities/*.parquet'").df()
+    assert len(entities2) == n_clusters
+    # match + closure outputs untouched by the partial re-run
+    assert _mtimes(f"{out}/good_pairs") == before["good_pairs"]
+    assert _mtimes(f"{out}/clusters") == before["clusters"]
+
+
+def test_run_pipeline_incremental_base(spark, tmp_path, monkeypatch):
+    """--base routes the closure stage through incremental_closure: the
+    updated assignment matches a batch closure over (old edges ∪ delta)."""
+    from bigmatch_utilities_spark.operators.closure import cluster_accepted_pairs
+    from bigmatch_utilities_spark.synthdata import repo_files_df
+
+    records = repo_files_df(spark, seed=7, n_clusters=25)
+    inp = str(tmp_path / "records")
+    records.write.mode("overwrite").parquet(inp)
+
+    # standing table: every record its own singleton cluster (cold start)
+    from bigmatch_utilities_spark.repo_linkage import ID_COL, with_record_id
+
+    ids = with_record_id(spark.read.parquet(inp)).select(ID_COL)
+    base = ids.select(
+        F.col(ID_COL).alias("id"), F.col(ID_COL).alias("cluster_id")
+    )
+    base_path = str(tmp_path / "base")
+    base.write.parquet(base_path)
+
+    out = str(tmp_path / "out")
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "run_pipeline.py",
+            "--input", inp,
+            "--output", out,
+            "--no-minhash",
+            "--base", base_path,
+        ],
+    )
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    _load("run_pipeline").main()
+
+    got = {
+        (r.id, r.cluster_id)
+        for r in spark.read.parquet(f"{out}/clusters").collect()
+    }
+    batch = {
+        (r.id, r.cluster_id)
+        for r in cluster_accepted_pairs(
+            spark.read.parquet(f"{out}/good_pairs"), all_ids=ids, id_col=ID_COL
+        ).collect()
+    }
+    assert got == batch
+    # no entities/ without --fuse-fields
+    assert not os.path.exists(f"{out}/entities")
