@@ -1140,6 +1140,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bp_blocking_profile"] = bp
 
+    # ---- blocking-key suggestion (rank candidate key sets pre-flight) -----
+    def bk(spark, sf):
+        from bigmatch_utilities_spark.operators.blocking import (
+            suggest_blocking_keys,
+        )
+
+        return suggest_blocking_keys(
+            _t(spark, sf, "customer"),
+            [["c_mktsegment"], ["c_nationkey"], ["c_nationkey", "c_mktsegment"]],
+            id_col="c_custkey",
+        )
+
+    q["bk_key_suggestion"] = bk
+
     # ---- 1:1 assignment (mutual best match) -------------------------------
     def u5(spark, sf):
         from bigmatch_utilities_spark.operators.assignment import one_to_one
@@ -1514,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ------------------------------------------------------------------
     driver_first = [
         # new in round 5
+        "bk_key_suggestion",
         "sp_snm_pass_mix",
         "fp_swapped_pair_score",
         "wn_containment_pairs",
@@ -2313,6 +2328,17 @@ def oracle_sql() -> dict[str, str]:
         blocking_profile_sql(_docs_b_sql, _bp_strict, 0)
         + " UNION ALL "
         + blocking_profile_sql(_docs_b_sql, _bp_loose, 1)
+    )
+
+    # bk: blocking-key suggestion — per-key-set block-size aggregates only
+    # (one groupBy per candidate key, no pairs materialized)
+    from bigmatch_utilities_spark.operators.blocking import (
+        suggest_blocking_keys_sql,
+    )
+
+    o["bk_key_suggestion"] = suggest_blocking_keys_sql(
+        "SELECT * FROM customer",
+        [["c_mktsegment"], ["c_nationkey"], ["c_nationkey", "c_mktsegment"]],
     )
 
     # u5: mutual-best-match — row_number argmax on both sides (the Spark

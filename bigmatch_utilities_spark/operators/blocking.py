@@ -487,3 +487,152 @@ def blocking_profile_sql(
             GROUP BY {keys}
         ) sizes
     """
+
+
+# ---------------------------------------------------------------------------
+# blocking-key suggestion: rank candidate key sets before writing the parmf
+# ---------------------------------------------------------------------------
+
+
+def _nonblank(c: Column) -> Column:
+    """Blocking blank semantics for ANY column type: null or
+    trims-to-empty (after a string cast) is blank. The string cast keeps
+    integer keys usable and renders identically in DuckDB
+    (trim(CAST(c AS VARCHAR)))."""
+    return c.isNotNull() & (F.trim(c.cast("string")) != F.lit(""))
+
+
+def suggest_blocking_keys(
+    df: DataFrame,
+    key_sets: list[list[str]],
+    truth_pairs: DataFrame | None = None,
+    *,
+    id_col: str = "record_id",
+    id_l: str = "id_rec",
+    id_r: str = "id_mem",
+) -> DataFrame:
+    """Compare candidate blocking-key sets BEFORE writing the parmf: one
+    row per key set with the cost side (candidate pairs, block histogram,
+    reduction ratio — same statistics as :func:`blocking_profile`) and,
+    when a labeled `truth_pairs` sample is given, the recall side
+    (`pairs_completeness`: the fraction of true pairs the key co-blocks).
+
+    This is the blocking-criteria design step the reference leaves to the
+    user's judgment (BigMatch parmf passes are hand-chosen; the reference
+    GUI at app/BlockingPass.py only edits them). Cost × recall over a
+    truth sample is the standard way to choose (Christen 2012's pairs
+    completeness / reduction ratio pair), and at 100 TB it turns a failed
+    36-hour run into a pre-flight table scan per candidate key.
+
+    Scale: one map-side-combined groupBy over `df` per key set (different
+    keys genuinely need different exchanges), no pairs materialized.
+    `truth_pairs` is joined ONCE onto the union of all key columns (truth
+    is a clerical-scale sample — the join broadcasts it and streams `df`),
+    and every key set's completeness aggregates that one truth-sized
+    cached frame.
+
+    Blank semantics match a real pass (blank_flag=1): rows blank in any
+    key column join no block, and a truth pair whose either side is blank
+    is NOT co-blocked (it counts against completeness — exactly the
+    recall the pass would lose).
+    """
+    rows = []
+    for ks in key_sets:
+        label = ",".join(ks)
+        filt = df
+        for k in ks:
+            filt = filt.filter(_nonblank(F.col(k)))
+        sizes = filt.groupBy(*[F.col(k) for k in ks]).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        prof = sizes.agg(
+            F.lit(label).alias("key_set"),
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.coalesce(F.max("n"), F.lit(0)).cast("long").alias("max_block"),
+            F.coalesce(
+                F.sum(F.expr("n * (n - 1) / 2")).cast("long"), F.lit(0)
+            ).alias("cand_pairs"),
+            F.round(
+                F.lit(1.0)
+                - F.sum(F.expr("n * (n - 1) / 2"))
+                / (F.sum("n") * (F.sum("n") - F.lit(1)) / F.lit(2.0)),
+                6,
+            ).alias("reduction_ratio"),
+        )
+        rows.append(prof)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    if truth_pairs is None:
+        return out
+
+    all_keys = sorted({k for ks in key_sets for k in ks})
+    side = df.select(F.col(id_col).alias("_id"), *all_keys)
+    side_l = side.toDF("_id", *[f"{k}_l" for k in all_keys])
+    side_r = side.toDF("_id", *[f"{k}_r" for k in all_keys])
+    # broadcast the SMALL side both times: first the truth sample, then
+    # the (truth-sized) half-joined frame — `df` is only ever streamed
+    j1 = side_l.join(
+        F.broadcast(truth_pairs.select(id_l, id_r)), F.col(id_l) == F.col("_id")
+    ).drop("_id")
+    joined = side_r.join(F.broadcast(j1), F.col(id_r) == F.col("_id")).drop("_id")
+    joined = joined.persist()
+    try:
+        comp_rows = []
+        for ks in key_sets:
+            label = ",".join(ks)
+            co = F.lit(True)
+            for k in ks:
+                lc, rc = F.col(f"{k}_l"), F.col(f"{k}_r")
+                co = co & _nonblank(lc) & _nonblank(rc) & (lc == rc)
+            comp_rows.append(
+                joined.agg(
+                    F.lit(label).alias("key_set"),
+                    F.count(F.lit(1)).cast("long").alias("truth_pairs"),
+                    F.round(
+                        F.coalesce(
+                            F.avg(co.cast("double")), F.lit(0.0)
+                        ),
+                        6,
+                    ).alias("pairs_completeness"),
+                )
+            )
+        comp = comp_rows[0]
+        for c in comp_rows[1:]:
+            comp = comp.unionByName(c)
+        result = out.join(comp, "key_set")
+        # materialization boundary: callers typically .collect() this
+        # (≤ dozens of rows); force it here so the persist can be freed
+        rows_out = result.collect()
+    finally:
+        joined.unpersist()
+    spark = df.sparkSession
+    return spark.createDataFrame(rows_out, result.schema)
+
+
+def suggest_blocking_keys_sql(source_sql: str, key_sets: list[list[str]]) -> str:
+    """DuckDB twin of the stats side of :func:`suggest_blocking_keys`
+    (truth completeness is pinned by pytest against hand-computed values;
+    the driver-facing oracle covers the cost statistics)."""
+    parts = []
+    for ks in key_sets:
+        label = ",".join(ks)
+        blanks = " AND ".join(
+            f"({k} IS NOT NULL AND trim(CAST({k} AS VARCHAR)) <> '')" for k in ks
+        )
+        keys = ", ".join(ks)
+        parts.append(f"""
+        SELECT '{label}' AS key_set,
+               CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_blocks,
+               CAST(COALESCE(MAX(n), 0) AS BIGINT) AS max_block,
+               CAST(COALESCE(SUM(n * (n - 1) / 2), 0) AS BIGINT) AS cand_pairs,
+               round(1.0 - SUM(n * (n - 1) / 2)
+                         / (SUM(n) * (SUM(n) - 1) / 2.0), 6) AS reduction_ratio
+        FROM (
+            SELECT {keys}, COUNT(*) AS n
+            FROM ({source_sql}) WHERE {blanks}
+            GROUP BY {keys}
+        ) sizes_{len(parts)}""")
+    return " UNION ALL ".join(parts)

@@ -1,0 +1,103 @@
+"""suggest_blocking_keys: pre-flight cost × recall comparison of candidate
+blocking-key sets (Christen's reduction-ratio / pairs-completeness pair).
+Stats side cross-checked against DuckDB via suggest_blocking_keys_sql;
+completeness side pinned against a hand-computed truth sample and against
+synthdata ground truth."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from bigmatch_utilities_spark.operators.blocking import (
+    suggest_blocking_keys,
+    suggest_blocking_keys_sql,
+)
+
+
+def test_stats_match_duckdb(spark, tmp_path):
+    from bigmatch_utilities_spark.synthdata import repo_files_df
+
+    records = repo_files_df(spark, seed=11, n_clusters=30)
+    path = str(tmp_path / "r")
+    records.write.parquet(path)
+    df = spark.read.parquet(path)
+
+    key_sets = [["lang"], ["repo"], ["lang", "repo"]]
+    got = (
+        suggest_blocking_keys(df, key_sets, id_col="record_id")
+        .toPandas()
+        .sort_values("key_set")
+        .reset_index(drop=True)
+    )
+    sql = suggest_blocking_keys_sql(f"SELECT * FROM '{path}/*.parquet'", key_sets)
+    exp = duckdb.sql(sql).df().sort_values("key_set").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[exp.columns.tolist()].astype(exp.dtypes.to_dict()), exp
+    )
+    # composite key never blocks MORE pairs than either component
+    by = {r.key_set: r.cand_pairs for r in got.itertuples()}
+    assert by["lang,repo"] <= min(by["lang"], by["repo"])
+
+
+def test_completeness_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "NY", "A"),
+            (2, "NY", "A"),
+            (3, "NY", "B"),
+            (4, "LA", None),   # blank zip: excluded from the zip pass
+            (5, "LA", "C"),
+        ],
+        ["record_id", "city", "zip"],
+    )
+    # truth: (1,2) same city+zip; (3,4) same city only... no — 3 is NY, 4 LA.
+    # truth pairs: (1,2) co-blocked by both; (4,5) same city, 4's zip blank;
+    # (2,3) same city, different zip.
+    truth = spark.createDataFrame(
+        [(1, 2), (4, 5), (2, 3)], ["id_rec", "id_mem"]
+    )
+    got = {
+        r.key_set: r
+        for r in suggest_blocking_keys(
+            df, [["city"], ["zip"]], truth, id_col="record_id"
+        ).collect()
+    }
+    assert got["city"].truth_pairs == 3
+    assert got["city"].pairs_completeness == 1.0
+    # zip co-blocks only (1,2): blank side of (4,5) is a recall LOSS, and
+    # (2,3) disagree
+    assert abs(got["zip"].pairs_completeness - 1 / 3) < 1e-6  # 6dp-rounded
+    # cost side rides along: zip pass excludes the blank row from n_rows
+    assert got["zip"].n_rows == 4
+    assert got["city"].n_rows == 5
+
+
+def test_synthdata_truth_ranking(spark):
+    """On the synthetic corpus, content_sha co-blocks only exact dups while
+    (lang, anchor_line) — the real pass-2 key — catches near-dups too, at
+    bounded candidate cost; the suggestion table must expose that order."""
+    from bigmatch_utilities_spark.repo_linkage import prepare
+    from bigmatch_utilities_spark.synthdata import repo_files_df, true_pairs_pdf
+
+    records = repo_files_df(spark, seed=42, n_clusters=60)
+    prepared = prepare(records)
+    truth = spark.createDataFrame(
+        sorted(true_pairs_pdf(records.toPandas())), ["id_rec", "id_mem"]
+    )
+    got = {
+        r.key_set: r
+        for r in suggest_blocking_keys(
+            prepared,
+            [["content_sha"], ["lang", "anchor_line"]],
+            truth,
+            id_col="record_id",
+        ).collect()
+    }
+    sha, anchor = got["content_sha"], got["lang,anchor_line"]
+    assert anchor.pairs_completeness > sha.pairs_completeness
+    assert anchor.pairs_completeness > 0.8
+    # and the cost column shows what that recall buys: no mega-block (on
+    # this 117-row corpus RR ≈ 0.985; it approaches 1 as N grows)
+    assert anchor.reduction_ratio > 0.97
+    assert anchor.max_block <= 8
