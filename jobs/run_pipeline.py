@@ -100,6 +100,13 @@ def main() -> None:
         help="skip stages whose terminal output already has _SUCCESS "
         "(same --input and match flags required for soundness)",
     )
+    p.add_argument(
+        "--truth",
+        default=None,
+        help="labeled truth pairs parquet (id_rec, id_mem): also write "
+        "<output>/metrics — pairwise precision/recall/F1 of good_pairs vs "
+        "the sample (the north-rule F1, machine-checked in-job)",
+    )
     args = p.parse_args()
 
     spark = SparkSession.builder.appName("bigmatch-run-pipeline").getOrCreate()
@@ -142,6 +149,17 @@ def main() -> None:
             all_ids = with_record_id(records).select(ID_COL)
             clusters = cluster_accepted_pairs(good, all_ids=all_ids, id_col=ID_COL)
         clusters.write.mode("overwrite").parquet(f"{out}/clusters")
+
+    # ---- optional: pairwise evaluation -> metrics/ ------------------------
+    if args.truth and not (args.resume and _has_success(spark, f"{out}/metrics")):
+        from bigmatch_utilities_spark.operators.evaluate import pairwise_metrics
+
+        pairwise_metrics(
+            spark.read.parquet(f"{out}/good_pairs"),
+            spark.read.parquet(args.truth),
+            id_l="id_rec",
+            id_r="id_mem",
+        ).write.mode("overwrite").parquet(f"{out}/metrics")
 
     # ---- stage 3: golden-record fusion -> entities/ ----------------------
     if not args.fuse_fields:

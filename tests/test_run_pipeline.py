@@ -40,12 +40,20 @@ def test_run_pipeline_end_to_end_and_resume(spark, tmp_path, monkeypatch):
     records.write.mode("overwrite").parquet(inp)
     out = str(tmp_path / "out")
 
+    from bigmatch_utilities_spark.synthdata import true_pairs_pdf
+
+    truth_path = str(tmp_path / "truth")
+    spark.createDataFrame(
+        sorted(true_pairs_pdf(records.toPandas())), ["id_rec", "id_mem"]
+    ).write.parquet(truth_path)
+
     argv = [
         "run_pipeline.py",
         "--input", inp,
         "--output", out,
         "--no-minhash",
         "--fuse-fields", "lang,repo",
+        "--truth", truth_path,
     ]
     monkeypatch.setattr(sys, "argv", argv)
     monkeypatch.setattr(type(spark), "stop", lambda self: None)
@@ -74,6 +82,13 @@ def test_run_pipeline_end_to_end_and_resume(spark, tmp_path, monkeypatch):
     n_clusters = len({c for _, c in got})
     assert len(entities) == n_clusters
     assert set(entities.columns) == {"cluster_id", "lang", "repo"}
+
+    # --truth wrote the in-job evaluation row (recall vs the label sample;
+    # precision is diluted by correct boilerplate pairs the labels exclude,
+    # so only recall is asserted here — the strict F1 gate lives in bench)
+    metrics = duckdb.sql(f"SELECT * FROM '{out}/metrics/*.parquet'").df()
+    assert len(metrics) == 1
+    assert metrics.tp[0] > 0 and metrics.recall[0] > 0.9
 
     # --resume: all three stages skip (no output file rewritten)
     before = {s: _mtimes(f"{out}/{s}") for s in ("good_pairs", "clusters", "entities")}
