@@ -101,3 +101,22 @@ def test_synthdata_truth_ranking(spark):
     # this 117-row corpus RR ≈ 0.985; it approaches 1 as N grows)
     assert anchor.reduction_ratio > 0.97
     assert anchor.max_block <= 8
+
+
+def test_plan_prunes_and_pushes_down(spark, tmp_path):
+    """Each key set's scan must read ONLY its key columns with the
+    non-null filter pushed to parquet, aggregate map-side, and never
+    produce a cartesian product — the properties that make the suggestion
+    table a safe pre-flight on the full 100-TB table."""
+    spark.createDataFrame(
+        [(1, "a", 10, 1.0)], ["record_id", "k1", "k2", "payload"]
+    ).write.parquet(str(tmp_path / "t"))
+    df = spark.read.parquet(str(tmp_path / "t"))
+    out = suggest_blocking_keys(df, [["k1"], ["k1", "k2"]], id_col="record_id")
+    qe = out._jdf.queryExecution().toString()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<k1:string>" in qe           # payload pruned
+    assert "ReadSchema: struct<k1:string,k2:bigint>" in qe
+    assert "IsNotNull(k1)" in qe                           # pushed filter
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan                         # map-side combine
