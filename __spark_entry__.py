@@ -1118,6 +1118,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tf_adjusted_weights"] = tfw
 
+    # ---- TF adjustment declared in config (MatchField tf_adjust) ----------
+    def tfc(spark, sf):
+        from bigmatch_utilities_spark.config import (
+            BlockField,
+            BlockingPassSpec,
+            CutoffSpec,
+            FieldRef,
+            MatchConfig,
+        )
+        from bigmatch_utilities_spark.operators.pipeline import run_match
+
+        cut = CutoffSpec(hi=2.0, lo=-50.0)
+        cfg = MatchConfig(
+            passes=(
+                BlockingPassSpec(
+                    block_fields=(
+                        BlockField(name="lang"),
+                        BlockField(name="bucket", blank_flag=0),
+                    ),
+                    match_fields=(
+                        MatchField(
+                            name="source", comparator="c", m=0.80, u=0.20,
+                            tf_adjust=True,
+                        ),
+                        MatchField(name="n_chars_s", comparator="q", m=0.90, u=0.30),
+                    ),
+                    cutoff=cut,
+                    print_cutoff=cut,
+                ),
+            ),
+            id_field=FieldRef(name="doc_id"),
+            dedupe_single_file=True,
+        )
+        res = run_match(_docs_keyed(spark, sf), None, cfg, persist=False)
+        return res.pairs.select(
+            F.col("id_rec").alias("id_l"),
+            F.col("id_mem").alias("id_r"),
+            F.round("weight", 6).alias("weight"),
+            "decision",
+        )
+
+    q["tf_config_pass"] = tfc
+
     # ---- blocking-quality profile (pre-flight pass statistics) ------------
     def bp(spark, sf):
         from bigmatch_utilities_spark.config import BlockField, BlockingPassSpec
@@ -1529,6 +1572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver_first = [
         # new in round 5
         "bk_key_suggestion",
+        "tf_config_pass",
         "sp_snm_pass_mix",
         "fp_swapped_pair_score",
         "wn_containment_pairs",
@@ -2305,6 +2349,40 @@ def oracle_sql() -> dict[str, str]:
         SELECT p.id_l, p.id_r, round({_tf_w}, 6) AS w_source
         FROM ({_BLOCKED_PAIRS_SQL}) p
         LEFT JOIN tfv tf ON p.rec_source = tf.value
+    """
+
+    # tfc: the DECLARATIVE tf_adjust path — one pass blocked on
+    # (lang, bucket), weight = per-value TF term on `source` + the global
+    # interpolated term on n_chars_s; tf mass from the full memory file
+    # (blank source excluded), exactly score_pass's semantics
+    _tfc_mf = MatchField(name="source", comparator="c", m=0.80, u=0.20)
+    _tfc_tf_term = tf_weight_sql(_tfc_mf, "p.rec_source", "p.mem_source")
+    _tfc_q_term = pair_weight_sql(
+        (MatchField(name="n_chars_s", comparator="q", m=0.90, u=0.30),),
+        "rec_", "mem_",
+    )
+    o["tf_config_pass"] = f"""
+        WITH d AS ({_DOCS_KEYED_SQL}),
+        tfv AS ({tf_table_sql(_DOCS_KEYED_SQL, "source")}),
+        tfc_prs AS (
+          SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+                 a.source AS rec_source, b.source AS mem_source,
+                 a.n_chars_s AS rec_n_chars_s, b.n_chars_s AS mem_n_chars_s
+          FROM d a JOIN d b
+            ON a.lang = b.lang AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id
+          WHERE trim(a.lang) <> '' AND trim(b.lang) <> ''
+        ),
+        tfc_w AS (
+          SELECT p.id_l, p.id_r,
+                 ({_tfc_tf_term} + {_tfc_q_term}) AS weight
+          FROM tfc_prs p LEFT JOIN tfv tf ON p.rec_source = tf.value
+        )
+        SELECT id_l, id_r, round(weight, 6) AS weight,
+               CASE WHEN weight >= 2.0 THEN 'match'
+                    WHEN weight >= -50.0 THEN 'possible'
+                    ELSE 'below' END AS decision
+        FROM tfc_w
     """
 
     # bp: per-pass block-size statistics computed from block sizes only

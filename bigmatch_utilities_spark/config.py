@@ -96,12 +96,26 @@ class MatchField(FieldRef):
     comparator: str = "uo"  # engine default when blank, BlockingPass.py:516-520
     m: float = DEFAULT_M
     u: float = DEFAULT_U
+    #: Engine extension (Winkler 1995; operators/tf_adjust.py): score exact
+    #: agreement on this field with the per-VALUE weight log2(m / tf_v)
+    #: instead of the global log2(m/u) — agreement on a rare value is
+    #: stronger evidence than on a common one. Only meaningful for the
+    #: exact comparator (`c`): TF adjustment replaces the agreement
+    #: branch, and partial-similarity comparators have no single agreed
+    #: value to look up. The parmf grammar cannot express it (write_parmf
+    #: refuses) — native MatchConfig only.
+    tf_adjust: bool = False
 
     def __post_init__(self) -> None:
         if self.comparator not in COMPARATORS:
             raise ValueError(f"unknown comparator {self.comparator!r}")
         if not (0.0 < self.u < self.m < 1.0):
             raise ValueError(f"need 0 < u < m < 1, got m={self.m} u={self.u}")
+        if self.tf_adjust and self.comparator != "c":
+            raise ValueError(
+                "tf_adjust applies to the exact comparator only (c), "
+                f"got {self.comparator!r}"
+            )
 
 
 @dataclass(frozen=True)
@@ -350,6 +364,8 @@ def write_parmf(cfg: MatchConfig) -> str:
             raise ValueError(f"parmf grammar cannot express a {p.kind!r} pass")
         if p.match_field_pairs:
             raise ValueError("parmf grammar cannot express match_field_pairs")
+        if any(mf.tf_adjust for mf in p.match_fields):
+            raise ValueError("parmf grammar cannot express tf_adjust fields")
     out: list[str] = []
     np_ = len(cfg.passes)
     out.append(

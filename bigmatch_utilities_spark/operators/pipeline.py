@@ -149,8 +149,19 @@ def score_pass(
     as the weights — the EM estimator then folds onto this scoring pass
     instead of re-joining the source table (VERDICT r4 item 4). Fields not
     scored by this pass are carried through the blocked join for it.
+
+    TF adjustment: match fields declared ``tf_adjust=True`` (Winkler 1995;
+    operators/tf_adjust.py) score exact agreement with the per-value
+    log2(m / tf_v) instead of the global log2(m/u). The value-frequency
+    table is computed from the MEMORY file — the reference's
+    frequency-file source — as one map-side groupBy per tf field, then
+    LEFT-joined onto the candidate pairs (AQE sizes the join; the tf
+    table's row count is the field's distinct-value count). Disagreement
+    and blank semantics are unchanged, so cutoffs and is_exact read the
+    same columns as an unadjusted pass.
     """
     gamma_fields = tuple(gamma_fields or ())
+    tf_fields = tuple(mf for mf in spec.match_fields if mf.tf_adjust)
     pairs = pass_candidates(
         rec,
         mem,
@@ -163,7 +174,26 @@ def score_pass(
         max_block_rows=max_block_rows,
         extra_carry=[mf.name for mf in gamma_fields],
     )
-    w = pair_weight(spec.match_fields, field_pairs=spec.match_field_pairs)
+    if tf_fields:
+        from bigmatch_utilities_spark.operators.tf_adjust import (
+            tf_table,
+            with_tf_weight,
+        )
+
+        plain = tuple(mf for mf in spec.match_fields if not mf.tf_adjust)
+        for mf in tf_fields:
+            pairs = with_tf_weight(
+                pairs, mf, tf_table(mem, mf.name), out_col=f"_w_tf_{mf.name}"
+            )
+        w = (
+            pair_weight(plain, field_pairs=spec.match_field_pairs)
+            if (plain or spec.match_field_pairs)
+            else F.lit(0.0)
+        )
+        for mf in tf_fields:
+            w = w + F.col(f"_w_tf_{mf.name}")
+    else:
+        w = pair_weight(spec.match_fields, field_pairs=spec.match_field_pairs)
     scored = (
         pairs.withColumn("weight", w)
         .withColumn(
@@ -171,6 +201,7 @@ def score_pass(
             is_exact(spec.match_fields, field_pairs=spec.match_field_pairs),
         )
         .withColumn("pass_id", F.lit(pass_id))
+        .drop(*[f"_w_tf_{mf.name}" for mf in tf_fields])
     )
     if gamma_fields:
         from bigmatch_utilities_spark.operators.em import gamma_column

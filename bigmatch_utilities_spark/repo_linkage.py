@@ -151,6 +151,27 @@ def repo_match_config(accept_threshold: float = 4.0) -> MatchConfig:
     )
 
 
+def with_tf_adjust(cfg: MatchConfig, names: tuple[str, ...]) -> MatchConfig:
+    """Flip ``tf_adjust`` on every match field named in ``names`` across all
+    passes (jobs/run_match --tf-adjust). Naming a non-exact-comparator
+    field raises MatchField's own validation error — loud, not silent."""
+    from dataclasses import replace
+
+    return replace(
+        cfg,
+        passes=tuple(
+            replace(
+                p,
+                match_fields=tuple(
+                    replace(mf, tf_adjust=True) if mf.name in names else mf
+                    for mf in p.match_fields
+                ),
+            )
+            for p in cfg.passes
+        ),
+    )
+
+
 def run_repo_linkage(
     df: DataFrame,
     *,
@@ -162,6 +183,7 @@ def run_repo_linkage(
     cache_handle: list | None = None,
     gamma_fields: tuple | None = None,
     transform=None,
+    tf_adjust_fields: tuple[str, ...] = (),
 ) -> MatchResult:
     """Full multi-pass linkage over a prepared repo-files DataFrame.
 
@@ -199,6 +221,8 @@ def run_repo_linkage(
         if cache_handle is not None:
             cache_handle.append(prepared)
     cfg = repo_match_config()
+    if tf_adjust_fields:
+        cfg = with_tf_adjust(cfg, tuple(tf_adjust_fields))
     result = run_match(
         prepared,
         None,
@@ -213,9 +237,17 @@ def run_repo_linkage(
         return result
 
     # pass 3: MinHash-LSH canopy scored with the fuzzy fields.
+    lsh_fields = _FUZZY_FIELDS
+    if tf_adjust_fields:
+        from dataclasses import replace as _replace
+
+        lsh_fields = tuple(
+            _replace(mf, tf_adjust=True) if mf.name in tf_adjust_fields else mf
+            for mf in _FUZZY_FIELDS
+        )
     lsh_pass = BlockingPassSpec(
         block_fields=(BlockField(name="lang"),),  # formal; join comes from LSH
-        match_fields=_FUZZY_FIELDS,
+        match_fields=lsh_fields,
         cutoff=CutoffSpec(hi=4.0, lo=-100.0),
         print_cutoff=CutoffSpec(hi=4.0, lo=-100.0),
     )

@@ -124,6 +124,18 @@ def add_match_args(p: argparse.ArgumentParser) -> None:
         "join (identical output, pinned by test)",
     )
     p.add_argument(
+        "--tf-adjust",
+        action="append",
+        default=[],
+        metavar="FIELD",
+        help="score exact agreement on this match field with the per-value "
+        "TF weight log2(m / tf_v) instead of the global log2(m/u) (Winkler "
+        "1995; operators/tf_adjust): agreement on a rare value counts for "
+        "more. Frequencies are one groupBy over the memory file per field. "
+        "Repeatable; the field must use the exact comparator (validated "
+        "loudly). E.g. --tf-adjust anchor_line on the repo config",
+    )
+    p.add_argument(
         "--estimate-mu",
         action="store_true",
         help="also write <output>/mu_estimates: per-field m/u + match "
@@ -159,10 +171,16 @@ def match_stage(spark: SparkSession, args: argparse.Namespace) -> None:
 
     standardize = _standardizer(spark, args.standardize)
 
+    tf_fields = tuple(args.tf_adjust)
     if args.checkpoint:
+        from bigmatch_utilities_spark.repo_linkage import with_tf_adjust
+
+        cfg = repo_match_config()
+        if tf_fields:
+            cfg = with_tf_adjust(cfg, tf_fields)
         ckpt = CheckpointedMatch(spark, args.checkpoint)
         result = ckpt.run(
-            standardize(prepare(df)), None, repo_match_config(), id_col=ID_COL,
+            standardize(prepare(df)), None, cfg, id_col=ID_COL,
             slices=args.slices,
             max_block_rows=args.max_block_rows, shard_rows=shard_rows,
             gamma_fields=gamma_fields,
@@ -175,6 +193,7 @@ def match_stage(spark: SparkSession, args: argparse.Namespace) -> None:
             shard_rows=shard_rows,
             gamma_fields=gamma_fields,
             transform=standardize,
+            tf_adjust_fields=tf_fields,
         )
 
     if args.decisions:

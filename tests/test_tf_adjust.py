@@ -142,3 +142,118 @@ def test_singleton_floor_bounds_boost(spark):
     w = with_tf_weight(pairs, MF, tf).collect()[0]["w_city"]
     assert w == pytest.approx(math.log2(0.9 / 0.001))  # tf, not the floor
     assert w < math.log2(0.9 / 1e-9)  # the floor is the hard ceiling
+
+
+# ---------------------------------------------------------------------------
+# declarative path: MatchField(tf_adjust=True) through run_match
+# ---------------------------------------------------------------------------
+
+
+def test_tf_adjust_declarative_pass(spark):
+    """A config-declared tf_adjust field scores agreement per-VALUE inside
+    a real pass: the rare-city pair outweighs the common-city pair by
+    exactly log2(tf_common / tf_rare) bits, with the unadjusted fields'
+    terms unchanged."""
+    from bigmatch_utilities_spark.config import (
+        BlockField,
+        BlockingPassSpec,
+        CutoffSpec,
+        FieldRef,
+        MatchConfig,
+    )
+    from bigmatch_utilities_spark.operators.pipeline import run_match
+
+    # blocking key 'zip'; city frequencies: SPRINGFIELD 6/10, RAREVILLE
+    # 2/10, MIDTOWN 2/10 (population = the memory frame)
+    rows = [
+        (1, "11", "SPRINGFIELD"), (2, "11", "SPRINGFIELD"),
+        (3, "11", "SPRINGFIELD"), (4, "11", "SPRINGFIELD"),
+        (5, "22", "SPRINGFIELD"), (6, "22", "SPRINGFIELD"),
+        (7, "33", "RAREVILLE"), (8, "33", "RAREVILLE"),
+        (9, "44", "MIDTOWN"), (10, "55", "MIDTOWN"),
+    ]
+    df = spark.createDataFrame(rows, "record_id long, zip string, city string")
+    cfg = MatchConfig(
+        passes=(
+            BlockingPassSpec(
+                block_fields=(BlockField(name="zip"),),
+                match_fields=(
+                    MatchField(name="city", comparator="c", m=0.9, u=0.1,
+                               tf_adjust=True),
+                ),
+                cutoff=CutoffSpec(hi=100.0, lo=-100.0),
+                print_cutoff=CutoffSpec(hi=100.0, lo=-100.0),
+            ),
+        ),
+        id_field=FieldRef(name="record_id"),
+        dedupe_single_file=True,
+    )
+    got = {
+        (r.id_rec, r.id_mem): r.weight
+        for r in run_match(df, None, cfg, persist=False).pairs.collect()
+    }
+    # agreements: log2(m / tf_v)
+    w_spring = math.log2(0.9 / 0.6)
+    w_rare = math.log2(0.9 / 0.2)
+    assert got[(5, 6)] == pytest.approx(w_spring)
+    assert got[(7, 8)] == pytest.approx(w_rare)
+    assert w_rare > w_spring
+    # within-block SPRINGFIELD pairs in zip 11 all agree at the common rate
+    assert got[(1, 2)] == pytest.approx(w_spring)
+
+
+def test_tf_adjust_validation_and_parmf_refusal():
+    from bigmatch_utilities_spark.config import (
+        BlockField,
+        BlockingPassSpec,
+        FieldRef,
+        MatchConfig,
+        write_parmf,
+    )
+
+    with pytest.raises(ValueError, match="exact comparator"):
+        MatchField(name="city", comparator="uo", tf_adjust=True)
+    cfg = MatchConfig(
+        passes=(
+            BlockingPassSpec(
+                block_fields=(BlockField(name="zip"),),
+                match_fields=(
+                    MatchField(name="city", comparator="c", tf_adjust=True),
+                ),
+            ),
+        ),
+        id_field=FieldRef(name="record_id"),
+    )
+    with pytest.raises(ValueError, match="tf_adjust"):
+        write_parmf(cfg)
+
+
+def test_tf_adjust_threads_through_repo_linkage(spark):
+    """run_repo_linkage(tf_adjust_fields=('anchor_line',)) keeps the pair
+    SET identical (emission floors are weight-safe) while re-weighting
+    exact anchor agreements per-value — common boilerplate anchors score
+    lower, rare anchors higher, than the one global log2(m/u)."""
+    from bigmatch_utilities_spark.repo_linkage import run_repo_linkage
+    from bigmatch_utilities_spark.synthdata import repo_files_df
+
+    df = spark.createDataFrame(
+        repo_files_df(spark, seed=13, n_clusters=40).toPandas()
+    )
+    base = {
+        (r.id_rec, r.id_mem, r.pass_id): r.weight
+        for r in run_repo_linkage(df, use_minhash_pass=False).pairs.collect()
+    }
+    adj = {
+        (r.id_rec, r.id_mem, r.pass_id): r.weight
+        for r in run_repo_linkage(
+            df, use_minhash_pass=False, tf_adjust_fields=("anchor_line",)
+        ).pairs.collect()
+    }
+    assert set(base) == set(adj)
+    diffs = [k for k in base if abs(base[k] - adj[k]) > 1e-9]
+    assert diffs, "tf adjustment must change at least one pair weight"
+    # naming a non-exact field fails loudly through the same path
+    with pytest.raises(ValueError, match="exact comparator"):
+        run_repo_linkage(
+            df, use_minhash_pass=False, tf_adjust_fields=("head_64",)
+        ).pairs.count()
