@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import duckdb
 import pandas as pd
+import pytest
 
 from bigmatch_utilities_spark.operators.blocking import (
     suggest_blocking_keys,
@@ -120,3 +121,67 @@ def test_plan_prunes_and_pushes_down(spark, tmp_path):
     assert "IsNotNull(k1)" in qe                           # pushed filter
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan                         # map-side combine
+
+
+def test_randomized_against_brute_force(spark):
+    """Seeded property test: on random frames with nulls/blanks/skew, the
+    suggestion table's cand_pairs and pairs_completeness equal a brute-
+    force pandas computation of 'pairs co-blocked by the key set'."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(20, 60))
+        pdf = pd.DataFrame(
+            {
+                "record_id": range(n),
+                "k1": rng.choice(["a", "b", "c", "", None], n).tolist(),
+                "k2": rng.integers(0, 4, n).astype(object).tolist(),
+            }
+        )
+        # random truth sample over distinct id pairs
+        ids = list(range(n))
+        truth = [
+            tuple(sorted(rng.choice(ids, 2, replace=False).tolist()))
+            for _ in range(12)
+        ]
+        df = spark.createDataFrame(pdf.astype({"k2": "Int64"}))
+        tdf = spark.createDataFrame(truth, ["id_rec", "id_mem"])
+        got = {
+            r.key_set: r
+            for r in suggest_blocking_keys(
+                df, [["k1"], ["k1", "k2"]], tdf, id_col="record_id"
+            ).collect()
+        }
+
+        def keyval(row, ks):
+            vals = []
+            for k in ks:
+                v = row[k]
+                if v is None or (isinstance(v, str) and v.strip() == ""):
+                    return None  # blank: excluded from the pass
+                vals.append(str(v))
+            return tuple(vals)
+
+        rows = pdf.to_dict("records")
+        for ks in (["k1"], ["k1", "k2"]):
+            label = ",".join(ks)
+            keyed = {r["record_id"]: keyval(r, ks) for r in rows}
+            included = [i for i in ids if keyed[i] is not None]
+            brute_pairs = sum(
+                1
+                for a, b in itertools.combinations(included, 2)
+                if keyed[a] == keyed[b]
+            )
+            assert got[label].cand_pairs == brute_pairs, (seed, label)
+            co = sum(
+                1
+                for a, b in truth
+                if keyed[a] is not None and keyed[a] == keyed[b]
+            )
+            assert got[label].pairs_completeness == pytest.approx(
+                co / len(truth), abs=1e-6
+            ), (seed, label)
