@@ -3,17 +3,20 @@
     spark-submit --py-files bigmatch_utilities_spark.zip jobs/run_dedup.py \
         --input <parquet-or-table> --output <dir> \
         [--text-col text] [--id-col doc_id] \
-        [--method exact|minhash|simhash] [--threshold 0.7] \
+        [--method exact|minhash|simhash|winnow] [--threshold 0.7] \
         [--bands 8] [--rows-per-band 2] [--max-bucket 1000] [--shard-rows 192]
 
 Outputs under --output:
   duplicates/   exact method: (content_sha, n_dups, keep_id) groups
-  candidates/   minhash/simhash: (id_l, id_r) LSH candidate pairs
+  candidates/   minhash/simhash: (id_l, id_r) LSH candidate pairs;
+                winnow: (id_l, id_r, shared, containment) fingerprint pairs
   verified/     minhash: candidates with shingle-Jaccard >= threshold;
                 simhash: candidates with full-fingerprint Hamming
                 distance <= --max-hamming (a chunk collision alone is
                 weak evidence — one 8-bit chunk has 256 values, so
-                unverified candidates would closure-merge the corpus)
+                unverified candidates would closure-merge the corpus);
+                winnow: candidates with containment >= threshold (the
+                MOSS-style asymmetric copied-paragraph score)
   clusters/     near-dup connected components over VERIFIED pairs
                 (id, cluster_id) — the "keep one per cluster" table a
                 training-data pipeline feeds its document filter
@@ -39,9 +42,16 @@ def main() -> None:
     p.add_argument("--output", required=True)
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
-    p.add_argument("--method", choices=("exact", "minhash", "simhash"), default="minhash")
+    p.add_argument(
+        "--method",
+        choices=("exact", "minhash", "simhash", "winnow"),
+        default="minhash",
+    )
     p.add_argument("--threshold", type=float, default=0.7)
     p.add_argument("--shingle-k", type=int, default=3)
+    p.add_argument("--kgram-k", type=int, default=12)
+    p.add_argument("--winnow-window", type=int, default=10)
+    p.add_argument("--min-shared", type=int, default=3)
     p.add_argument("--bands", type=int, default=8)
     p.add_argument("--rows-per-band", type=int, default=2)
     p.add_argument("--simhash-bits", type=int, default=32)
@@ -75,6 +85,36 @@ def main() -> None:
         exact_duplicates(df, args.text_col, args.id_col).write.mode(
             "overwrite"
         ).parquet(f"{out}/duplicates")
+    elif args.method == "winnow":
+        # MOSS-style containment dedup: shared winnowed fingerprints are
+        # both the candidate generator AND the verifier (containment =
+        # shared / min fingerprint count), so candidates/ and verified/
+        # come from one operator — the asymmetric copied-paragraph case
+        # plain Jaccard misses. --threshold here is the containment floor.
+        from bigmatch_utilities_spark.operators.winnow import (
+            winnow_containment_pairs,
+        )
+
+        from pyspark.sql import functions as F
+
+        pairs = winnow_containment_pairs(
+            df,
+            args.text_col,
+            args.id_col,
+            k=args.kgram_k,
+            w=args.winnow_window,
+            min_shared=args.min_shared,
+            max_bucket=max_bucket,
+            cache_handle=caches,
+        )
+        pairs.write.mode("overwrite").parquet(f"{out}/candidates")
+        verified = spark.read.parquet(f"{out}/candidates").filter(
+            F.col("containment") >= F.lit(args.threshold)
+        )
+        verified.write.mode("overwrite").parquet(f"{out}/verified")
+        connected_components(
+            spark.read.parquet(f"{out}/verified"), src="id_l", dst="id_r"
+        ).write.mode("overwrite").parquet(f"{out}/clusters")
     else:
         if args.method == "minhash":
             cands = minhash_candidates(
