@@ -1197,6 +1197,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bk_key_suggestion"] = bk
 
+    # ---- blocking-key suggestion WITH truth recall (full design table) ----
+    def bkt(spark, sf):
+        from bigmatch_utilities_spark.operators.blocking import (
+            suggest_blocking_keys,
+        )
+
+        c = _t(spark, sf, "customer")
+        # deterministic labeled sample derivable in both engines:
+        # consecutive-custkey pairs anchored on even keys
+        truth = c.select(
+            F.col("c_custkey").alias("id_rec"),
+            (F.col("c_custkey") + 1).alias("id_mem"),
+        ).filter(F.col("c_custkey") % 2 == 0)
+        return suggest_blocking_keys(
+            c,
+            [["c_mktsegment"], ["c_nationkey", "c_mktsegment"]],
+            truth,
+            id_col="c_custkey",
+        )
+
+    q["bk_key_suggestion_truth"] = bkt
+
     # ---- 1:1 assignment (mutual best match) -------------------------------
     def u5(spark, sf):
         from bigmatch_utilities_spark.operators.assignment import one_to_one
@@ -1572,6 +1594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver_first = [
         # new in round 5
         "bk_key_suggestion",
+        "bk_key_suggestion_truth",
         "tf_config_pass",
         "sp_snm_pass_mix",
         "fp_swapped_pair_score",
@@ -2417,6 +2440,20 @@ def oracle_sql() -> dict[str, str]:
     o["bk_key_suggestion"] = suggest_blocking_keys_sql(
         "SELECT * FROM customer",
         [["c_mktsegment"], ["c_nationkey"], ["c_nationkey", "c_mktsegment"]],
+    )
+
+    # bkt: stats + pairs-completeness against the deterministic
+    # consecutive-custkey truth sample (both halves cross-engine-checked)
+    from bigmatch_utilities_spark.operators.blocking import (
+        suggest_blocking_keys_full_sql,
+    )
+
+    o["bk_key_suggestion_truth"] = suggest_blocking_keys_full_sql(
+        "SELECT * FROM customer",
+        [["c_mktsegment"], ["c_nationkey", "c_mktsegment"]],
+        "SELECT c_custkey AS id_rec, c_custkey + 1 AS id_mem "
+        "FROM customer WHERE c_custkey % 2 = 0",
+        "c_custkey",
     )
 
     # u5: mutual-best-match — row_number argmax on both sides (the Spark

@@ -636,3 +636,41 @@ def suggest_blocking_keys_sql(source_sql: str, key_sets: list[list[str]]) -> str
             GROUP BY {keys}
         ) sizes_{len(parts)}""")
     return " UNION ALL ".join(parts)
+
+
+def suggest_blocking_keys_full_sql(
+    source_sql: str,
+    key_sets: list[list[str]],
+    truth_sql: str,
+    id_col: str,
+    id_l: str = "id_rec",
+    id_r: str = "id_mem",
+) -> str:
+    """DuckDB twin of :func:`suggest_blocking_keys` WITH the truth side:
+    stats per key set joined to pairs-completeness over ``truth_sql``
+    (a relation of (id_l, id_r) labeled pairs). Blank semantics mirror
+    the operator exactly: a truth pair co-blocks only when every key of
+    the set is non-blank on BOTH sides and equal."""
+    stats = suggest_blocking_keys_sql(source_sql, key_sets)
+    comp_parts = []
+    for ks in key_sets:
+        label = ",".join(ks)
+        co = " AND ".join(
+            f"(a.{k} IS NOT NULL AND trim(CAST(a.{k} AS VARCHAR)) <> '' "
+            f"AND b.{k} IS NOT NULL AND trim(CAST(b.{k} AS VARCHAR)) <> '' "
+            f"AND a.{k} = b.{k})"
+            for k in ks
+        )
+        comp_parts.append(f"""
+        SELECT '{label}' AS key_set,
+               CAST(COUNT(*) AS BIGINT) AS truth_pairs,
+               round(AVG(CASE WHEN {co} THEN 1.0 ELSE 0.0 END), 6)
+                 AS pairs_completeness
+        FROM ({truth_sql}) t
+        JOIN ({source_sql}) a ON t.{id_l} = a.{id_col}
+        JOIN ({source_sql}) b ON t.{id_r} = b.{id_col}""")
+    comp = " UNION ALL ".join(comp_parts)
+    return f"""
+        SELECT s.*, c.truth_pairs, c.pairs_completeness
+        FROM ({stats}) s JOIN ({comp}) c USING (key_set)
+    """
