@@ -169,6 +169,156 @@ def pass_completeness(
     )
 
 
+def cluster_metrics(
+    predicted: DataFrame,
+    truth: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Cluster-level linkage evaluation: B-cubed precision/recall/F1
+    (Bagga & Baldwin 1998; the extrinsic-constraints winner in Amigó et
+    al. 2009) plus the Adjusted Rand Index, one output row.
+
+    Pairwise F1 (:func:`pairwise_metrics`) over-weights big clusters — a
+    single over-merge of two n-record entities costs n² pair errors while
+    n singleton misses cost n.  B-cubed averages per RECORD: for record i
+    with predicted cluster C(i) and true entity L(i),
+
+        P(i) = |C(i) ∩ L(i)| / |C(i)|,   R(i) = |C(i) ∩ L(i)| / |L(i)|
+
+    and B³P / B³R are the means over records.  ARI is the chance-corrected
+    pair-counting index over the same contingency table.  Records present
+    in only one input are dropped (inner join) — evaluation is defined on
+    the labeled subset.
+
+    Cross-engine determinism: the contingency table and every combination
+    count are exact integers.  The B-cubed sums quantize each cell's
+    contribution at 1e-6 with INTEGER division before summing (same
+    discipline as operators/tfidf_sim.py's weight quantization), so the
+    shuffled sums are integer-exact in both engines; the final divides are
+    single double ops on exact integers, rounded to 6dp like every float
+    the driver compares.  ARI's expected-index term is one double
+    multiply+divide on exact integers with the identical expression shape
+    in the SQL twin.  The bigint-scaled cell sums overflow only past
+    Σ_cells n_cl² > 9.2e12 — beyond that swap the 1e6 literal for a
+    DECIMAL(38,0) cast; at that point the metric itself (a global judge
+    over one labeled sample) should be run on a sample anyway.
+
+    Scale design: one shuffle to join labels onto predictions (broadcast
+    when truth is a labeled sample — the common case), one map-side
+    combined groupBy for the cells, two more for the marginals, then
+    everything is O(#clusters + #labels) rows collapsing into a 1-row
+    aggregate.  No windows, no collect.
+    """
+    j = predicted.select(
+        F.col(id_col).alias("_id"), F.col(cluster_col).alias("_c")
+    ).join(
+        truth.select(F.col(id_col).alias("_id"), F.col(label_col).alias("_l")),
+        "_id",
+    )
+    cells = j.groupBy("_c", "_l").agg(F.count(F.lit(1)).alias("n_cl"))
+    c_sizes = cells.groupBy("_c").agg(F.sum("n_cl").alias("n_c"))
+    l_sizes = cells.groupBy("_l").agg(F.sum("n_cl").alias("n_l"))
+    enriched = cells.join(c_sizes, "_c").join(l_sizes, "_l")
+    agg = enriched.agg(
+        F.sum("n_cl").cast("long").alias("n_items"),
+        F.count_distinct("_c").alias("n_clusters"),
+        F.count_distinct("_l").alias("n_labels"),
+        # 1e-6-quantized per-cell B³ contributions, summed in exact integers
+        F.sum(F.expr("(1000000 * n_cl * n_cl) div n_c")).cast("long").alias("_ps"),
+        F.sum(F.expr("(1000000 * n_cl * n_cl) div n_l")).cast("long").alias("_rs"),
+        # pair counts for ARI — n*(n-1) is always even, so `div 2` is exact
+        F.sum(F.expr("(n_cl * (n_cl - 1)) div 2")).cast("long").alias("_cell2"),
+    )
+    marg = (
+        c_sizes.agg(
+            F.sum(F.expr("(n_c * (n_c - 1)) div 2")).cast("long").alias("_c2")
+        )
+        .crossJoin(
+            l_sizes.agg(
+                F.sum(F.expr("(n_l * (n_l - 1)) div 2")).cast("long").alias("_l2")
+            )
+        )
+    )
+    out = agg.crossJoin(F.broadcast(marg))
+    n = F.col("n_items").cast("double")
+    p = F.col("_ps").cast("double") / (F.lit(1000000.0) * n)
+    r = F.col("_rs").cast("double") / (F.lit(1000000.0) * n)
+    npairs = F.expr("(n_items * (n_items - 1)) div 2").cast("double")
+    expected = F.col("_c2").cast("double") * F.col("_l2").cast("double") / npairs
+    max_idx = (F.col("_c2").cast("double") + F.col("_l2").cast("double")) / 2.0
+    return out.select(
+        "n_items",
+        "n_clusters",
+        "n_labels",
+        F.round(p, 6).alias("b3_precision"),
+        F.round(r, 6).alias("b3_recall"),
+        F.round(F.try_divide(2.0 * p * r, p + r), 6).alias("b3_f1"),
+        F.round(
+            F.try_divide(F.col("_cell2").cast("double") - expected, max_idx - expected),
+            6,
+        ).alias("ari"),
+    )
+
+
+def cluster_metrics_sql(
+    predicted_sql: str,
+    truth_sql: str,
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+    label_col: str = "label",
+) -> str:
+    """DuckDB twin of :func:`cluster_metrics` — identical integer
+    quantization and double-expression shapes."""
+    return f"""
+        WITH j AS (
+            SELECT p.{id_col} AS _id, p.{cluster_col} AS _c, t.{label_col} AS _l
+            FROM ({predicted_sql}) p JOIN ({truth_sql}) t
+              ON p.{id_col} = t.{id_col}
+        ), cells AS (
+            SELECT _c, _l, count(*) AS n_cl FROM j GROUP BY _c, _l
+        ), cs AS (SELECT _c, sum(n_cl) AS n_c FROM cells GROUP BY _c),
+        ls AS (SELECT _l, sum(n_cl) AS n_l FROM cells GROUP BY _l),
+        en AS (
+            SELECT cells.*, cs.n_c, ls.n_l
+            FROM cells JOIN cs USING (_c) JOIN ls USING (_l)
+        ), agg AS (
+            SELECT CAST(sum(n_cl) AS BIGINT) AS n_items,
+                   count(DISTINCT _c) AS n_clusters,
+                   count(DISTINCT _l) AS n_labels,
+                   CAST(sum((1000000 * n_cl * n_cl) // n_c) AS BIGINT) AS _ps,
+                   CAST(sum((1000000 * n_cl * n_cl) // n_l) AS BIGINT) AS _rs,
+                   CAST(sum((n_cl * (n_cl - 1)) // 2) AS BIGINT) AS _cell2
+            FROM en
+        ), marg AS (
+            SELECT CAST((SELECT sum((n_c * (n_c - 1)) // 2) FROM cs) AS BIGINT) AS _c2,
+                   CAST((SELECT sum((n_l * (n_l - 1)) // 2) FROM ls) AS BIGINT) AS _l2
+        )
+        SELECT n_items, n_clusters, n_labels,
+               round(CAST(_ps AS DOUBLE) / (1000000.0 * CAST(n_items AS DOUBLE)), 6)
+                   AS b3_precision,
+               round(CAST(_rs AS DOUBLE) / (1000000.0 * CAST(n_items AS DOUBLE)), 6)
+                   AS b3_recall,
+               round(
+                 (2.0 * (CAST(_ps AS DOUBLE) / (1000000.0 * CAST(n_items AS DOUBLE)))
+                      * (CAST(_rs AS DOUBLE) / (1000000.0 * CAST(n_items AS DOUBLE))))
+                 / NULLIF((CAST(_ps AS DOUBLE) / (1000000.0 * CAST(n_items AS DOUBLE)))
+                        + (CAST(_rs AS DOUBLE) / (1000000.0 * CAST(n_items AS DOUBLE))), 0),
+                 6) AS b3_f1,
+               round(
+                 (CAST(_cell2 AS DOUBLE)
+                    - CAST(_c2 AS DOUBLE) * CAST(_l2 AS DOUBLE)
+                      / CAST((n_items * (n_items - 1)) // 2 AS DOUBLE))
+                 / NULLIF(
+                     (CAST(_c2 AS DOUBLE) + CAST(_l2 AS DOUBLE)) / 2.0
+                       - CAST(_c2 AS DOUBLE) * CAST(_l2 AS DOUBLE)
+                         / CAST((n_items * (n_items - 1)) // 2 AS DOUBLE), 0),
+                 6) AS ari
+        FROM agg CROSS JOIN marg
+    """
+
+
 def pass_completeness_sql(
     cands_sql: str,
     truth_sql: str,

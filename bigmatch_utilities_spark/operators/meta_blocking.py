@@ -110,6 +110,112 @@ def meta_block_pairs(
     )
 
 
+def block_filtering_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_exprs: dict[str, str],
+    *,
+    ratio: float = 0.5,
+    purge_above: int = 2_000,
+) -> DataFrame:
+    """Block purging + block filtering (Papadakis et al., VLDB 2016 "BLAST"
+    lineage): candidate pairs (id_l, id_r, n_co) that survive keeping, per
+    record, only its ⌈ratio·b⌉ SMALLEST blocks (b = the record's block
+    count after purging).
+
+    Complements :func:`meta_block_pairs`: WEP prunes *edges* after pair
+    formation; block filtering prunes *assignments* before any pair
+    exists, so the comparison budget shrinks ahead of the self-join — at
+    100 TB this is the difference between shuffling the raw block graph
+    and shuffling its filtered skeleton.  The two compose (filter, then
+    CBS/WEP on the survivors).
+
+    Steps, all declarative:
+
+    1. purge: blocks with < 2 rows propose nothing; blocks with more than
+       ``purge_above`` rows are boilerplate canopies — dropped whole;
+    2. filter: rank each record's surviving blocks by (size ASC, block)
+       — the deterministic tie-break matters for oracle parity — and keep
+       ranks <= ceil(ratio * count).  The window partitions by RECORD id,
+       whose per-record block count is bounded by len(key_exprs): this is
+       a bounded-width window, not a global sort;
+    3. pairs: self-join on block over the kept assignments, count
+       co-occurring kept blocks per pair (n_co).
+
+    Exact arithmetic throughout: the keep bound uses integer
+    ``ceil(ratio*b) = (num*b + den - 1) div den`` with ratio expressed as
+    a fraction over 1e6, so Spark and DuckDB agree bit-for-bit.
+    """
+    num = int(round(ratio * 1_000_000))
+    asg = block_assignments(df, id_col, key_exprs)
+    sized = (
+        asg.groupBy("block")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= purge_above))
+    )
+    survived = asg.join(sized, "block")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.col("_n").asc(), F.col("block").asc())
+    kept = (
+        survived.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_b", F.count(F.lit(1)).over(Window.partitionBy("id")))
+        .filter(F.expr(f"_rk <= ({num} * _b + 999999) div 1000000"))
+        .select("id", "block")
+    )
+    a = kept.select("block", F.col("id").alias("id_l"))
+    b = kept.select("block", F.col("id").alias("id_r"))
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_l") < F.col("id_r"))
+        .groupBy("id_l", "id_r")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+    )
+
+
+def block_filtering_pairs_sql(
+    table: str,
+    id_col: str,
+    key_exprs: dict[str, str],
+    *,
+    ratio: float = 0.5,
+    purge_above: int = 2_000,
+) -> str:
+    """DuckDB oracle twin of :func:`block_filtering_pairs` — same purge
+    bounds, same (size, block) rank order, same integer ceil."""
+    num = int(round(ratio * 1_000_000))
+    unions = "\nUNION ALL\n".join(
+        f"""SELECT {id_col} AS id, '{kname}=' || CAST(({kexpr}) AS STRING) AS block
+            FROM {table}
+            WHERE ({kexpr}) IS NOT NULL AND trim(CAST(({kexpr}) AS STRING)) <> ''"""
+        for kname, kexpr in key_exprs.items()
+    )
+    return f"""
+        WITH asg AS ({unions}),
+        sized AS (
+            SELECT block, count(*) AS _n FROM asg GROUP BY block
+            HAVING count(*) BETWEEN 2 AND {purge_above}
+        ),
+        survived AS (
+            SELECT a.id, a.block, s._n FROM asg a JOIN sized s USING (block)
+        ),
+        ranked AS (
+            SELECT id, block,
+                   row_number() OVER (PARTITION BY id ORDER BY _n ASC, block ASC)
+                       AS _rk,
+                   count(*) OVER (PARTITION BY id) AS _b
+            FROM survived
+        ),
+        kept AS (
+            SELECT id, block FROM ranked
+            WHERE _rk <= ({num} * _b + 999999) // 1000000
+        )
+        SELECT x.id AS id_l, y.id AS id_r, count(*) AS n_co
+        FROM kept x JOIN kept y ON x.block = y.block AND x.id < y.id
+        GROUP BY x.id, y.id
+    """
+
+
 def meta_block_pairs_sql(
     table: str,
     id_col: str,

@@ -224,6 +224,139 @@ def winnow_shared_pairs(
     return pairs.filter(F.col("shared") >= min_shared)
 
 
+def group_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    *,
+    k: int = 12,
+    w: int = 10,
+    min_shared: int = 3,
+    max_df: int | None = None,
+    cache_handle: list | None = None,
+) -> DataFrame:
+    """Corpus-level (repo-level) containment: which GROUPS of documents —
+    repositories, in the north star's source-code table — share winnowed
+    content: (group_l, group_r, shared, containment) where containment =
+    shared / min(n_fps of either group).
+
+    This is fork / vendored-copy detection: a repo that vendors another's
+    tree shares most of the smaller repo's fingerprints even when no file
+    is byte-identical (so sha-equality joins find nothing), and the
+    asymmetric containment scores the vendored-into case near 1.0
+    regardless of the host repo's size — the repo-granular analogue of
+    :func:`winnow_containment_pairs`.
+
+    Plan: winnow per document (the same staged map-side chain), explode,
+    then collapse to DISTINCT (group, fp) — the frame the rest of the
+    operator touches is bounded by Σ_g |fingerprint set of g|, typically
+    orders of magnitude below the document-level explode.  ``max_df``
+    drops fingerprints present in more than that many groups before the
+    self-join (ecosystem boilerplate — license headers, generated
+    scaffolding — is exactly a high-document-frequency fingerprint, the
+    same prune tfidf_sim applies to stopword tokens); it also bounds the
+    join fan-out at max_df² per fingerprint.  Two shuffles after the
+    distinct: one on fp for the self-join, one on the group pair.
+
+    The distinct (group, fp) frame feeds the group sizes AND both join
+    sides — pass ``cache_handle`` to persist it once.
+    """
+    fp = with_winnow_fingerprints(
+        df.select(F.col(group_col).alias("grp"), text_col), text_col, "fps", k=k, w=w
+    )
+    # see winnow_shared_pairs for the explode_outer rationale
+    gfp = (
+        fp.select("grp", F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+        .distinct()
+    )
+    if cache_handle is not None:
+        gfp = gfp.persist()
+        cache_handle.append(gfp)
+    sizes = gfp.groupBy("grp").agg(F.count(F.lit(1)).alias("n_fps"))
+    if max_df is not None:
+        rare = (
+            gfp.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("fp")
+        )
+        gfp = gfp.join(rare, "fp")
+    pairs = (
+        gfp.alias("a")
+        .join(gfp.alias("b"), "fp")
+        .filter(F.col("a.grp") < F.col("b.grp"))
+        .groupBy(F.col("a.grp").alias("group_l"), F.col("b.grp").alias("group_r"))
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    # denominators are the FULL per-group fingerprint set sizes (pre-max_df),
+    # so containment stays a fraction of real content, not of the pruned set
+    return (
+        pairs.join(
+            sizes.select(F.col("grp").alias("group_l"), F.col("n_fps").alias("_n_l")),
+            "group_l",
+        )
+        .join(
+            sizes.select(F.col("grp").alias("group_r"), F.col("n_fps").alias("_n_r")),
+            "group_r",
+        )
+        .select(
+            "group_l",
+            "group_r",
+            "shared",
+            F.round(
+                F.col("shared").cast("double")
+                / F.least("_n_l", "_n_r").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+    )
+
+
+def group_containment_sql(
+    table: str,
+    text_expr: str,
+    group_expr: str,
+    *,
+    k: int = 12,
+    w: int = 10,
+    min_shared: int = 3,
+    max_df: int | None = None,
+) -> str:
+    """DuckDB oracle twin of :func:`group_containment_pairs`."""
+    df_filter = (
+        f""", rare AS (
+            SELECT fp FROM gfp GROUP BY fp HAVING count(*) <= {max_df}
+        ), gkept AS (SELECT g.* FROM gfp g JOIN rare USING (fp))"""
+        if max_df is not None
+        else ", gkept AS (SELECT * FROM gfp)"
+    )
+    return f"""
+        WITH {winnow_cte_sql(table, text_expr, group_expr, k=k, w=w)},
+        gfp AS (
+            SELECT DISTINCT id AS grp, unnest(fps) AS fp FROM wn_fps
+        ),
+        sizes AS (SELECT grp, count(*) AS n_fps FROM gfp GROUP BY grp)
+        {df_filter},
+        pairs AS (
+            SELECT a.grp AS group_l, b.grp AS group_r,
+                   CAST(count(*) AS BIGINT) AS shared
+            FROM gkept a JOIN gkept b ON a.fp = b.fp AND a.grp < b.grp
+            GROUP BY a.grp, b.grp
+            HAVING count(*) >= {min_shared}
+        )
+        SELECT p.group_l, p.group_r, p.shared,
+               round(CAST(p.shared AS DOUBLE)
+                     / CAST(least(sl.n_fps, sr.n_fps) AS DOUBLE), 6)
+                   AS containment
+        FROM pairs p
+        JOIN sizes sl ON sl.grp = p.group_l
+        JOIN sizes sr ON sr.grp = p.group_r
+    """
+
+
 def winnow_containment_pairs(
     df: DataFrame,
     text_col: str,

@@ -111,3 +111,67 @@ def test_pass_completeness_duckdb_parity(spark, tmp_path):
         for row in duckdb.connect().execute(sql).fetchall()
     ]
     assert got == want
+
+
+CSCHEMA = "id long, cluster_id long"
+LSCHEMA = "id long, label string"
+
+
+def test_cluster_metrics_handcrafted(spark):
+    from bigmatch_utilities_spark.operators.evaluate import cluster_metrics
+
+    # pred: {1,2,3} {4,5} {6}; truth: A={1,2} B={3,4,5} C={6}
+    pred = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20), (6, 30)], CSCHEMA
+    )
+    truth = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B"), (4, "B"), (5, "B"), (6, "C")], LSCHEMA
+    )
+    r = cluster_metrics(pred, truth).collect()[0]
+    assert (r.n_items, r.n_clusters, r.n_labels) == (6, 3, 3)
+    # B3P = (1/6)(4/3 + 1/3 + 4/2 + 1/1) = 14/18; B3R symmetric here
+    assert r.b3_precision == pytest.approx(14 / 18, abs=2e-6)
+    assert r.b3_recall == pytest.approx(14 / 18, abs=2e-6)
+    assert r.b3_f1 == pytest.approx(14 / 18, abs=2e-6)
+    # ARI: cells C2 = 2, marginals 4 and 4, C(6,2) = 15
+    assert r.ari == pytest.approx((2 - 16 / 15) / (4 - 16 / 15), abs=1e-6)
+
+
+def test_cluster_metrics_perfect_and_subset(spark):
+    from bigmatch_utilities_spark.operators.evaluate import cluster_metrics
+
+    pred = spark.createDataFrame([(1, 7), (2, 7), (3, 9)], CSCHEMA)
+    truth = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y"), (99, "z")], LSCHEMA
+    )
+    r = cluster_metrics(pred, truth).collect()[0]
+    # 99 is unlabeled on the predicted side -> dropped by the inner join
+    assert r.n_items == 3
+    assert r.b3_precision == 1.0 and r.b3_recall == 1.0 and r.b3_f1 == 1.0
+    assert r.ari == 1.0
+
+
+def test_cluster_metrics_duckdb_parity(spark, tmp_path):
+    import random
+
+    from bigmatch_utilities_spark.operators.evaluate import (
+        cluster_metrics,
+        cluster_metrics_sql,
+    )
+
+    rng = random.Random(13)
+    n = 300
+    pred = [(i, rng.randint(0, 25)) for i in range(n)]
+    truth = [(i, f"l{rng.randint(0, 12)}") for i in range(n)]
+    pdf = spark.createDataFrame(pred, CSCHEMA)
+    tdf = spark.createDataFrame(truth, LSCHEMA)
+    pp, tp = str(tmp_path / "p.parquet"), str(tmp_path / "t.parquet")
+    pdf.write.mode("overwrite").parquet(pp)
+    tdf.write.mode("overwrite").parquet(tp)
+    got = tuple(cluster_metrics(pdf, tdf).collect()[0])
+    sql = cluster_metrics_sql(
+        f"SELECT * FROM read_parquet('{pp}/*.parquet')",
+        f"SELECT * FROM read_parquet('{tp}/*.parquet')",
+    )
+    want = duckdb.connect().execute(sql).fetchall()[0]
+    assert got == want

@@ -90,3 +90,73 @@ def test_plan_shape(spark):
     plan = meta_block_pairs(_docs(spark), "doc_id", KEYS)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_block_filtering_keeps_smallest_blocks(spark):
+    from bigmatch_utilities_spark.operators.meta_blocking import (
+        block_filtering_pairs,
+    )
+
+    # ids 1-4 share a size-4 block (k1); 1-2 and 3-4 each share a size-2
+    # block. ratio=0.5 with 2 blocks/record keeps ceil(1)=1 smallest ->
+    # only the tight blocks survive, the loose canopy proposes nothing.
+    df = spark.createDataFrame(
+        [(1, "x", "y"), (2, "x", "y"), (3, "x", "z"), (4, "x", "z")],
+        ["id", "k1", "k2"],
+    )
+    out = {
+        (r.id_l, r.id_r): r.n_co
+        for r in block_filtering_pairs(
+            df, "id", {"a": "k1", "b": "k2"}, ratio=0.5
+        ).collect()
+    }
+    assert out == {(1, 2): 1, (3, 4): 1}
+
+
+def test_block_filtering_purge_and_ratio_one(spark):
+    from bigmatch_utilities_spark.operators.meta_blocking import (
+        block_filtering_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x", "y"), (2, "x", "y"), (3, "x", "z"), (4, "x", "z")],
+        ["id", "k1", "k2"],
+    )
+    # ratio=1.0 keeps every surviving block: canopy pairs reappear...
+    out = {
+        (r.id_l, r.id_r): r.n_co
+        for r in block_filtering_pairs(
+            df, "id", {"a": "k1", "b": "k2"}, ratio=1.0
+        ).collect()
+    }
+    assert out[(1, 2)] == 2 and out[(3, 4)] == 2 and out[(1, 3)] == 1
+    # ...unless the canopy is purged outright
+    out2 = {
+        (r.id_l, r.id_r): r.n_co
+        for r in block_filtering_pairs(
+            df, "id", {"a": "k1", "b": "k2"}, ratio=1.0, purge_above=3
+        ).collect()
+    }
+    # the canopy contributed one of the two co-occurrences; purged, each
+    # pair keeps only its tight block
+    assert out2 == {(1, 2): 1, (3, 4): 1}
+
+
+def test_block_filtering_oracle_parity(spark, tmp_path):
+    from bigmatch_utilities_spark.operators.meta_blocking import (
+        block_filtering_pairs,
+        block_filtering_pairs_sql,
+    )
+
+    d = _docs(spark)
+    p = str(tmp_path / "docs.parquet")
+    d.write.mode("overwrite").parquet(p)
+    got = sorted(
+        tuple(r)
+        for r in block_filtering_pairs(d, "doc_id", KEYS, ratio=0.5).collect()
+    )
+    sql = block_filtering_pairs_sql(
+        f"read_parquet('{p}/*.parquet')", "doc_id", KEYS, ratio=0.5
+    )
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want

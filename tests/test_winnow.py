@@ -160,3 +160,60 @@ def test_containment_scores_copied_paragraph_high(spark):
     assert abs(containment - round(shared / min(n[1], n[2]), 6)) < 1e-9
     # the unrelated doc pairs with nothing
     assert not any(3 in k for k in out)
+
+
+def test_group_containment_detects_vendored_copy(spark):
+    """A 'repo' whose one file is vendored inside a bigger repo's file
+    shares nearly all its fingerprints with the host repo: the group-level
+    containment flags the fork even though no file is byte-identical."""
+    from bigmatch_utilities_spark.operators.winnow import group_containment_pairs
+
+    para = "the quick brown fox jumps over the lazy dog again and again " * 4
+    host = (
+        "completely different opening content with many unrelated words " * 20
+        + para
+        + " trailing host material that keeps going with more filler words " * 20
+    )
+    df = spark.createDataFrame(
+        [
+            (1, para, "lib"),
+            (2, host, "vendor_of_lib"),
+            (3, "its own second file with separate content here " * 8, "vendor_of_lib"),
+            (4, "unrelated repository content entirely " * 10, "other"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = {
+        (r.group_l, r.group_r): r.containment
+        for r in group_containment_pairs(
+            df, "text", "doc_id", "source", min_shared=1
+        ).collect()
+    }
+    assert out[("lib", "vendor_of_lib")] > 0.9
+    assert ("lib", "other") not in out
+
+
+def test_group_containment_oracle_parity(spark, tmp_path):
+    from bigmatch_utilities_spark.operators.winnow import (
+        group_containment_pairs,
+        group_containment_sql,
+    )
+
+    rows = [
+        (i, f"doc number {i % 4} shared body text repeated here " * (3 + i % 3), f"g{i % 3}")
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    p = str(tmp_path / "g.parquet")
+    df.write.mode("overwrite").parquet(p)
+    got = sorted(
+        tuple(r)
+        for r in group_containment_pairs(
+            df, "text", "doc_id", "source", min_shared=1, max_df=2
+        ).collect()
+    )
+    sql = group_containment_sql(
+        f"read_parquet('{p}/*.parquet')", "text", "source", min_shared=1, max_df=2
+    )
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
