@@ -329,6 +329,169 @@ def run_repo_linkage(
     return MatchResult(pairs=combined, exact=exact, accepted=accepted, possible=possible)
 
 
+def run_repo_linkage_delta(
+    delta: DataFrame,
+    standing: DataFrame,
+    *,
+    use_minhash_pass: bool = True,
+    max_block_rows: int | None = 2_000,
+    minhash_max_bucket: int | None = 256,
+    shard_rows: int | None = 192,
+    cache_handle: list | None = None,
+    transform=None,
+    tf_adjust_fields: tuple[str, ...] = (),
+) -> MatchResult:
+    """Incremental (nightly-delta) linkage: every pair TOUCHING the delta,
+    never an old-old pair — the match stage of "link today's records into
+    the standing entity table" (jobs/run_incremental.py drives it, then
+    operators/cluster_audit.incremental_closure folds the good pairs into
+    the standing assignment).
+
+    Decomposition, exact by construction (ids disjoint by the with_record_id
+    business-key contract):
+
+    * delta-delta: the ordinary self-dedupe `run_match` over the delta
+      alone — the standing table is never scanned;
+    * delta-standing: the same passes in two-file LINKAGE mode (rec=delta,
+      mem=standing) — BigMatch's rec/mem shape
+      (/root/reference/app/BigMatchParmFile.py REC/MEM file slots); no
+      canonicalization is needed because the id sets are disjoint. Each
+      pass streams the standing table once against the (typically
+      broadcastable — AQE decides from measured size) delta side. TF
+      value-frequency tables keep reading the MEMORY file, i.e. the
+      standing corpus — the statistically right population;
+    * LSH canopy: band keys over standing ∪ delta, candidates filtered to
+      delta-touching pairs with two map-only broadcast semi/anti joins on
+      the delta id set, scored exactly like run_repo_linkage's pass 3.
+
+    Union + first_pass_wins yields the standard decision sets over the
+    delta-touching pair universe.
+
+    Equivalence contract (pinned by test): good_pairs(base batch over OLD)
+    ∪ good_pairs(this delta run), transitively closed, equals the batch
+    recompute over OLD ∪ delta — with one honest cap-boundary caveat: a
+    delta that pushes an LSH bucket or blocking block past its size cap
+    drops that canopy in the incremental path where the base run may have
+    kept it (and vice versa). The caps exist to drop boilerplate
+    mega-blocks, and the divergence heals at the next full recompute.
+
+    100 TB notes: the standing table is scanned once per equi-join pass
+    and once for band keys — at real scale persist the band keys as a
+    checkpoint table and append the delta's, turning the canopy stage
+    into a delta-vs-bands join. The equi-join passes already prune to the
+    delta's blocking-key values when the standing side is Iceberg
+    (runtime filter / DPP on the partition keys lang, bucket(repo)).
+    """
+    from dataclasses import replace as _replace
+
+    prep_d = prepare(delta)
+    prep_s = prepare(standing)
+    if transform is not None:
+        prep_d = transform(prep_d)
+        prep_s = transform(prep_s)
+
+    cfg = repo_match_config()
+    if tf_adjust_fields:
+        cfg = with_tf_adjust(cfg, tuple(tf_adjust_fields))
+    # star emission is a self-join device; in two-file mode the exact-hash
+    # passes join delta x standing directly — per delta row the fan-out is
+    # the standing block size, bounded by max_block_rows (linear, not
+    # quadratic, in the standing side)
+    cfg_link = _replace(
+        cfg,
+        dedupe_single_file=False,
+        passes=tuple(_replace(p, star_block_rows=None) for p in cfg.passes),
+    )
+
+    r_dd = run_match(
+        prep_d, None, cfg, id_col=ID_COL,
+        max_block_rows=max_block_rows, shard_rows=shard_rows, persist=False,
+    )
+    r_ds = run_match(
+        prep_d, prep_s, cfg_link, id_col=ID_COL,
+        max_block_rows=max_block_rows, shard_rows=shard_rows, persist=False,
+    )
+    core_cols = ["id_rec", "id_mem", "pass_id", "weight", "is_exact", "decision"]
+    # canonicalize the linkage run's (delta, standing) orientation to
+    # (min id, max id) so first_pass_wins dedupes it against the id-sorted
+    # LSH pairs — every scored field comparator is orientation-symmetric
+    ds_core = r_ds.pairs.select(
+        F.least("id_rec", "id_mem").alias("id_rec"),
+        F.greatest("id_rec", "id_mem").alias("id_mem"),
+        *core_cols[2:],
+    )
+    core = r_dd.pairs.select(*core_cols).unionByName(ds_core)
+
+    if use_minhash_pass:
+        prep_all = prep_s.unionByName(prep_d)
+        cands = minhash_candidates(
+            prep_all,
+            "content_norm",
+            ID_COL,
+            shingle_k=3,
+            bands=4,
+            rows_per_band=4,
+            max_bucket=minhash_max_bucket,
+            shard_rows=shard_rows,
+            cache_handle=cache_handle,
+        )
+        # delta-touching only, via two map-only broadcast joins on the
+        # delta id set (old-old canopies belong to the batch path)
+        d_ids = prep_d.select(F.col(ID_COL).alias("_did"))
+        left_hit = cands.join(
+            F.broadcast(d_ids), cands["id_l"] == F.col("_did"), "left_semi"
+        )
+        right_only = cands.join(
+            F.broadcast(d_ids), cands["id_l"] == F.col("_did"), "left_anti"
+        ).join(F.broadcast(d_ids), cands["id_r"] == F.col("_did"), "left_semi")
+        cands = left_hit.unionByName(right_only)
+
+        carry = [mf.name for mf in _FUZZY_FIELDS] + ["content_sha_nows"]
+        side = prep_all.select(F.col(ID_COL), *carry)
+        pairs3 = cands.join(
+            side.toDF(*["id_l"] + [f"rec_{c}" for c in carry]), "id_l"
+        ).join(side.toDF(*["id_r"] + [f"mem_{c}" for c in carry]), "id_r")
+        pairs3 = pairs3.filter(
+            F.col("rec_content_sha_nows") != F.col("mem_content_sha_nows")
+        ).drop("rec_content_sha_nows", "mem_content_sha_nows")
+        from bigmatch_utilities_spark.operators.scoring import is_exact, pair_weight
+
+        scored3 = (
+            pairs3.withColumnRenamed("id_l", "id_rec")
+            .withColumnRenamed("id_r", "id_mem")
+            .withColumn("weight", pair_weight(_FUZZY_FIELDS))
+            .withColumn("is_exact", is_exact(_FUZZY_FIELDS))
+            .withColumn("pass_id", F.lit(len(cfg.passes)))
+            .filter(F.col("weight") >= F.lit(-100.0))
+            .withColumn(
+                "decision",
+                F.when(F.col("weight") >= 4.0, F.lit("match")).otherwise(
+                    F.lit("possible")
+                ),
+            )
+        )
+        core = core.unionByName(scored3.select(*core_cols))
+
+    combined = first_pass_wins(core)
+    exact = combined.filter(F.col("is_exact") & (F.col("decision") != "below"))
+    accepted = combined.filter(
+        (~F.col("is_exact"))
+        & (
+            (F.col("decision") == "match")
+            | (
+                (F.col("decision") == "possible")
+                & (F.col("weight") >= F.lit(float(cfg.accept_threshold)))
+            )
+        )
+    )
+    possible = combined.filter(
+        (~F.col("is_exact"))
+        & (F.col("decision") == "possible")
+        & (F.col("weight") < F.lit(float(cfg.accept_threshold)))
+    )
+    return MatchResult(pairs=combined, exact=exact, accepted=accepted, possible=possible)
+
+
 def count_candidates(
     df: DataFrame,
     *,
