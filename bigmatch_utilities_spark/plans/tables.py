@@ -194,6 +194,48 @@ def write_table(
     return "parquet"
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Save `df` as a BUCKETED catalog table: co-located storage for the
+    joins the linkage pipeline repeats every night.
+
+    The standing tables a nightly incremental run touches over and over —
+    the (id, cluster_id) assignment, the good-pairs ledger, the prepared
+    records keyed by record_id — are re-shuffled on the same key at every
+    join today.  Hash-bucketing them on that key once at write time makes
+    every later equi-join on it exchange-free: Spark's bucketed scan
+    reports a HashPartitioning that matches the join requirement, so the
+    sort-merge join reads both sides in place (no Exchange in the plan —
+    pinned by tests/test_tables.py).  At 100 TB this converts the nightly
+    shuffle of the whole standing corpus into zero network bytes; only
+    the (small) unbucketed delta side moves.
+
+    Production note: on Iceberg the same property comes from the
+    bucket(N, col) partition transform plus storage-partitioned joins
+    (spark.sql.sources.v2.bucketing.enabled); this helper is the
+    session-catalog equivalent (DataFrameWriter.bucketBy), which works on
+    any Spark without extra jars and is what the sandbox tests exercise.
+    Both sides of a join must use the SAME bucket count and key.
+
+    sort_cols (defaults to bucket_cols) additionally sorts within
+    buckets, letting the SMJ skip its per-task sort when Spark can prove
+    the files' order.
+    """
+    (
+        df.write.format("parquet")
+        .mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*(sort_cols or bucket_cols))
+        .saveAsTable(table)
+    )
+
+
 def read_table(spark, target: str, fmt: str = "auto") -> DataFrame:
     """Scan counterpart of `write_table`: catalog table when available,
     else the partitioned-parquet dir (partition columns — including the

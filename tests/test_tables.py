@@ -183,3 +183,59 @@ def test_spec_default_is_north_rule():
         ("lang", "identity", 0),
         ("repo", "bucket", 16),
     ]
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """Two tables bucketed on the join key at the same bucket count must
+    sort-merge-join with NO Exchange on either side — the co-location
+    contract write_bucketed exists for."""
+    from bigmatch_utilities_spark.plans.tables import write_bucketed
+
+    a = spark.range(0, 2000).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    b = spark.range(0, 2000).select(
+        F.col("id"), (F.col("id") * 3 % 11).alias("w")
+    )
+    write_bucketed(a, "bt_assign", ["id"], 8)
+    write_bucketed(b, "bt_pairs", ["id"], 8)
+    try:
+        ta = spark.table("bt_assign")
+        tb = spark.table("bt_pairs")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = ta.join(tb, "id")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            assert j.count() == 2000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_assign")
+        spark.sql("DROP TABLE IF EXISTS bt_pairs")
+
+
+def test_bucketed_one_side_shuffles_only_other(spark):
+    """A bucketed standing table joined to an unbucketed delta: the
+    standing scan stays in place; only the delta side exchanges — the
+    nightly-incremental join shape."""
+    from bigmatch_utilities_spark.plans.tables import write_bucketed
+
+    standing = spark.range(0, 4000).select(F.col("id"), F.lit("s").alias("side"))
+    write_bucketed(standing, "bt_standing", ["id"], 8)
+    try:
+        delta = spark.range(0, 100).select(F.col("id"), F.lit("d").alias("dside"))
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("bt_standing").join(delta, "id")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            # exactly one Exchange (the delta side), none above the bucketed scan
+            assert plan.count("Exchange hashpartitioning") == 1, plan
+            assert j.count() == 100
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_standing")
