@@ -1625,6 +1625,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rc_repo_containment"] = rc
 
+    # ---- DL1: delta (incremental) linkage — delta-delta ∪ delta-standing --
+    def dl(spark, sf):
+        from dataclasses import replace
+
+        from bigmatch_utilities_spark.config import (
+            BlockField,
+            BlockingPassSpec,
+            CutoffSpec,
+            FieldRef,
+            MatchConfig,
+        )
+        from bigmatch_utilities_spark.operators.pipeline import run_match
+
+        cut = CutoffSpec(hi=2.0, lo=-50.0)
+        cfg = MatchConfig(
+            passes=(
+                BlockingPassSpec(
+                    block_fields=(
+                        BlockField(name="lang"),
+                        BlockField(name="bucket", blank_flag=0),
+                    ),
+                    match_fields=_SNM_MIX_FIELDS,
+                    cutoff=cut,
+                    print_cutoff=cut,
+                ),
+            ),
+            id_field=FieldRef(name="doc_id"),
+            dedupe_single_file=True,
+        )
+        d = _docs_keyed(spark, sf)
+        delta = d.filter(F.col("doc_id") % 7 == 0)
+        standing = d.filter(F.col("doc_id") % 7 != 0)
+        # the run_repo_linkage_delta decomposition on the generic engine:
+        # delta self-dedupe + delta-vs-standing two-file linkage, disjoint
+        # pair universes, linkage orientation canonicalized to sorted ids
+        r_dd = run_match(delta, None, cfg, id_col="doc_id", persist=False)
+        r_ds = run_match(
+            delta,
+            standing,
+            replace(cfg, dedupe_single_file=False),
+            id_col="doc_id",
+            persist=False,
+        )
+        cols = ["weight", "is_exact", "decision"]
+        dd = r_dd.pairs.select(
+            F.col("id_rec").alias("id_l"), F.col("id_mem").alias("id_r"), *cols
+        )
+        ds = r_ds.pairs.select(
+            F.least("id_rec", "id_mem").alias("id_l"),
+            F.greatest("id_rec", "id_mem").alias("id_r"),
+            *cols,
+        )
+        return dd.unionByName(ds).select(
+            "id_l", "id_r", F.round("weight", 6).alias("weight"),
+            "is_exact", "decision",
+        )
+
+    q["dl_delta_linkage"] = dl
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -1640,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_bcubed_ari",
         "bf_block_filtering",
         "rc_repo_containment",
+        "dl_delta_linkage",
         # new in round 5
         "bk_key_suggestion",
         "bk_key_suggestion_truth",
@@ -2881,6 +2941,39 @@ def oracle_sql() -> dict[str, str]:
               ON d.hkey = g.hkey""",
         f"SELECT doc_id AS id, lang AS label FROM ({_DOCS_KEYED_SQL})",
     )
+
+    # dl: delta linkage — same FS weights as sp, disjoint dd/ds pair unions,
+    # linkage orientation canonicalized with least/greatest
+    _DL_W = pair_weight_sql(_SNM_MIX_FIELDS, rec_prefix="a.", mem_prefix="b.")
+    _DL_X = (
+        "(coalesce(a.text_32, '') = coalesce(b.text_32, '') AND "
+        "coalesce(a.source, '') = coalesce(b.source, ''))"
+    )
+    o["dl_delta_linkage"] = f"""
+        WITH d AS ({_DOCS_KEYED_SQL}),
+        f AS (SELECT * FROM d WHERE trim(lang) <> ''),
+        del AS (SELECT * FROM f WHERE doc_id % 7 = 0),
+        std AS (SELECT * FROM f WHERE doc_id % 7 <> 0),
+        dd AS (
+          SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+                 {_DL_W} AS weight, {_DL_X} AS is_exact
+          FROM del a JOIN del b
+            ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ),
+        ds AS (
+          SELECT least(a.doc_id, b.doc_id) AS id_l,
+                 greatest(a.doc_id, b.doc_id) AS id_r,
+                 {_DL_W} AS weight, {_DL_X} AS is_exact
+          FROM del a JOIN std b
+            ON a.lang = b.lang AND a.bucket = b.bucket
+        ),
+        u AS (SELECT * FROM dd UNION ALL SELECT * FROM ds)
+        SELECT id_l, id_r, round(weight, 6) AS weight, is_exact,
+               CASE WHEN weight >= 2.0 THEN 'match'
+                    WHEN weight >= -50.0 THEN 'possible'
+                    ELSE 'below' END AS decision
+        FROM u
+    """
 
     # bf: block purging + per-record block filtering — same key exprs as mb
     from bigmatch_utilities_spark.operators.meta_blocking import (

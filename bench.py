@@ -320,6 +320,40 @@ def main() -> None:
 
     counters["containment_pairs"] = timed("containment", q_containment)
 
+    # round-5 second-session keys: nightly-delta linkage (the incremental
+    # match path) and repo-level containment (fork detection)
+    def q_delta_linkage():
+        from bigmatch_utilities_spark.repo_linkage import run_repo_linkage_delta
+
+        caches: list = []
+        d = repo_files.filter(F.crc32("path") % 5 == 0)
+        s = repo_files.filter(F.crc32("path") % 5 != 0)
+        r = run_repo_linkage_delta(d, s, cache_handle=caches)
+        n = r.pairs.count()
+        for c in caches:
+            c.unpersist()
+        return n
+
+    counters["delta_pairs"] = timed("delta_linkage", q_delta_linkage)
+
+    def q_repo_containment():
+        from bigmatch_utilities_spark.operators.winnow import (
+            group_containment_pairs,
+        )
+
+        caches: list = []
+        n = group_containment_pairs(
+            docs, "text", "doc_id", "source", min_shared=3, max_df=8,
+            cache_handle=caches,
+        ).count()
+        for c in caches:
+            c.unpersist()
+        return n
+
+    counters["repo_containment_pairs"] = timed(
+        "repo_containment", q_repo_containment
+    )
+
     # throughput denominator: candidate pairs actually entering the
     # comparator stage (BASELINE's candidate-pairs/sec unit), counted on
     # the same plans after the timed runs so the count jobs don't pollute
