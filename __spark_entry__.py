@@ -1684,6 +1684,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dl_delta_linkage"] = dl
 
+    # ---- GL1: group-level (repo) linkage rollup ----------------------------
+    def gl(spark, sf):
+        from bigmatch_utilities_spark.operators.group_linkage import (
+            group_match_profile,
+        )
+
+        # cross-source pairs carry the source-mismatch penalty, so the
+        # evidence floor sits below 0 (sf0.01 cross-source weights span
+        # [-7.98, -1.64]; -4 keeps the text/size-agreeing half)
+        pairs = _scored_pairs(spark, sf).filter(F.col("weight") >= -4.0)
+        members = _t(spark, sf, "documents").select(
+            F.col("doc_id").alias("id"), F.col("source").alias("grp")
+        )
+        return group_match_profile(pairs, members, min_pairs=2)
+
+    q["gl_group_linkage"] = gl
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -1700,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_block_filtering",
         "rc_repo_containment",
         "dl_delta_linkage",
+        "gl_group_linkage",
         # new in round 5
         "bk_key_suggestion",
         "bk_key_suggestion_truth",
@@ -2974,6 +2992,17 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'below' END AS decision
         FROM u
     """
+
+    # gl: group-level linkage rollup over the FS-scored pairs
+    from bigmatch_utilities_spark.operators.group_linkage import (
+        group_match_profile_sql,
+    )
+
+    o["gl_group_linkage"] = group_match_profile_sql(
+        f"SELECT id_l, id_r, weight FROM ({_SCORED_PAIRS_SQL}) WHERE weight >= -4.0",
+        "SELECT doc_id AS id, source AS grp FROM documents",
+        min_pairs=2,
+    )
 
     # bf: block purging + per-record block filtering — same key exprs as mb
     from bigmatch_utilities_spark.operators.meta_blocking import (
