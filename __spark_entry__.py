@@ -1701,6 +1701,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["gl_group_linkage"] = gl
 
+    # ---- LP1: LSH canopy as a declarable pass kind --------------------------
+    def lp(spark, sf):
+        from bigmatch_utilities_spark.config import (
+            BlockField,
+            BlockingPassSpec,
+            CutoffSpec,
+            FieldRef,
+            MatchConfig,
+        )
+        from bigmatch_utilities_spark.operators.pipeline import run_match
+
+        cut = CutoffSpec(hi=2.0, lo=-50.0)
+        cfg = MatchConfig(
+            passes=(
+                BlockingPassSpec(  # pass 0: strict equi
+                    block_fields=(
+                        BlockField(name="lang"),
+                        BlockField(name="bucket", blank_flag=0),
+                    ),
+                    match_fields=_SNM_MIX_FIELDS,
+                    cutoff=cut,
+                    print_cutoff=cut,
+                ),
+                BlockingPassSpec(  # pass 1: MinHash-LSH canopy, in config
+                    kind="lsh",
+                    lsh_field="text",
+                    lsh_shingle_k=3,
+                    lsh_bands=2,
+                    lsh_rows_per_band=2,
+                    lsh_max_bucket=None,
+                    block_fields=(),
+                    match_fields=_SNM_MIX_FIELDS,
+                    cutoff=cut,
+                    print_cutoff=cut,
+                ),
+            ),
+            id_field=FieldRef(name="doc_id"),
+            dedupe_single_file=True,
+        )
+        d = _docs_keyed(spark, sf)
+        res = run_match(d, None, cfg, id_col="doc_id", persist=False)
+        return res.pairs.select(
+            F.col("id_rec").alias("id_l"),
+            F.col("id_mem").alias("id_r"),
+            "pass_id",
+            F.round("weight", 6).alias("weight"),
+            "is_exact",
+            "decision",
+        )
+
+    q["lp_lsh_pass_mix"] = lp
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -1718,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rc_repo_containment",
         "dl_delta_linkage",
         "gl_group_linkage",
+        "lp_lsh_pass_mix",
         # new in round 5
         "bk_key_suggestion",
         "bk_key_suggestion_truth",
@@ -2991,6 +3044,81 @@ def oracle_sql() -> dict[str, str]:
                     WHEN weight >= -50.0 THEN 'possible'
                     ELSE 'below' END AS decision
         FROM u
+    """
+
+    # lp: LSH canopy as a declarable pass — identical shingle/affine-hash
+    # arithmetic as dd_lsh_candidates (bands=2 x rows=2, concat band keys),
+    # same FS weights as sp, first-wins via arg_min
+    _LP_W = pair_weight_sql(_SNM_MIX_FIELDS, rec_prefix="a.", mem_prefix="b.")
+    _LP_X = (
+        "(coalesce(a.text_32, '') = coalesce(b.text_32, '') AND "
+        "coalesce(a.source, '') = coalesce(b.source, ''))"
+    )
+    _lp_m61 = (1 << 61) - 1
+    _lp_mins = ", ".join(
+        f"CAST(min(({2 * i + 1} * hv + {(i + 1) * 12345}) % {_lp_m61}) AS VARCHAR)"
+        f" AS s{i}"
+        for i in range(4)
+    )
+    o["lp_lsh_pass_mix"] = f"""
+        WITH d AS ({_DOCS_KEYED_SQL}),
+        lp_f0 AS (SELECT * FROM d WHERE trim(lang) <> ''),
+        lp_p0 AS (
+          SELECT a.doc_id AS id_l, b.doc_id AS id_r, 0 AS pass_id,
+                 {_LP_W} AS weight, {_LP_X} AS is_exact
+          FROM lp_f0 a JOIN lp_f0 b
+            ON a.lang = b.lang AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id
+        ),
+        lp_toks AS (
+            SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                                       x -> x <> '') AS tk
+            FROM documents
+        ),
+        lp_sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(tk) >= 3 THEN
+                     list_distinct(list_transform(range(1, len(tk) - 1),
+                        i -> array_to_string(list_slice(tk, i, i + 2), ' ')))
+                   ELSE [array_to_string(tk, ' ')] END AS shingles
+            FROM lp_toks
+        ),
+        lp_h AS (
+            SELECT doc_id,
+                   CAST(('0x' || substring(md5(unnest(shingles)), 1, 12)) AS BIGINT)
+                       AS hv
+            FROM lp_sh
+        ),
+        lp_sig AS (SELECT doc_id, {_lp_mins} FROM lp_h GROUP BY doc_id),
+        lp_bands AS (
+            SELECT doc_id, 0 AS band, s0 || '_' || s1 AS band_key FROM lp_sig
+            UNION ALL SELECT doc_id, 1, s2 || '_' || s3 FROM lp_sig
+        ),
+        lp_cand AS (
+            SELECT DISTINCT x.doc_id AS id_l, y.doc_id AS id_r
+            FROM lp_bands x JOIN lp_bands y
+              ON x.band = y.band AND x.band_key = y.band_key
+                 AND x.doc_id < y.doc_id
+        ),
+        lp_p1 AS (
+          SELECT c.id_l, c.id_r, 1 AS pass_id,
+                 {_LP_W} AS weight, {_LP_X} AS is_exact
+          FROM lp_cand c
+          JOIN d a ON a.doc_id = c.id_l
+          JOIN d b ON b.doc_id = c.id_r
+        ),
+        lp_u AS (SELECT * FROM lp_p0 UNION ALL SELECT * FROM lp_p1),
+        lp_fpw AS (
+          SELECT id_l, id_r, min(pass_id) AS pass_id,
+                 arg_min(weight, pass_id) AS weight,
+                 arg_min(is_exact, pass_id) AS is_exact
+          FROM lp_u GROUP BY id_l, id_r
+        )
+        SELECT id_l, id_r, pass_id, round(weight, 6) AS weight, is_exact,
+               CASE WHEN weight >= 2.0 THEN 'match'
+                    WHEN weight >= -50.0 THEN 'possible'
+                    ELSE 'below' END AS decision
+        FROM lp_fpw
     """
 
     # gl: group-level linkage rollup over the FS-scored pairs

@@ -195,19 +195,41 @@ class BlockingPassSpec:
     #: snm_window-1 sort-order successors, so pair volume is exactly
     #: (snm_window-1)·N − edge truncation — linear in N.
     snm_window: int = 5
+    #: LSH canopy pass (kind="lsh"): candidates come from MinHash-LSH band
+    #: collisions over lsh_field (operators/dedup.minhash_candidates)
+    #: instead of an equi-join — "pass 3 is a near-dup canopy" declared in
+    #: config, the pass run_repo_linkage previously had to hand-compose.
+    #: Single-file (dedupe) passes only: a two-file canopy needs the
+    #: delta-touching filter run_repo_linkage_delta composes explicitly.
+    #: block_fields are ignored (the join comes from the band keys); the
+    #: parmf grammar cannot express it (write_parmf refuses, as for snm).
+    lsh_field: str | None = None
+    lsh_shingle_k: int = 3
+    lsh_bands: int = 4
+    lsh_rows_per_band: int = 4
+    #: band buckets above this are boilerplate canopies, dropped whole
+    #: (None = uncapped; see run_repo_linkage's minhash_max_bucket note)
+    lsh_max_bucket: int | None = 256
     #: Transposition-tolerant field PAIRS scored via swapped_agreement
     #: (functions/comparators.py): each contributes ONE FS weight term
     #: computed on the better of the straight and crossed alignments.
     match_field_pairs: tuple["MatchFieldPair", ...] = ()
 
     def __post_init__(self) -> None:
-        if self.kind not in ("equi", "snm"):
+        if self.kind not in ("equi", "snm", "lsh"):
             raise ValueError(f"unknown pass kind {self.kind!r}")
         if self.kind == "snm":
             if self.snm_window < 2:
                 raise ValueError("snm_window must be >= 2")
             if self.star_block_rows:
                 raise ValueError("star_block_rows is an equi-pass option")
+        if self.kind == "lsh":
+            if not self.lsh_field:
+                raise ValueError("kind='lsh' requires lsh_field")
+            if self.star_block_rows:
+                raise ValueError("star_block_rows is an equi-pass option")
+            if self.lsh_bands < 1 or self.lsh_rows_per_band < 1:
+                raise ValueError("lsh_bands / lsh_rows_per_band must be >= 1")
 
 
 @dataclass(frozen=True)

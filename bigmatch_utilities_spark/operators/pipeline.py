@@ -95,6 +95,40 @@ def pass_candidates(
             carry_rec=carry_sup,
             carry_mem=carry_sup,
         )
+    elif spec.kind == "lsh":
+        from bigmatch_utilities_spark.operators.dedup import minhash_candidates
+
+        if not dedupe or mem is not rec:
+            raise ValueError(
+                "kind='lsh' is a single-file (dedupe) pass; a two-file "
+                "canopy needs the delta-touching filter "
+                "repo_linkage.run_repo_linkage_delta composes explicitly"
+            )
+        # candidates come from band-key collisions (already id_l < id_r
+        # canonical, singleton-dropped, bucket-capped, shard-salted); the
+        # carried match-field values join on from the source, same shape
+        # as run_repo_linkage's hand-composed pass 3
+        cands = minhash_candidates(
+            rec,
+            spec.lsh_field,
+            id_col,
+            shingle_k=spec.lsh_shingle_k,
+            bands=spec.lsh_bands,
+            rows_per_band=spec.lsh_rows_per_band,
+            max_bucket=spec.lsh_max_bucket,
+            shard_rows=shard_rows,
+        ).select("id_l", "id_r")
+        side = rec.select(F.col(id_col), *carry_sup)
+        pairs = (
+            cands.join(
+                side.toDF(*(["id_l"] + [f"rec_{c}" for c in carry_sup])), "id_l"
+            )
+            .join(
+                side.toDF(*(["id_r"] + [f"mem_{c}" for c in carry_sup])), "id_r"
+            )
+            .withColumnRenamed("id_l", "id_rec")
+            .withColumnRenamed("id_r", "id_mem")
+        )
     else:
         pairs = candidate_pairs(
             rec,

@@ -213,3 +213,63 @@ def test_near_dedup_keep_end_to_end(spark):
     # docs 1/2/3/6 are one near-dup cluster (exact dup + two near dups):
     # min-id representative 1 survives; 4 and 5 are unrelated singletons
     assert ids == [1, 4, 5]
+
+
+def test_lsh_pass_kind_config(spark):
+    """kind='lsh': the MinHash canopy declared as a config pass — candidates
+    match minhash_candidates with the same params, scored/decided like any
+    pass; two-file mode and bad params refuse loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bigmatch_utilities_spark.config import (
+        BlockingPassSpec,
+        CutoffSpec,
+        FieldRef,
+        MatchConfig,
+        MatchField,
+    )
+    from bigmatch_utilities_spark.operators.dedup import minhash_candidates
+    from bigmatch_utilities_spark.operators.pipeline import run_match
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "a"),
+        (2, "the quick brown fox jumps over the lazy cat", "a"),
+        (3, "completely different text about spark shuffles", "b"),
+        (4, "the quick brown fox jumps over the lazy dog", "b"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "src"])
+    cut = CutoffSpec(hi=2.0, lo=-50.0)
+    spec = BlockingPassSpec(
+        kind="lsh", lsh_field="text", lsh_bands=2, lsh_rows_per_band=2,
+        lsh_max_bucket=None, block_fields=(),
+        match_fields=(MatchField(name="src", comparator="c", m=0.9, u=0.1),),
+        cutoff=cut, print_cutoff=cut,
+    )
+    cfg = MatchConfig(
+        passes=(spec,), id_field=FieldRef(name="doc_id"), dedupe_single_file=True
+    )
+    res = run_match(df, None, cfg, id_col="doc_id", persist=False)
+    got = {(r.id_rec, r.id_mem) for r in res.pairs.collect()}
+    want = {
+        (r.id_l, r.id_r)
+        for r in minhash_candidates(
+            df, "text", "doc_id", bands=2, rows_per_band=2, max_bucket=None
+        ).collect()
+    }
+    assert got == want and (1, 4) in got and (1, 3) not in got
+
+    other = spark.createDataFrame(rows, ["doc_id", "text", "src"])
+    with pytest.raises(ValueError, match="single-file"):
+        from dataclasses import replace
+
+        run_match(
+            df, other, replace(cfg, dedupe_single_file=False),
+            id_col="doc_id", persist=False,
+        ).pairs.collect()
+
+    with pytest.raises(ValueError, match="lsh_field"):
+        BlockingPassSpec(
+            kind="lsh", block_fields=(), match_fields=(), cutoff=cut,
+            print_cutoff=cut,
+        )
