@@ -1753,6 +1753,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lp_lsh_pass_mix"] = lp
 
+    # ---- QG1: q-gram token blocking (typo-robust) + block filtering --------
+    def qg(spark, sf):
+        from bigmatch_utilities_spark.operators.meta_blocking import (
+            qgram_block_pairs,
+        )
+
+        return qgram_block_pairs(
+            _docs_keyed(spark, sf).select("doc_id", "text_32"),
+            "doc_id",
+            "text_32",
+            n=6,
+            ratio=0.3,
+            purge_above=64,
+        )
+
+    q["qg_qgram_blocking"] = qg
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -1771,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_delta_linkage",
         "gl_group_linkage",
         "lp_lsh_pass_mix",
+        "qg_qgram_blocking",
         # new in round 5
         "bk_key_suggestion",
         "bk_key_suggestion_truth",
@@ -3120,6 +3138,16 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'below' END AS decision
         FROM lp_fpw
     """
+
+    # qg: q-gram token blocking through the purge/filter/pair chain
+    from bigmatch_utilities_spark.operators.meta_blocking import (
+        qgram_block_pairs_sql,
+    )
+
+    o["qg_qgram_blocking"] = qgram_block_pairs_sql(
+        f"({_DOCS_KEYED_SQL})", "doc_id", "text_32", n=6, ratio=0.3,
+        purge_above=64,
+    )
 
     # gl: group-level linkage rollup over the FS-scored pairs
     from bigmatch_utilities_spark.operators.group_linkage import (

@@ -147,7 +147,65 @@ def block_filtering_pairs(
     a fraction over 1e6, so Spark and DuckDB agree bit-for-bit.
     """
     num = int(round(ratio * 1_000_000))
-    asg = block_assignments(df, id_col, key_exprs)
+    return _purge_filter_pairs(block_assignments(df, id_col, key_exprs), num, purge_above)
+
+
+def qgram_block_pairs(
+    df: DataFrame,
+    id_col: str,
+    field: str,
+    *,
+    n: int = 4,
+    ratio: float = 0.5,
+    purge_above: int = 2_000,
+) -> DataFrame:
+    """Q-gram (character n-gram) token blocking with block purging +
+    per-record block filtering: candidate pairs (id_l, id_r, n_co) that
+    share at least one KEPT q-gram block of the field.
+
+    An equi pass on a key field misses every record with a typo in the
+    key; a q-gram of the field survives any single edit that doesn't
+    touch it, so two values within edit distance d still co-block on
+    ~(len − n+1 − d·n) grams.  This is the classic q-gram blocking remedy
+    (Gravano et al. 2001 applied to blocking; the reference's answer is a
+    human adding ever-looser passes to parmf).  Raw q-gram blocks are far
+    too dense to use bare — common substrings are mega-blocks — so the
+    chain REQUIRES the purge + per-record smallest-blocks filter
+    (:func:`block_filtering_pairs` semantics) to bound the pair budget:
+    purge kills the boilerplate grams outright, and each record keeps
+    only its ⌈ratio·b⌉ rarest grams — its most DISTINCTIVE substrings.
+
+    Values are lowercased/trimmed first; values shorter than n chars
+    contribute their whole value as the single gram (same short-input
+    convention as winnowing / MinHash shingles).
+
+    Plan shape: one generator projection (explode of an O(len) array) —
+    no UDF — then the shared sized/filter/pairs chain: two shuffles plus
+    the per-record bounded window.
+    """
+    num = int(round(ratio * 1_000_000))
+    # the positional slice needs a column start index, so the gram array is
+    # one SQL expression (substring(col, i, n) inside transform)
+    asg = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.expr(
+                f"CASE WHEN length(regexp_replace(lower(trim(CAST({field} AS STRING))), ' +', ' ')) >= {n} "
+                f"THEN transform(sequence(1, length(regexp_replace(lower(trim(CAST({field} AS STRING))), ' +', ' ')) - {n - 1}), "
+                f"i -> substring(regexp_replace(lower(trim(CAST({field} AS STRING))), ' +', ' '), i, {n})) "
+                f"ELSE array(regexp_replace(lower(trim(CAST({field} AS STRING))), ' +', ' ')) END"
+            ).alias("_grams"),
+        )
+        .select("id", F.explode_outer("_grams").alias("block"))
+        .filter(F.col("block").isNotNull() & (F.col("block") != ""))
+        .distinct()
+    )
+    return _purge_filter_pairs(asg, num, purge_above)
+
+
+def _purge_filter_pairs(asg: DataFrame, num: int, purge_above: int) -> DataFrame:
+    """Shared purge → per-record smallest-blocks filter → pair tail
+    (the block_filtering_pairs chain over prebuilt (id, block) rows)."""
     sized = (
         asg.groupBy("block")
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -171,6 +229,58 @@ def block_filtering_pairs(
         .groupBy("id_l", "id_r")
         .agg(F.count(F.lit(1)).alias("n_co"))
     )
+
+
+def qgram_block_pairs_sql(
+    table: str,
+    id_col: str,
+    field: str,
+    *,
+    n: int = 4,
+    ratio: float = 0.5,
+    purge_above: int = 2_000,
+) -> str:
+    """DuckDB oracle twin of :func:`qgram_block_pairs` — same
+    normalization, same short-value convention, same purge/filter/pair
+    chain in exact integer arithmetic."""
+    num = int(round(ratio * 1_000_000))
+    norm = f"regexp_replace(lower(trim(CAST({field} AS VARCHAR))), ' +', ' ', 'g')"
+    return f"""
+        WITH src AS (
+            SELECT {id_col} AS id,
+                   CASE WHEN length({norm}) >= {n}
+                        THEN list_transform(range(1, length({norm}) - {n - 2}),
+                               i -> substring({norm}, CAST(i AS INT), {n}))
+                        ELSE [{norm}] END AS _grams
+            FROM {table}
+        ),
+        asg AS (
+            SELECT DISTINCT id, unnest(_grams) AS block FROM src
+            WHERE len(_grams) > 0
+        ),
+        asg2 AS (SELECT * FROM asg WHERE block IS NOT NULL AND block <> ''),
+        sized AS (
+            SELECT block, count(*) AS _n FROM asg2 GROUP BY block
+            HAVING count(*) BETWEEN 2 AND {purge_above}
+        ),
+        survived AS (
+            SELECT a.id, a.block, s._n FROM asg2 a JOIN sized s USING (block)
+        ),
+        ranked AS (
+            SELECT id, block,
+                   row_number() OVER (PARTITION BY id ORDER BY _n ASC, block ASC)
+                       AS _rk,
+                   count(*) OVER (PARTITION BY id) AS _b
+            FROM survived
+        ),
+        kept AS (
+            SELECT id, block FROM ranked
+            WHERE _rk <= ({num} * _b + 999999) // 1000000
+        )
+        SELECT x.id AS id_l, y.id AS id_r, count(*) AS n_co
+        FROM kept x JOIN kept y ON x.block = y.block AND x.id < y.id
+        GROUP BY x.id, y.id
+    """
 
 
 def block_filtering_pairs_sql(

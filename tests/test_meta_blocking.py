@@ -160,3 +160,64 @@ def test_block_filtering_oracle_parity(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+def test_qgram_blocking_survives_typo(spark):
+    """Two values one edit apart share most q-grams, so they co-block —
+    the case an exact equi key always loses."""
+    from bigmatch_utilities_spark.operators.meta_blocking import qgram_block_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "jonathan smith"),
+            (2, "jonathan smyth"),   # one substitution
+            (3, "completely other"),
+            (4, "совсем другое"),
+        ],
+        ["id", "name"],
+    )
+    out = {
+        (r.id_l, r.id_r)
+        for r in qgram_block_pairs(df, "id", "name", n=4, ratio=1.0).collect()
+    }
+    assert (1, 2) in out
+    assert (1, 3) not in out and (3, 4) not in out
+
+
+def test_qgram_short_and_null_values(spark):
+    from bigmatch_utilities_spark.operators.meta_blocking import qgram_block_pairs
+
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "ab"), (3, None), (4, ""), (5, "ab")],
+        ["id", "v"],
+    )
+    # values shorter than n block on the whole value; NULL/'' propose nothing
+    out = {
+        (r.id_l, r.id_r)
+        for r in qgram_block_pairs(df, "id", "v", n=4, ratio=1.0).collect()
+    }
+    assert out == {(1, 2), (1, 5), (2, 5)}
+
+
+def test_qgram_oracle_parity(spark, tmp_path):
+    from bigmatch_utilities_spark.operators.meta_blocking import (
+        qgram_block_pairs,
+        qgram_block_pairs_sql,
+    )
+
+    rows = [
+        (i, f"value number {i % 5} with shared tail segment {'x' * (i % 3)}")
+        for i in range(30)
+    ] + [(100, "ab"), (101, None)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    p = str(tmp_path / "q.parquet")
+    df.write.parquet(p)
+    got = sorted(
+        tuple(r)
+        for r in qgram_block_pairs(df, "id", "v", n=5, ratio=0.4).collect()
+    )
+    sql = qgram_block_pairs_sql(
+        f"read_parquet('{p}/*.parquet')", "id", "v", n=5, ratio=0.4
+    )
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
