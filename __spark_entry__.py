@@ -1770,6 +1770,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["qg_qgram_blocking"] = qg
 
+    # ---- RP1: repair over-merged clusters (audit-gated split) --------------
+    def rp(spark, sf):
+        from bigmatch_utilities_spark.operators.closure import connected_components
+        from bigmatch_utilities_spark.operators.cluster_audit import repair_clusters
+
+        edges = _doc_chain_edges(spark, sf)
+        assigns = connected_components(edges.select("src", "dst"))
+        pairs = edges.select(
+            F.col("src").alias("id_l"), F.col("dst").alias("id_r"), "weight"
+        )
+        out = repair_clusters(assigns, pairs, min_weight=2.5)
+        return out.select(
+            F.col("id").cast("long").alias("id"),
+            F.col("old_cluster_id").cast("long").alias("old_cluster_id"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+        )
+
+    q["rp_cluster_repair"] = rp
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -1781,6 +1800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r4+r5 rows are read as the union).
     # ------------------------------------------------------------------
     driver_first = [
+        # new in round 5 (third session)
+        "rp_cluster_repair",
         # new in round 5 (second session)
         "cm_bcubed_ari",
         "bf_block_filtering",
@@ -2697,6 +2718,14 @@ def oracle_sql() -> dict[str, str]:
     # ic: the incremental path must equal the batch recompute over
     # (old ∪ delta) = ALL chain edges — i.e. exactly the batch CC
     o["ic_incremental_closure"] = _chain_cc_sql
+
+    # rp: audit-gated cluster repair — suspects from the same quality audit,
+    # recursive-CTE closure over the >=threshold suspect-internal edges
+    from bigmatch_utilities_spark.operators.cluster_audit import repair_clusters_sql
+
+    o["rp_cluster_repair"] = repair_clusters_sql(
+        _chain_cc_sql, _chain_edges_sql, min_weight=2.5, id_l="src", id_r="dst"
+    )
 
     # xw: per-field weight waterfall — field_weight_sql per field + sum
     from bigmatch_utilities_spark.operators.scoring import field_weight_sql

@@ -200,3 +200,163 @@ def incremental_closure(
     ).select("id", F.coalesce("new_label", F.col("id")).alias("cluster_id"))
 
     return updated.unionByName(new_rows)
+
+
+def repair_clusters(
+    assignments: DataFrame,
+    pairs: DataFrame,
+    min_weight: float,
+    max_density: float = 1.0,
+    id_l: str = "id_l",
+    id_r: str = "id_r",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Split over-merged clusters by pruning their sub-threshold edges.
+
+    The repair half of the audit→repair lifecycle: `cluster_quality`
+    flags chain-shaped clusters held together by marginal links (the
+    over-merge signature the reference's MatchReview reviewer hunts by
+    eye, `/root/reference/app/MatchReview.py:26,61`); this operator acts
+    on the flags.  A cluster is SUSPECT when its weakest intra-cluster
+    edge falls below `min_weight` AND its density is at most
+    `max_density` (dense cliques survive a weak edge — only sparse
+    clusters can be disconnected by one).  Within suspect clusters the
+    sub-threshold edges are dropped and connected components re-run on
+    the survivors; members that lose every edge become singletons.
+    Non-suspect clusters pass through untouched.
+
+    Labels stay "min member id", so a suspect cluster that remains
+    connected after pruning keeps its original label — the operator is
+    idempotent at any fixed (min_weight, max_density).
+
+    Returns (id, old_cluster_id, cluster_id).
+
+    Scale: the audit is the same two equi-joins + one map-side-combined
+    groupBy as `cluster_quality`; the iterative closure runs ONLY on the
+    suspect-induced subgraph (by construction small — suspects are the
+    anomaly tail), and the standing assignment is touched only by joins
+    on cluster_id against that frame.
+    """
+    a = assignments.select("id", "cluster_id")
+    audit = cluster_quality(a, pairs, id_l=id_l, id_r=id_r, weight_col=weight_col)
+    suspects = audit.filter(
+        (F.col("w_min") < F.lit(min_weight))
+        & (F.col("density") <= F.lit(max_density))
+    ).select("cluster_id")
+
+    sus_members = a.join(suspects, on="cluster_id").select(
+        "id", F.col("cluster_id").alias("old_cluster_id")
+    )
+
+    # canonical intra-suspect-cluster edges at or above the threshold
+    canon = (
+        pairs.select(
+            F.least(F.col(id_l), F.col(id_r)).alias("_l"),
+            F.greatest(F.col(id_l), F.col(id_r)).alias("_r"),
+            F.col(weight_col).alias("_w"),
+        )
+        .filter(F.col("_l") != F.col("_r"))
+        .groupBy("_l", "_r")
+        .agg(F.max("_w").alias("_w"))
+        .filter(F.col("_w") >= F.lit(min_weight))
+    )
+    kept = (
+        canon
+        .join(
+            sus_members.select(
+                F.col("id").alias("_l"), F.col("old_cluster_id").alias("_cl")
+            ),
+            on="_l",
+        )
+        .join(
+            sus_members.select(
+                F.col("id").alias("_r"), F.col("old_cluster_id").alias("_cr")
+            ),
+            on="_r",
+        )
+        .filter(F.col("_cl") == F.col("_cr"))
+        .select(F.col("_l").alias("src"), F.col("_r").alias("dst"))
+    )
+
+    relabeled = connected_components(kept).select(
+        "id", F.col("cluster_id").alias("_new")
+    )
+    repaired = sus_members.join(relabeled, on="id", how="left").select(
+        "id",
+        "old_cluster_id",
+        F.coalesce(F.col("_new"), F.col("id")).alias("cluster_id"),
+    )
+
+    untouched = a.join(suspects, on="cluster_id", how="left_anti").select(
+        "id",
+        F.col("cluster_id").alias("old_cluster_id"),
+        F.col("cluster_id"),
+    )
+    return untouched.unionByName(repaired)
+
+
+def repair_clusters_sql(
+    assignments_sql: str,
+    pairs_sql: str,
+    min_weight: float,
+    max_density: float = 1.0,
+    id_l: str = "id_l",
+    id_r: str = "id_r",
+    weight_col: str = "weight",
+) -> str:
+    """DuckDB twin of :func:`repair_clusters` (recursive-CTE closure).
+
+    Every CTE here is `rp_`-prefixed: the assignments/audit subqueries
+    nest their own `WITH RECURSIVE` blocks (`und`, `reach`, `asg`, ...),
+    and DuckDB 1.0 mis-resolves an outer UNION-bearing CTE whose name
+    collides with one of those nested names under a recursive WITH —
+    the reversed-edge branch of an outer `und` silently vanished in
+    testing (21 rows where the identical inline union gave 42).
+    """
+    audit_sql = cluster_quality_sql(
+        assignments_sql, pairs_sql, id_l=id_l, id_r=id_r, weight_col=weight_col
+    )
+    return f"""
+        WITH RECURSIVE rp_asg AS ({assignments_sql}),
+        rp_sus AS (
+            SELECT cluster_id FROM ({audit_sql})
+            WHERE w_min < {min_weight} AND density <= {max_density}
+        ),
+        rp_susm AS (
+            SELECT a.id, a.cluster_id AS old_cluster_id
+            FROM rp_asg a JOIN rp_sus s ON s.cluster_id = a.cluster_id
+        ),
+        rp_canon AS (
+            SELECT least(p.{id_l}, p.{id_r}) AS _l,
+                   greatest(p.{id_l}, p.{id_r}) AS _r,
+                   max(p.{weight_col}) AS _w
+            FROM ({pairs_sql}) p
+            WHERE least(p.{id_l}, p.{id_r}) <> greatest(p.{id_l}, p.{id_r})
+            GROUP BY 1, 2
+            HAVING max(p.{weight_col}) >= {min_weight}
+        ),
+        rp_kept AS (
+            SELECT c._l AS s, c._r AS d
+            FROM rp_canon c
+            JOIN rp_susm ml ON ml.id = c._l
+            JOIN rp_susm mr ON mr.id = c._r
+            WHERE ml.old_cluster_id = mr.old_cluster_id
+        ),
+        rp_und AS (
+            SELECT s, d FROM rp_kept UNION SELECT d AS s, s AS d FROM rp_kept
+        ),
+        rp_reach(n, m) AS (
+            SELECT id, id FROM rp_susm
+            UNION
+            SELECT u.d, r.m FROM rp_reach r JOIN rp_und u ON u.s = r.n
+        ),
+        rp_cc AS (
+            SELECT n AS id, min(m) AS new_cluster FROM rp_reach GROUP BY n
+        )
+        SELECT a.id, a.cluster_id AS old_cluster_id, a.cluster_id AS cluster_id
+        FROM rp_asg a LEFT JOIN rp_sus s ON s.cluster_id = a.cluster_id
+        WHERE s.cluster_id IS NULL
+        UNION ALL
+        SELECT sm.id, sm.old_cluster_id, cc.new_cluster AS cluster_id
+        FROM rp_susm sm JOIN rp_cc cc ON cc.id = sm.id
+    """

@@ -110,3 +110,81 @@ def test_incremental_no_deltas_touch_nothing(spark):
     e_new = spark.createDataFrame([(1, 1)], "src long, dst long")
     out = incremental_closure(assigns, e_new)
     assert _cc_pairs(out) == _cc_pairs(assigns)
+
+
+def test_repair_splits_weak_chain(graph):
+    """The chain 10-11-12-13 with a 0.3 bridge is the over-merge case:
+    repair at min_weight=1.0 must cut 11-12 and leave the clique and the
+    strong pair untouched."""
+    from bigmatch_utilities_spark.operators.cluster_audit import repair_clusters
+
+    pairs, assigns = graph
+    out = {r.id: r for r in repair_clusters(assigns, pairs, min_weight=1.0).collect()}
+    # untouched clusters keep labels (and old == new)
+    for i in (1, 2, 3):
+        assert (out[i].old_cluster_id, out[i].cluster_id) == (1, 1)
+    assert (out[20].cluster_id, out[21].cluster_id) == (20, 20)
+    # chain split at the weak bridge: {10,11} and {12,13}
+    assert out[10].old_cluster_id == 10 and out[10].cluster_id == 10
+    assert out[11].cluster_id == 10
+    assert out[12].cluster_id == 12 and out[13].cluster_id == 12
+
+
+def test_repair_density_guard_spares_dense_clusters(graph):
+    """max_density below the clique's 1.0 but above the chain's 0.5:
+    only the chain is suspect, so the clique keeps its weak 4.0 edge
+    even at a threshold that would prune it."""
+    from bigmatch_utilities_spark.operators.cluster_audit import repair_clusters
+
+    pairs, assigns = graph
+    out = {
+        r.id: r.cluster_id
+        for r in repair_clusters(assigns, pairs, min_weight=4.5, max_density=0.75).collect()
+    }
+    # clique NOT suspect (density 1.0 > 0.75): intact despite w_min 4.0
+    assert out[1] == out[2] == out[3] == 1
+    # chain suspect: every edge < 4.5 -> all four become singletons
+    assert [out[i] for i in (10, 11, 12, 13)] == [10, 11, 12, 13]
+
+
+def test_repair_idempotent_and_total_loss(graph):
+    """Repairing an already-repaired assignment at the same threshold is
+    a no-op; members losing every edge become singletons."""
+    from bigmatch_utilities_spark.operators.cluster_audit import repair_clusters
+
+    pairs, assigns = graph
+    once = repair_clusters(assigns, pairs, min_weight=2.2).select("id", "cluster_id")
+    twice = repair_clusters(once, pairs, min_weight=2.2)
+    assert {(r.id, r.cluster_id) for r in twice.collect()} == {
+        (r.id, r.cluster_id) for r in once.collect()
+    }
+    # min_weight 2.2 cuts 10-11 (2.0) and 11-12 (0.3): 11 is a singleton
+    labels = {r.id: r.cluster_id for r in once.collect()}
+    assert labels[11] == 11 and labels[10] == 10 and labels[12] == 12 and labels[13] == 12
+
+
+def test_repair_sql_parity(spark, graph):
+    """DuckDB twin agrees row-for-row (incl. the rp_-prefix CTE-collision
+    defense documented in repair_clusters_sql)."""
+    from bigmatch_utilities_spark.operators.cluster_audit import (
+        repair_clusters,
+        repair_clusters_sql,
+    )
+
+    pairs, assigns = graph
+    got = {
+        (r.id, r.old_cluster_id, r.cluster_id)
+        for r in repair_clusters(assigns, pairs, min_weight=2.2).collect()
+    }
+    con = duckdb.connect()
+    asg_rows = ", ".join(f"({r.id}, {r.cluster_id})" for r in assigns.collect())
+    pair_rows = ", ".join(
+        f"({r.id_l}, {r.id_r}, {r.weight})" for r in pairs.collect()
+    )
+    sql = repair_clusters_sql(
+        f"SELECT * FROM (VALUES {asg_rows}) t(id, cluster_id)",
+        f"SELECT * FROM (VALUES {pair_rows}) t(id_l, id_r, weight)",
+        min_weight=2.2,
+    )
+    want = {tuple(r) for r in con.sql(sql).fetchall()}
+    assert got == want
