@@ -1789,6 +1789,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rp_cluster_repair"] = rp
 
+    # ---- CW1: empirical cutoff sweep (P/R/F1 at every candidate cutoff) ----
+    def cw(spark, sf):
+        from bigmatch_utilities_spark.operators.evaluate import cutoff_sweep
+
+        s = _scored_pairs(spark, sf)
+        truth = s.filter(F.col("is_exact")).select("id_l", "id_r")
+        return cutoff_sweep(s, truth, thresholds=[-4.0, -2.0, 0.0, 1.0, 2.0])
+
+    q["cw_cutoff_sweep"] = cw
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -1802,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver_first = [
         # new in round 5 (third session)
         "rp_cluster_repair",
+        "cw_cutoff_sweep",
         # new in round 5 (second session)
         "cm_bcubed_ari",
         "bf_block_filtering",
@@ -2725,6 +2736,16 @@ def oracle_sql() -> dict[str, str]:
 
     o["rp_cluster_repair"] = repair_clusters_sql(
         _chain_cc_sql, _chain_edges_sql, min_weight=2.5, id_l="src", id_r="dst"
+    )
+
+    # cw: empirical cutoff sweep — one merged frame, conditional aggregates
+    # per threshold, truth = the exact-agreement pairs
+    from bigmatch_utilities_spark.operators.evaluate import cutoff_sweep_sql
+
+    o["cw_cutoff_sweep"] = cutoff_sweep_sql(
+        _SCORED_PAIRS_SQL,
+        f"SELECT id_l, id_r FROM ({_SCORED_PAIRS_SQL}) WHERE is_exact",
+        thresholds=[-4.0, -2.0, 0.0, 1.0, 2.0],
     )
 
     # xw: per-field weight waterfall — field_weight_sql per field + sum

@@ -399,3 +399,131 @@ def pairwise_metrics_sql(
                      6) AS f1
         FROM m
     """
+
+
+def cutoff_sweep(
+    scored: DataFrame,
+    truth: DataFrame,
+    thresholds: list[float],
+    id_l: str = "id_l",
+    id_r: str = "id_r",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Precision/recall/F1 at every candidate cutoff, from ONE pass.
+
+    The reference leaves cutoff choice to the analyst staring at the
+    sorted weight file (`/root/reference/app/BigMatchParmFile.py`
+    cutoff rows; `app/MatchReview.py` review pane); `cutoffs.py` gives
+    the model-based suggestion.  This is the empirical complement: given
+    scored pairs and a labeled truth sample, emit the full operating
+    curve — one row per threshold with (n_pred, tp, fp, fn, precision,
+    recall, f1) as if the accept cutoff were set there.
+
+    Scale design: the scored and truth pair sets are canonicalized and
+    full-outer-joined ONCE (the only shuffle, keyed on the pair id);
+    every threshold is then a conditional map-side-combined aggregate
+    over that merged frame — sweeping 5 or 500 cutoffs costs the same
+    single pass, no per-threshold scan, no window over the sorted
+    weights.  The per-threshold explode happens on a 1-row frame.
+    """
+    s = (
+        scored.select(
+            F.least(F.col(id_l), F.col(id_r)).alias("a"),
+            F.greatest(F.col(id_l), F.col(id_r)).alias("b"),
+            F.col(weight_col).alias("_w"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.max("_w").alias("_w"))
+    )
+    t = _canon_pairs(truth, id_l, id_r)
+    merged = s.join(t.withColumn("_t", F.lit(1)), on=["a", "b"], how="full_outer")
+
+    aggs = [F.sum(F.coalesce("_t", F.lit(0))).cast("long").alias("n_truth")]
+    for i, th in enumerate(thresholds):
+        hit = F.col("_w").isNotNull() & (F.col("_w") >= F.lit(float(th)))
+        aggs.append(F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias(f"_np{i}"))
+        aggs.append(
+            F.sum(F.when(hit & F.col("_t").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"_tp{i}")
+        )
+    one = merged.agg(*aggs)
+
+    rows = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(th)).alias("threshold"),
+                        F.col(f"_np{i}").alias("n_pred"),
+                        F.col("n_truth").alias("n_truth"),
+                        F.col(f"_tp{i}").alias("tp"),
+                    )
+                    for i, th in enumerate(thresholds)
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    tp = F.col("tp").cast("double")
+    return rows.select(
+        "threshold",
+        "n_pred",
+        "n_truth",
+        "tp",
+        (F.col("n_pred") - F.col("tp")).alias("fp"),
+        (F.col("n_truth") - F.col("tp")).alias("fn"),
+        F.round(F.try_divide(tp, F.col("n_pred")), 6).alias("precision"),
+        F.round(F.try_divide(tp, F.col("n_truth")), 6).alias("recall"),
+        F.round(
+            F.try_divide(2.0 * tp, F.col("n_pred") + F.col("n_truth")), 6
+        ).alias("f1"),
+    )
+
+
+def cutoff_sweep_sql(
+    scored_sql: str,
+    truth_sql: str,
+    thresholds: list[float],
+    id_l: str = "id_l",
+    id_r: str = "id_r",
+    weight_col: str = "weight",
+) -> str:
+    """DuckDB twin of :func:`cutoff_sweep` (same single-pass shape)."""
+    np_cols = ", ".join(
+        f"count(*) FILTER (WHERE _w >= {float(th)}) AS _np{i}, "
+        f"count(*) FILTER (WHERE _w >= {float(th)} AND _t IS NOT NULL) AS _tp{i}"
+        for i, th in enumerate(thresholds)
+    )
+    per_thresh = "\n            UNION ALL ".join(
+        f"SELECT {float(th)} AS threshold, _np{i} AS n_pred, n_truth, _tp{i} AS tp FROM agg"
+        for i, th in enumerate(thresholds)
+    )
+    return f"""
+        WITH s AS (
+            SELECT least({id_l}, {id_r}) AS a, greatest({id_l}, {id_r}) AS b,
+                   max({weight_col}) AS _w
+            FROM ({scored_sql}) WHERE {id_l} <> {id_r}
+            GROUP BY 1, 2
+        ), t AS (
+            SELECT DISTINCT least({id_l}, {id_r}) AS a,
+                            greatest({id_l}, {id_r}) AS b, 1 AS _t
+            FROM ({truth_sql}) WHERE {id_l} <> {id_r}
+        ), m AS (
+            SELECT s._w, t._t FROM s FULL OUTER JOIN t
+                ON s.a = t.a AND s.b = t.b
+        ), agg AS (
+            SELECT count(*) FILTER (WHERE _t IS NOT NULL) AS n_truth, {np_cols}
+            FROM m
+        ), sweep AS (
+            {per_thresh}
+        )
+        SELECT threshold, n_pred, n_truth, tp,
+               n_pred - tp AS fp,
+               n_truth - tp AS fn,
+               round(CAST(tp AS DOUBLE) / NULLIF(n_pred, 0), 6) AS precision,
+               round(CAST(tp AS DOUBLE) / NULLIF(n_truth, 0), 6) AS recall,
+               round(2.0 * CAST(tp AS DOUBLE) / NULLIF(n_pred + n_truth, 0),
+                     6) AS f1
+        FROM sweep
+    """

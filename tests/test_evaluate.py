@@ -175,3 +175,73 @@ def test_cluster_metrics_duckdb_parity(spark, tmp_path):
     )
     want = duckdb.connect().execute(sql).fetchall()[0]
     assert got == want
+
+
+def test_cutoff_sweep_handcrafted(spark):
+    """Hand-checkable curve: 4 scored pairs, 2 true. Monotone n_pred,
+    and each row equals pairwise_metrics at that cutoff."""
+    from bigmatch_utilities_spark.operators.evaluate import cutoff_sweep
+
+    scored = spark.createDataFrame(
+        [(1, 2, 5.0), (3, 4, 2.0), (5, 6, -1.0), (7, 8, -3.0)],
+        "id_l long, id_r long, weight double",
+    )
+    truth = spark.createDataFrame([(1, 2), (5, 6)], "id_l long, id_r long")
+    rows = {
+        r.threshold: r
+        for r in cutoff_sweep(scored, truth, thresholds=[-4.0, 0.0, 3.0]).collect()
+    }
+    # t=-4: all 4 predicted, tp=2 -> P=0.5 R=1.0
+    assert (rows[-4.0].n_pred, rows[-4.0].tp, rows[-4.0].fp, rows[-4.0].fn) == (4, 2, 2, 0)
+    assert (rows[-4.0].precision, rows[-4.0].recall) == (0.5, 1.0)
+    # t=0: {5.0, 2.0} predicted, tp=1
+    assert (rows[0.0].n_pred, rows[0.0].tp) == (2, 1)
+    assert rows[0.0].f1 == 0.5
+    # t=3: only 5.0 predicted, tp=1 -> P=1.0 R=0.5
+    assert (rows[3.0].n_pred, rows[3.0].precision, rows[3.0].recall) == (1, 1.0, 0.5)
+
+
+def test_cutoff_sweep_canonicalizes_and_dedups(spark):
+    """Both orientations + duplicates of a pair collapse to one pair at
+    its MAX weight; truth-only pairs never inflate n_pred."""
+    from bigmatch_utilities_spark.operators.evaluate import cutoff_sweep
+
+    scored = spark.createDataFrame(
+        [(2, 1, 1.0), (1, 2, 4.0), (1, 2, 1.0), (9, 9, 99.0)],
+        "id_l long, id_r long, weight double",
+    )
+    truth = spark.createDataFrame([(2, 1), (30, 31)], "id_l long, id_r long")
+    rows = {r.threshold: r for r in cutoff_sweep(scored, truth, thresholds=[2.0]).collect()}
+    # one canonical pair (1,2) at max weight 4.0; self-loop dropped;
+    # truth pair (30,31) contributes fn only
+    assert (rows[2.0].n_pred, rows[2.0].tp, rows[2.0].fn, rows[2.0].n_truth) == (1, 1, 1, 2)
+
+
+def test_cutoff_sweep_duckdb_parity(spark, tmp_path):
+    import random
+
+    from bigmatch_utilities_spark.operators.evaluate import (
+        cutoff_sweep,
+        cutoff_sweep_sql,
+    )
+
+    rng = random.Random(7)
+    scored = [
+        (rng.randint(0, 40), rng.randint(0, 40), round(rng.uniform(-5, 5), 6))
+        for _ in range(200)
+    ]
+    truth = [(rng.randint(0, 40), rng.randint(0, 40)) for _ in range(60)]
+    sdf = spark.createDataFrame(scored, "id_l long, id_r long, weight double")
+    tdf = spark.createDataFrame(truth, "id_l long, id_r long")
+    sp, tp = str(tmp_path / "s.parquet"), str(tmp_path / "t.parquet")
+    sdf.write.mode("overwrite").parquet(sp)
+    tdf.write.mode("overwrite").parquet(tp)
+    ths = [-3.0, -1.0, 0.0, 2.5]
+    got = sorted(tuple(r) for r in cutoff_sweep(sdf, tdf, ths).collect())
+    sql = cutoff_sweep_sql(
+        f"SELECT * FROM read_parquet('{sp}/*.parquet')",
+        f"SELECT id_l, id_r FROM read_parquet('{tp}/*.parquet')",
+        ths,
+    )
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
