@@ -1799,6 +1799,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cw_cutoff_sweep"] = cw
 
+    # ---- PP1: PPRL Bloom/CLK encodings + Dice over blocked pairs -----------
+    def pp(spark, sf):
+        from bigmatch_utilities_spark.functions.pprl import bloom_bits, dice
+
+        d = _docs_keyed(spark, sf)
+        e = d.select(
+            "doc_id",
+            "lang",
+            "bucket",
+            bloom_bits(F.col("text_32"), bits=256, k=2).alias("bb"),
+        )
+        l = e.select(
+            F.col("doc_id").alias("id_l"), "lang", "bucket", F.col("bb").alias("bb_l")
+        )
+        r = e.select(
+            F.col("doc_id").alias("id_r"),
+            F.col("lang").alias("lang_r"),
+            F.col("bucket").alias("bucket_r"),
+            F.col("bb").alias("bb_r"),
+        )
+        return (
+            l.join(
+                r,
+                (F.col("lang") == F.col("lang_r"))
+                & (F.col("bucket") == F.col("bucket_r"))
+                & (F.col("id_l") < F.col("id_r")),
+            )
+            .select(
+                "id_l",
+                "id_r",
+                F.round(dice(F.col("bb_l"), F.col("bb_r")), 6).alias("dice"),
+                F.size("bb_l").cast("long").alias("nbits_l"),
+                F.size("bb_r").cast("long").alias("nbits_r"),
+            )
+        )
+
+    q["pp_bloom_dice"] = pp
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -1813,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 5 (third session)
         "rp_cluster_repair",
         "cw_cutoff_sweep",
+        "pp_bloom_dice",
         # new in round 5 (second session)
         "cm_bcubed_ari",
         "bf_block_filtering",
@@ -2747,6 +2786,22 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT id_l, id_r FROM ({_SCORED_PAIRS_SQL}) WHERE is_exact",
         thresholds=[-4.0, -2.0, 0.0, 1.0, 2.0],
     )
+
+    # pp: PPRL Bloom/CLK encodings + Dice — identical affine bigram hashing
+    # rendered in both dialects (functions/pprl.py)
+    from bigmatch_utilities_spark.functions.pprl import bloom_bits_sql, dice_sql
+
+    _BB = bloom_bits_sql("text_32", bits=256, k=2)
+    o["pp_bloom_dice"] = f"""
+        WITH dk AS ({_DOCS_KEYED_SQL}),
+        e AS (SELECT doc_id, lang, bucket, {_BB} AS bb FROM dk)
+        SELECT l.doc_id AS id_l, r.doc_id AS id_r,
+               round({dice_sql('l.bb', 'r.bb')}, 6) AS dice,
+               CAST(len(l.bb) AS BIGINT) AS nbits_l,
+               CAST(len(r.bb) AS BIGINT) AS nbits_r
+        FROM e l JOIN e r
+          ON l.lang = r.lang AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    """
 
     # xw: per-field weight waterfall — field_weight_sql per field + sum
     from bigmatch_utilities_spark.operators.scoring import field_weight_sql

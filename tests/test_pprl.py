@@ -1,0 +1,116 @@
+"""PPRL Bloom/CLK encodings: semantics + Spark/DuckDB parity."""
+
+from __future__ import annotations
+
+import random
+import string
+
+import duckdb
+from pyspark.sql import functions as F
+
+from bigmatch_utilities_spark.functions.pprl import (
+    bloom_bits,
+    bloom_bits_sql,
+    dice,
+    dice_sql,
+)
+
+
+def _enc(spark, vals, bits=64, k=2):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, name string"
+    )
+    return {
+        r.id: list(r.bb)
+        for r in df.select(
+            "id", bloom_bits(F.col("name"), bits=bits, k=k).alias("bb")
+        ).collect()
+    }
+
+
+def test_encoding_semantics(spark):
+    got = _enc(spark, ["SMITH", "smith", "  Smith ", "", "   ", "a"])
+    # case- and pad-insensitive: one canonical encoding per value
+    assert got[0] == got[1] == got[2]
+    # blanks carry no evidence: empty filter
+    assert got[3] == [] and got[4] == []
+    # single char still gets two bigrams (space-padded)
+    assert len(got[5]) >= 2
+    # positions sorted, distinct, in range
+    for bbs in got.values():
+        assert bbs == sorted(set(bbs))
+        assert all(0 <= p < 64 for p in bbs)
+
+
+def test_dice_properties(spark):
+    df = spark.createDataFrame(
+        [(1, "william"), (2, "william"), (3, "wiliam"), (4, "zzzzqqqq"), (5, "")],
+        "id long, name string",
+    )
+    e = df.select("id", bloom_bits(F.col("name"), bits=512, k=3).alias("bb"))
+    l, r = e.alias("l"), e.alias("r")
+    d = {
+        (x.il, x.ir): x.d
+        for x in l.crossJoin(r)
+        .select(
+            F.col("l.id").alias("il"),
+            F.col("r.id").alias("ir"),
+            F.round(dice(F.col("l.bb"), F.col("r.bb")), 6).alias("d"),
+        )
+        .collect()
+    }
+    assert d[(1, 2)] == 1.0                     # identical strings
+    assert 0.5 < d[(1, 3)] < 1.0                # one-typo neighbor stays high
+    assert d[(1, 4)] < d[(1, 3)]                # unrelated string scores lower
+    assert d[(1, 5)] == 0.0                     # blank vs value: no overlap
+    assert d[(5, 5)] is None                    # blank vs blank: no evidence
+
+
+def test_parity_randomized(spark):
+    rng = random.Random(99)
+    alphabet = string.ascii_letters + string.digits + " -'éß"
+    vals = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 24)))
+        for _ in range(120)
+    ]
+    for bits, k in [(64, 2), (512, 3)]:
+        got = _enc(spark, vals, bits=bits, k=k)
+        rows = ", ".join(
+            "({}, '{}')".format(i, v.replace("'", "''")) for i, v in enumerate(vals)
+        )
+        sql = (
+            f"SELECT id, {bloom_bits_sql('name', bits=bits, k=k)} AS bb "
+            f"FROM (VALUES {rows}) t(id, name)"
+        )
+        con = duckdb.connect()
+        want = {r[0]: list(r[1]) for r in con.sql(sql).fetchall()}
+        assert got == want, f"encoding parity failed at bits={bits} k={k}"
+
+
+def test_dice_sql_parity(spark):
+    vals = ["smith", "smyth", "schmidt", "", "smith-jones"]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, name string"
+    )
+    e = df.select("id", bloom_bits(F.col("name"), bits=128, k=2).alias("bb"))
+    l, r = e.alias("l"), e.alias("r")
+    got = {
+        (x.il, x.ir): x.d
+        for x in l.crossJoin(r)
+        .select(
+            F.col("l.id").alias("il"),
+            F.col("r.id").alias("ir"),
+            F.round(dice(F.col("l.bb"), F.col("r.bb")), 6).alias("d"),
+        )
+        .collect()
+    }
+    rows = ", ".join(f"({i}, '{v}')" for i, v in enumerate(vals))
+    sql = f"""
+        WITH e AS (SELECT id, {bloom_bits_sql('name', bits=128, k=2)} AS bb
+                   FROM (VALUES {rows}) t(id, name))
+        SELECT l.id, r.id, round({dice_sql('l.bb', 'r.bb')}, 6)
+        FROM e l, e r
+    """
+    con = duckdb.connect()
+    want = {(r[0], r[1]): r[2] for r in con.sql(sql).fetchall()}
+    assert got == want
