@@ -91,6 +91,12 @@ _FS_FIELDS = (
     MatchField(name="source", comparator="c", m=0.80, u=0.20),
 )
 
+#: variant for the PPRL pass: text compared via bloom-dice ("b")
+_BD_FIELDS = (
+    MatchField(name="text_32", comparator="b", m=0.90, u=0.10),
+    MatchField(name="source", comparator="c", m=0.80, u=0.20),
+)
+
 
 def _blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-join blocked on (lang, bucket), id_l < id_r (J1 + J3 canon)."""
@@ -1837,6 +1843,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pp_bloom_dice"] = pp
 
+    # ---- BD1: FS-scored pass with the declarative "b" (bloom-dice)
+    # comparator — PPRL flowing through the standard scoring layer --------
+    def bd(spark, sf):
+        pairs = _blocked_pairs(spark, sf)
+        return pairs.select(
+            "id_l",
+            "id_r",
+            F.round(pair_weight(_BD_FIELDS), 6).alias("weight"),
+        )
+
+    q["bd_bloom_pass"] = bd
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -1852,6 +1870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rp_cluster_repair",
         "cw_cutoff_sweep",
         "pp_bloom_dice",
+        "bd_bloom_pass",
         # new in round 5 (second session)
         "cm_bcubed_ari",
         "bf_block_filtering",
@@ -2786,6 +2805,15 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT id_l, id_r FROM ({_SCORED_PAIRS_SQL}) WHERE is_exact",
         thresholds=[-4.0, -2.0, 0.0, 1.0, 2.0],
     )
+
+    # bd: FS weights with the "b" (bloom-dice) comparator — the scoring
+    # layer's generic similarity dispatch renders the PPRL comparator in
+    # both dialects, so this pins the full declarative path
+    _BD_WEIGHT_SQL = pair_weight_sql(_BD_FIELDS, rec_prefix="rec_", mem_prefix="mem_")
+    o["bd_bloom_pass"] = f"""
+        SELECT id_l, id_r, round({_BD_WEIGHT_SQL}, 6) AS weight
+        FROM ({_BLOCKED_PAIRS_SQL})
+    """
 
     # pp: PPRL Bloom/CLK encodings + Dice — identical affine bigram hashing
     # rendered in both dialects (functions/pprl.py)

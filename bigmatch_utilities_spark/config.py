@@ -44,7 +44,7 @@ from dataclasses import dataclass, field, replace
 #: similarity, functions/comparators.py) — the typo-tolerant comparator
 #: the JW-only reference vocabulary lacks; grammar position identical to
 #: any other method token (app/BigMatchParmFile.py:472-506).
-COMPARATORS = ("c", "ci", "uo", "uoi", "p", "y", "q", "s", "e", "ei")
+COMPARATORS = ("c", "ci", "uo", "uoi", "p", "y", "q", "s", "e", "ei", "b")
 
 DEFAULT_M = 0.90  # GUI spinner defaults, /root/reference/app/BlockingPass.py:75-76
 DEFAULT_U = 0.10

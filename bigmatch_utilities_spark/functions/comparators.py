@@ -220,6 +220,20 @@ def similarity(comparator: str, left: Column | str, right: Column | str) -> Colu
             F.lit(1.0) - F.levenshtein(a, b).cast("double") / mx
         )
         return F.coalesce(sim, F.lit(0.0))
+    if comparator == "b":
+        # privacy-preserving bloom-dice (functions/pprl.py): similarity is
+        # the Dice coefficient of the two values' CLK bigram encodings at
+        # the module defaults (m=512, k=3) — usable where cleartext must
+        # not cross the comparison boundary, and a bigram-overlap partial
+        # agreement in its own right. Both-blank → 1.0 (trivial agreement,
+        # zero-weighted by the scoring layer's blank rule); either side
+        # NULL → 0.0, matching the e/ei convention.
+        from bigmatch_utilities_spark.functions.pprl import bloom_bits, dice
+
+        d = dice(bloom_bits(lc), bloom_bits(rc))
+        return F.when(
+            (F.trim(lc) == "") & (F.trim(rc) == ""), F.lit(1.0)
+        ).otherwise(F.coalesce(d, F.lit(0.0)))
     if comparator in ("p", "y", "q"):
         # try_cast: ANSI mode (Spark 4 default) makes plain cast throw on junk
         a = lc.try_cast("double")
@@ -272,6 +286,14 @@ def similarity_sql(comparator: str, left: str, right: str) -> str:
         return (
             f"coalesce(CASE WHEN {mx} = 0 THEN 1.0 "
             f"ELSE 1.0 - levenshtein({a}, {b})::DOUBLE / {mx} END, 0.0)"
+        )
+    if comparator == "b":
+        from bigmatch_utilities_spark.functions.pprl import bloom_bits_sql, dice_sql
+
+        d = dice_sql(bloom_bits_sql(left), bloom_bits_sql(right))
+        return (
+            f"(CASE WHEN trim({left}) = '' AND trim({right}) = '' THEN 1.0 "
+            f"ELSE coalesce({d}, 0.0) END)::DOUBLE"
         )
     if comparator in ("p", "y", "q"):
         a = f"try_cast({left} AS DOUBLE)"

@@ -114,3 +114,45 @@ def test_dice_sql_parity(spark):
     con = duckdb.connect()
     want = {(r[0], r[1]): r[2] for r in con.sql(sql).fetchall()}
     assert got == want
+
+
+def test_bloom_comparator_in_scoring(spark):
+    """The 'b' code flows through MatchField validation + FS scoring."""
+    from bigmatch_utilities_spark.config import MatchField
+    from bigmatch_utilities_spark.operators.scoring import pair_weight
+
+    mf = MatchField(name="nm", comparator="b", m=0.9, u=0.1)  # validates
+    pairs = spark.createDataFrame(
+        [(1, "william", "william"), (2, "william", "wiliam"), (3, "william", "qqqq")],
+        "pid long, rec_nm string, mem_nm string",
+    )
+    w = {r.pid: r.w for r in pairs.select(
+        "pid", F.round(pair_weight([mf]), 6).alias("w")).collect()}
+    # exact > near-typo > unrelated, and exact gets the full log2(m/u)
+    assert w[1] > w[2] > w[3]
+    assert abs(w[1] - 3.169925) < 1e-6
+
+
+def test_bloom_comparator_parmf_roundtrip():
+    """'b' survives the parmf writer/parser like any method token."""
+    from bigmatch_utilities_spark.config import (
+        BlockField,
+        BlockingPassSpec,
+        FieldRef,
+        MatchConfig,
+        MatchField,
+        parse_parmf,
+        write_parmf,
+    )
+
+    cfg = MatchConfig(
+        passes=(
+            BlockingPassSpec(
+                block_fields=(BlockField(name="zip"),),
+                match_fields=(MatchField(name="nm", comparator="b", m=0.9, u=0.1),),
+            ),
+        ),
+        id_field=FieldRef(name="record_id"),
+    )
+    back = parse_parmf(write_parmf(cfg))
+    assert back.passes[0].match_fields[0].comparator == "b"
