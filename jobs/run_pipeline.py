@@ -8,6 +8,7 @@ match (multi-pass blocking + Fellegi-Sunter scoring) -> transitive closure
          --max-block-rows/--shard-rows/--standardize/--decisions/
          --accept-threshold/--estimate-mu] \
         [--base <standing (id, cluster_id) parquet>] \
+        [--repair-min-weight W [--repair-max-density D]] \
         [--fuse-fields lang,repo [--drop-singletons]] [--resume]
 
 This is the reference's whole workflow (parmf match run -> review ->
@@ -17,6 +18,8 @@ steps) as a single submittable job. Outputs under --output:
     pairs/              per-pass scored pairs (partitioned by pass_id)
     good_pairs/         exact + above-threshold accepted pairs
     clusters/           (id, cluster_id) entity assignment
+    clusters_repaired/  audit-gated over-merge splits (--repair-min-weight);
+                        fusion reads this when present
     entities/           one canonical row per cluster (with --fuse-fields)
     mu_estimates/ ...   with --estimate-mu (see run_match.py)
 
@@ -95,6 +98,23 @@ def main() -> None:
         help="fusion only: skip single-member clusters",
     )
     p.add_argument(
+        "--repair-min-weight",
+        type=float,
+        default=None,
+        help="after closure, split over-merged clusters: inside clusters "
+        "whose weakest edge is below this weight (and whose density is at "
+        "most --repair-max-density), drop sub-threshold edges and re-run "
+        "closure on the survivors (operators/cluster_audit.repair_clusters). "
+        "Writes clusters_repaired/; fusion then uses the repaired assignment",
+    )
+    p.add_argument(
+        "--repair-max-density",
+        type=float,
+        default=1.0,
+        help="repair stage only: clusters denser than this are never split "
+        "(a clique survives one weak edge; default 1.0 = all flagged)",
+    )
+    p.add_argument(
         "--resume",
         action="store_true",
         help="skip stages whose terminal output already has _SUCCESS "
@@ -150,6 +170,26 @@ def main() -> None:
             clusters = cluster_accepted_pairs(good, all_ids=all_ids, id_col=ID_COL)
         clusters.write.mode("overwrite").parquet(f"{out}/clusters")
 
+    # ---- optional: cluster repair -> clusters_repaired/ --------------------
+    clusters_dir = f"{out}/clusters"
+    if args.repair_min_weight is not None:
+        clusters_dir = f"{out}/clusters_repaired"
+        if args.resume and _has_success(spark, clusters_dir):
+            print(f"[pipeline] repair stage complete ({clusters_dir}) — skipped")
+        else:
+            from bigmatch_utilities_spark.operators.cluster_audit import (
+                repair_clusters,
+            )
+
+            repair_clusters(
+                spark.read.parquet(f"{out}/clusters"),
+                spark.read.parquet(f"{out}/good_pairs"),
+                min_weight=args.repair_min_weight,
+                max_density=args.repair_max_density,
+                id_l="id_rec",
+                id_r="id_mem",
+            ).write.mode("overwrite").parquet(clusters_dir)
+
     # ---- optional: pairwise evaluation -> metrics/ ------------------------
     if args.truth and not (args.resume and _has_success(spark, f"{out}/metrics")):
         from bigmatch_utilities_spark.operators.evaluate import pairwise_metrics
@@ -180,7 +220,7 @@ def main() -> None:
         fmt="iceberg" if "." in args.input and "/" not in args.input else "parquet",
     )
     joined = with_record_id(records).join(
-        spark.read.parquet(f"{out}/clusters").select(
+        spark.read.parquet(clusters_dir).select(
             F.col("id").alias(ID_COL), "cluster_id"
         ),
         ID_COL,

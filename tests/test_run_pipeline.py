@@ -160,3 +160,57 @@ def test_run_pipeline_incremental_base(spark, tmp_path, monkeypatch):
     assert got == batch
     # no entities/ without --fuse-fields
     assert not os.path.exists(f"{out}/entities")
+
+
+def test_run_pipeline_repair_stage(spark, tmp_path, monkeypatch):
+    """--repair-min-weight inserts the audit-gated split between closure
+    and fusion; fusion reads the repaired assignment."""
+    from bigmatch_utilities_spark.synthdata import repo_files_df
+
+    records = repo_files_df(spark, seed=7, n_clusters=25)
+    inp = str(tmp_path / "records")
+    records.write.mode("overwrite").parquet(inp)
+    n_records = records.count()
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
+    # threshold below every weight: no suspects, repaired == original
+    out1 = str(tmp_path / "out_noop")
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "run_pipeline.py", "--input", inp, "--output", out1,
+            "--no-minhash", "--fuse-fields", "lang",
+            "--repair-min-weight", "-1000000",
+        ],
+    )
+    _load("run_pipeline").main()
+    base = {
+        (r.id, r.cluster_id)
+        for r in spark.read.parquet(f"{out1}/clusters").collect()
+    }
+    repaired = {
+        (r.id, r.cluster_id)
+        for r in spark.read.parquet(f"{out1}/clusters_repaired").collect()
+    }
+    assert repaired == base
+
+    # threshold above every weight: every multi-member cluster shatters
+    # into singletons, so fusion emits one entity per RECORD
+    out2 = str(tmp_path / "out_shatter")
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "run_pipeline.py", "--input", inp, "--output", out2,
+            "--no-minhash", "--fuse-fields", "lang",
+            "--repair-min-weight", "1000000",
+        ],
+    )
+    _load("run_pipeline").main()
+    rep = spark.read.parquet(f"{out2}/clusters_repaired")
+    assert rep.count() == n_records
+    assert rep.filter(F.col("id") != F.col("cluster_id")).count() == 0
+    entities = duckdb.sql(f"SELECT * FROM '{out2}/entities/*.parquet'").df()
+    assert len(entities) == n_records
