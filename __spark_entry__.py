@@ -1855,6 +1855,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bd_bloom_pass"] = bd
 
+    # ---- SU1: suffix-array blocking (prefix-divergence tolerance) ----------
+    def su(spark, sf):
+        from bigmatch_utilities_spark.operators.meta_blocking import (
+            suffix_block_pairs,
+        )
+
+        return suffix_block_pairs(
+            _docs_keyed(spark, sf).select("doc_id", "text_32"),
+            "doc_id",
+            "text_32",
+            min_len=12,
+            ratio=0.3,
+            purge_above=64,
+        )
+
+    q["su_suffix_blocking"] = su
+
+    # ---- PB1: PPRL bloom-band (Hamming-LSH) blocking ------------------------
+    def pb(spark, sf):
+        from bigmatch_utilities_spark.functions.pprl import bloom_band_pairs
+
+        return bloom_band_pairs(
+            _docs_keyed(spark, sf).select("doc_id", "text_32"),
+            "doc_id",
+            "text_32",
+            bits=256,
+            k=2,
+            bands=6,
+            band_bits=16,
+            max_bucket=64,
+        )
+
+    q["pb_bloom_band_blocking"] = pb
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -1871,6 +1905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cw_cutoff_sweep",
         "pp_bloom_dice",
         "bd_bloom_pass",
+        "su_suffix_blocking",
+        "pb_bloom_band_blocking",
         # new in round 5 (second session)
         "cm_bcubed_ari",
         "bf_block_filtering",
@@ -3280,6 +3316,25 @@ def oracle_sql() -> dict[str, str]:
     o["qg_qgram_blocking"] = qgram_block_pairs_sql(
         f"({_DOCS_KEYED_SQL})", "doc_id", "text_32", n=6, ratio=0.3,
         purge_above=64,
+    )
+
+    # su: suffix-array blocking through the same purge/filter/pair chain
+    from bigmatch_utilities_spark.operators.meta_blocking import (
+        suffix_block_pairs_sql,
+    )
+
+    o["su_suffix_blocking"] = suffix_block_pairs_sql(
+        f"({_DOCS_KEYED_SQL})", "doc_id", "text_32", min_len=12, ratio=0.3,
+        purge_above=64,
+    )
+
+    # pb: PPRL bloom-band blocking — band keys sampled from the encodings,
+    # shared purge/cap chain
+    from bigmatch_utilities_spark.functions.pprl import bloom_band_pairs_sql
+
+    o["pb_bloom_band_blocking"] = bloom_band_pairs_sql(
+        f"({_DOCS_KEYED_SQL})", "doc_id", "text_32", bits=256, k=2,
+        bands=6, band_bits=16, max_bucket=64,
     )
 
     # gl: group-level linkage rollup over the FS-scored pairs

@@ -108,3 +108,106 @@ def dice_sql(a: str, b: str) -> str:
         f"2.0 * len(list_intersect({a}, {b})) / "
         f"NULLIF(len({a}) + len({b}), 0)"
     )
+
+
+def _band_positions(band: int, band_bits: int, bits: int) -> list[int]:
+    """Deterministic sampled bit positions for one band — distinct within
+    a band whenever gcd(37, bits) = 1 and band_bits ≤ bits (37 is odd, so
+    any power-of-two m qualifies)."""
+    return [(band * 97 + t * 37) % bits for t in range(band_bits)]
+
+
+def bloom_band_pairs(
+    df,
+    id_col: str,
+    field: str,
+    *,
+    bits: int = 512,
+    k: int = 3,
+    bands: int = 8,
+    band_bits: int = 8,
+    max_bucket: int = 2_000,
+):
+    """PPRL blocking: candidate pairs whose Bloom encodings agree on at
+    least one band of sampled bits (Hamming-LSH bit sampling, Indyk &
+    Motwani 1998, applied to Bloom-encoded PPRL as in Durham 2012 /
+    Karapiperis & Verykios 2015 HLSH).
+
+    With cleartext unavailable, none of the usual blocking keys exist —
+    but two similar values' filters differ in few bits, so the chance
+    they agree on ALL `band_bits` sampled positions of some band is high
+    for true matches and vanishing for random pairs (the same
+    band/row amplification as MinHash-LSH, over Hamming space).  Pairs
+    carry `n_co` = number of agreeing bands.
+
+    Together with :func:`bloom_bits` (encode) and the "b" comparator
+    (score), this closes the fully-encoded pipeline: block → score →
+    closure without any party revealing a string.
+
+    Scale guardrails are the shared purge chain (singleton drop +
+    `max_bucket` cap — an all-zero or boilerplate band key is a
+    mega-bucket exactly like a blank blocking key): one map-side encode,
+    `bands` projections unioned, two shuffles total.  Blank values
+    encode to the empty filter and propose NOTHING (excluded before
+    banding — the blank_flag convention).
+    """
+    from bigmatch_utilities_spark.operators.meta_blocking import (
+        _purge_filter_pairs,
+    )
+
+    enc = df.select(
+        F.col(id_col).alias("id"),
+        bloom_bits(F.col(field), bits=bits, k=k).alias("_bb"),
+    ).filter(F.size("_bb") > 0)
+    parts = []
+    for j in range(bands):
+        key = F.concat(
+            F.lit(f"{j}:"),
+            *[
+                F.when(F.array_contains("_bb", F.lit(p)), F.lit("1")).otherwise(
+                    F.lit("0")
+                )
+                for p in _band_positions(j, band_bits, bits)
+            ],
+        )
+        parts.append(enc.select("id", key.alias("block")))
+    asg = parts[0]
+    for part in parts[1:]:
+        asg = asg.unionByName(part)
+    # ratio 1.0: every agreeing band is a candidate (the per-record
+    # smallest-blocks filter is an equi-blocking refinement, not an LSH
+    # one — dropping a band here would break the ≥1-shared-band contract)
+    return _purge_filter_pairs(asg, 1_000_000, max_bucket)
+
+
+def bloom_band_pairs_sql(
+    table: str,
+    id_col: str,
+    field: str,
+    *,
+    bits: int = 512,
+    k: int = 3,
+    bands: int = 8,
+    band_bits: int = 8,
+    max_bucket: int = 2_000,
+) -> str:
+    """DuckDB twin of :func:`bloom_band_pairs`."""
+    from bigmatch_utilities_spark.operators.meta_blocking import (
+        _purge_filter_pairs_sql,
+    )
+
+    bb = bloom_bits_sql(field, bits=bits, k=k)
+    band_selects = []
+    for j in range(bands):
+        key_bits = " || ".join(
+            f"(CASE WHEN list_contains(_bb, {p}) THEN '1' ELSE '0' END)"
+            for p in _band_positions(j, band_bits, bits)
+        )
+        band_selects.append(f"SELECT id, '{j}:' || {key_bits} AS block FROM enc")
+    asg_sql = f"""
+        WITH enc AS (
+            SELECT {id_col} AS id, {bb} AS _bb FROM {table}
+        ), enc2 AS (SELECT * FROM enc WHERE len(_bb) > 0)
+        {" UNION ALL ".join(s.replace("FROM enc", "FROM enc2") for s in band_selects)}
+    """
+    return _purge_filter_pairs_sql(asg_sql, 1_000_000, max_bucket)

@@ -203,6 +203,135 @@ def qgram_block_pairs(
     return _purge_filter_pairs(asg, num, purge_above)
 
 
+def suffix_block_pairs(
+    df: DataFrame,
+    id_col: str,
+    field: str,
+    *,
+    min_len: int = 6,
+    ratio: float = 0.5,
+    purge_above: int = 2_000,
+) -> DataFrame:
+    """Suffix-array blocking (Aizawa & Oyama 2005): candidate pairs that
+    share at least one KEPT suffix (length ≥ `min_len`) of the field.
+
+    The failure mode suffix blocking targets is PREFIX divergence —
+    truncation, initials, titles, path prefixes ("dr jane smith" vs
+    "jane smith"; "src/lib/util.py" vs "lib/util.py") — where every
+    q-gram left of the divergence point differs but all shared suffixes
+    survive intact.  Complements :func:`qgram_block_pairs` (which buys
+    tolerance to edits anywhere at the cost of shorter, denser tokens).
+
+    Same normalization (lowercase/trim/space-collapse), same short-value
+    convention (values under `min_len` block whole), and the same
+    REQUIRED purge + per-record smallest-blocks chain: long suffixes are
+    near-unique (cheap), short ones approach q-gram density — the purge
+    kills the boilerplate tails and each record keeps its ⌈ratio·b⌉
+    rarest suffixes.  One generator projection (O(len − min_len) array
+    per row, no UDF), then the shared two-shuffle tail.
+    """
+    num = int(round(ratio * 1_000_000))
+    norm = f"regexp_replace(lower(trim(CAST({field} AS STRING))), ' +', ' ')"
+    asg = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.expr(
+                f"CASE WHEN length({norm}) >= {min_len} "
+                f"THEN transform(sequence(1, length({norm}) - {min_len - 1}), "
+                f"i -> substring({norm}, i)) "
+                f"ELSE array({norm}) END"
+            ).alias("_sufs"),
+        )
+        .select("id", F.explode_outer("_sufs").alias("block"))
+        .filter(F.col("block").isNotNull() & (F.col("block") != ""))
+        .distinct()
+    )
+    return _purge_filter_pairs(asg, num, purge_above)
+
+
+def suffix_block_pairs_sql(
+    table: str,
+    id_col: str,
+    field: str,
+    *,
+    min_len: int = 6,
+    ratio: float = 0.5,
+    purge_above: int = 2_000,
+) -> str:
+    """DuckDB oracle twin of :func:`suffix_block_pairs`."""
+    num = int(round(ratio * 1_000_000))
+    norm = f"regexp_replace(lower(trim(CAST({field} AS VARCHAR))), ' +', ' ', 'g')"
+    return f"""
+        WITH src AS (
+            SELECT {id_col} AS id,
+                   CASE WHEN length({norm}) >= {min_len}
+                        THEN list_transform(range(1, length({norm}) - {min_len - 2}),
+                               i -> substring({norm}, CAST(i AS INT)))
+                        ELSE [{norm}] END AS _sufs
+            FROM {table}
+        ),
+        asg AS (
+            SELECT DISTINCT id, unnest(_sufs) AS block FROM src
+            WHERE len(_sufs) > 0
+        ),
+        asg2 AS (SELECT * FROM asg WHERE block IS NOT NULL AND block <> ''),
+        sized AS (
+            SELECT block, count(*) AS _n FROM asg2 GROUP BY block
+            HAVING count(*) BETWEEN 2 AND {purge_above}
+        ),
+        survived AS (
+            SELECT a.id, a.block, s._n FROM asg2 a JOIN sized s USING (block)
+        ),
+        ranked AS (
+            SELECT id, block,
+                   row_number() OVER (PARTITION BY id ORDER BY _n ASC, block ASC)
+                       AS _rk,
+                   count(*) OVER (PARTITION BY id) AS _b
+            FROM survived
+        ),
+        kept AS (
+            SELECT id, block FROM ranked
+            WHERE _rk <= ({num} * _b + 999999) // 1000000
+        )
+        SELECT x.id AS id_l, y.id AS id_r, count(*) AS n_co
+        FROM kept x JOIN kept y ON x.block = y.block AND x.id < y.id
+        GROUP BY x.id, y.id
+    """
+
+
+def _purge_filter_pairs_sql(asg_sql: str, num: int, purge_above: int) -> str:
+    """DuckDB rendering of the :func:`_purge_filter_pairs` tail over a
+    prebuilt `(id, block)` subquery — the same purge → per-record
+    smallest-blocks filter → pair chain the q-gram/suffix twins inline."""
+    return f"""
+        WITH asg2 AS (
+            SELECT id, block FROM ({asg_sql})
+            WHERE block IS NOT NULL AND block <> ''
+        ),
+        sized AS (
+            SELECT block, count(*) AS _n FROM asg2 GROUP BY block
+            HAVING count(*) BETWEEN 2 AND {purge_above}
+        ),
+        survived AS (
+            SELECT a.id, a.block, s._n FROM asg2 a JOIN sized s USING (block)
+        ),
+        ranked AS (
+            SELECT id, block,
+                   row_number() OVER (PARTITION BY id ORDER BY _n ASC, block ASC)
+                       AS _rk,
+                   count(*) OVER (PARTITION BY id) AS _b
+            FROM survived
+        ),
+        kept AS (
+            SELECT id, block FROM ranked
+            WHERE _rk <= ({num} * _b + 999999) // 1000000
+        )
+        SELECT x.id AS id_l, y.id AS id_r, count(*) AS n_co
+        FROM kept x JOIN kept y ON x.block = y.block AND x.id < y.id
+        GROUP BY x.id, y.id
+    """
+
+
 def _purge_filter_pairs(asg: DataFrame, num: int, purge_above: int) -> DataFrame:
     """Shared purge → per-record smallest-blocks filter → pair tail
     (the block_filtering_pairs chain over prebuilt (id, block) rows)."""

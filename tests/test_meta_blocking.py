@@ -221,3 +221,63 @@ def test_qgram_oracle_parity(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+def test_suffix_blocking_prefix_divergence(spark):
+    """The case q-grams handle poorly and equi keys miss entirely:
+    values differing only by a PREFIX co-block on their shared suffix."""
+    from bigmatch_utilities_spark.operators.meta_blocking import (
+        suffix_block_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "dr jane smith"),
+            (2, "jane smith"),
+            (3, "src/lib/util.py"),
+            (4, "lib/util.py"),
+            (5, "nothing alike zzz"),
+        ],
+        "id long, v string",
+    )
+    pairs = {
+        (r.id_l, r.id_r)
+        for r in suffix_block_pairs(
+            df, "id", "v", min_len=6, ratio=1.0, purge_above=100
+        ).collect()
+    }
+    assert (1, 2) in pairs and (3, 4) in pairs
+    assert all(5 not in p for p in pairs)
+
+
+def test_suffix_blocking_sql_parity(spark, tmp_path):
+    import random
+    import string as _string
+
+    from bigmatch_utilities_spark.operators.meta_blocking import (
+        suffix_block_pairs,
+        suffix_block_pairs_sql,
+    )
+
+    rng = random.Random(11)
+    base = [
+        "".join(rng.choice(_string.ascii_lowercase) for _ in range(rng.randint(3, 16)))
+        for _ in range(60)
+    ]
+    vals = base + ["pre" + v for v in base[:30]] + ["", "ab"]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v string"
+    )
+    path = str(tmp_path / "s.parquet")
+    df.write.mode("overwrite").parquet(path)
+    kw = dict(min_len=5, ratio=0.6, purge_above=40)
+    got = sorted(
+        (r.id_l, r.id_r, r.n_co)
+        for r in suffix_block_pairs(df, "id", "v", **kw).collect()
+    )
+    con = duckdb.connect()
+    sql = suffix_block_pairs_sql(
+        f"read_parquet('{path}/*.parquet')", "id", "v", **kw
+    )
+    want = sorted(tuple(r) for r in con.sql(sql).fetchall())
+    assert got == want and len(got) > 0

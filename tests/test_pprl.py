@@ -156,3 +156,63 @@ def test_bloom_comparator_parmf_roundtrip():
     )
     back = parse_parmf(write_parmf(cfg))
     assert back.passes[0].match_fields[0].comparator == "b"
+
+
+def test_bloom_band_blocking(spark):
+    """Encoded blocking: identical values always co-block, a one-typo
+    neighbor co-blocks on at least one band, unrelated values don't."""
+    from bigmatch_utilities_spark.functions.pprl import bloom_band_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "jonathan q. smithfield"),
+            (2, "jonathan q. smithfield"),   # exact duplicate
+            (3, "jonathan q. smithfeild"),   # one transposition
+            (4, "completely different 999"),
+            (5, ""),                         # blank: proposes nothing
+        ],
+        "id long, name string",
+    )
+    pairs = {
+        (r.id_l, r.id_r): r.n_co
+        for r in bloom_band_pairs(
+            df, "id", "name", bits=512, k=3, bands=12, band_bits=14
+        ).collect()
+    }
+    assert pairs.get((1, 2), 0) == 12        # identical: every band agrees
+    assert pairs.get((1, 3), 0) >= 1         # near-dup: amplification works
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+    assert all(5 not in p for p in pairs)    # blank never proposed
+
+
+def test_bloom_band_sql_parity(spark, tmp_path):
+    import random
+    import string as _string
+
+    from bigmatch_utilities_spark.functions.pprl import (
+        bloom_band_pairs,
+        bloom_band_pairs_sql,
+    )
+
+    rng = random.Random(3)
+    base = [
+        "".join(rng.choice(_string.ascii_lowercase + " ") for _ in range(18))
+        for _ in range(40)
+    ]
+    vals = base + [v[:9] + "x" + v[10:] for v in base[:20]] + ["", "  "]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, name string"
+    )
+    path = str(tmp_path / "v.parquet")
+    df.write.mode("overwrite").parquet(path)
+    kw = dict(bits=128, k=2, bands=5, band_bits=9, max_bucket=50)
+    got = sorted(
+        (r.id_l, r.id_r, r.n_co)
+        for r in bloom_band_pairs(df, "id", "name", **kw).collect()
+    )
+    con = duckdb.connect()
+    sql = bloom_band_pairs_sql(
+        f"read_parquet('{path}/*.parquet')", "id", "name", **kw
+    )
+    want = sorted(tuple(r) for r in con.sql(sql).fetchall())
+    assert got == want and len(got) > 0
