@@ -354,6 +354,23 @@ def main() -> None:
         "repo_containment", q_repo_containment
     )
 
+    # round-5 third-session keys: audit-gated cluster repair (closure +
+    # quality audit + suspect-subgraph re-closure) and PPRL bloom-band
+    # blocking (encode + band keys + capped bucket join)
+    def q_repair():
+        import __spark_entry__ as entrymod
+
+        return entrymod.queries()["rp_cluster_repair"](spark, SF_DIR).count()
+
+    counters["repair_rows"] = timed("repair", q_repair)
+
+    def q_bloom_band():
+        import __spark_entry__ as entrymod
+
+        return entrymod.queries()["pb_bloom_band_blocking"](spark, SF_DIR).count()
+
+    counters["bloom_band_pairs"] = timed("bloom_band", q_bloom_band)
+
     # throughput denominator: candidate pairs actually entering the
     # comparator stage (BASELINE's candidate-pairs/sec unit), counted on
     # the same plans after the timed runs so the count jobs don't pollute
