@@ -1889,6 +1889,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pb_bloom_band_blocking"] = pb
 
+    # ---- PM1: PPRL as a declarable pass — equi pass 0 + bloom-band pass 1,
+    # both scored with the "b" (bloom-dice) comparator: the fully-encoded
+    # pipeline expressed in config alone ------------------------------------
+    def pm(spark, sf):
+        from bigmatch_utilities_spark.config import (
+            BlockField,
+            BlockingPassSpec,
+            CutoffSpec,
+            FieldRef,
+            MatchConfig,
+        )
+        from bigmatch_utilities_spark.operators.pipeline import run_match
+
+        cut = CutoffSpec(hi=2.0, lo=-50.0)
+        cfg = MatchConfig(
+            passes=(
+                BlockingPassSpec(  # pass 0: strict equi
+                    block_fields=(
+                        BlockField(name="lang"),
+                        BlockField(name="bucket", blank_flag=0),
+                    ),
+                    match_fields=_BD_FIELDS,
+                    cutoff=cut,
+                    print_cutoff=cut,
+                ),
+                BlockingPassSpec(  # pass 1: bloom-band canopy, in config
+                    kind="pprl",
+                    pprl_field="text_32",
+                    pprl_bits=256,
+                    pprl_k=2,
+                    pprl_bands=6,
+                    pprl_band_bits=16,
+                    pprl_max_bucket=64,
+                    block_fields=(),
+                    match_fields=_BD_FIELDS,
+                    cutoff=cut,
+                    print_cutoff=cut,
+                ),
+            ),
+            id_field=FieldRef(name="doc_id"),
+            dedupe_single_file=True,
+        )
+        d = _docs_keyed(spark, sf)
+        res = run_match(d, None, cfg, id_col="doc_id", persist=False)
+        return res.pairs.select(
+            F.col("id_rec").alias("id_l"),
+            F.col("id_mem").alias("id_r"),
+            "pass_id",
+            F.round("weight", 6).alias("weight"),
+            "is_exact",
+            "decision",
+        )
+
+    q["pm_pprl_pass_mix"] = pm
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -1907,6 +1962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bd_bloom_pass",
         "su_suffix_blocking",
         "pb_bloom_band_blocking",
+        "pm_pprl_pass_mix",
         # new in round 5 (second session)
         "cm_bcubed_ari",
         "bf_block_filtering",
@@ -3336,6 +3392,49 @@ def oracle_sql() -> dict[str, str]:
         f"({_DOCS_KEYED_SQL})", "doc_id", "text_32", bits=256, k=2,
         bands=6, band_bits=16, max_bucket=64,
     )
+
+    # pm: PPRL as a declarable pass — equi pass 0 + bloom-band canopy pass 1,
+    # both scored with the "b" comparator's FS weights, first-wins arg_min
+    _PM_W = pair_weight_sql(_BD_FIELDS, rec_prefix="a.", mem_prefix="b.")
+    _PM_X = (
+        "(coalesce(a.text_32, '') = coalesce(b.text_32, '') AND "
+        "coalesce(a.source, '') = coalesce(b.source, ''))"
+    )
+    _PM_CANDS = bloom_band_pairs_sql(
+        f"({_DOCS_KEYED_SQL})", "doc_id", "text_32", bits=256, k=2,
+        bands=6, band_bits=16, max_bucket=64,
+    )
+    o["pm_pprl_pass_mix"] = f"""
+        WITH d AS ({_DOCS_KEYED_SQL}),
+        pm_f0 AS (SELECT * FROM d WHERE trim(lang) <> ''),
+        pm_p0 AS (
+          SELECT a.doc_id AS id_l, b.doc_id AS id_r, 0 AS pass_id,
+                 {_PM_W} AS weight, {_PM_X} AS is_exact
+          FROM pm_f0 a JOIN pm_f0 b
+            ON a.lang = b.lang AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id
+        ),
+        pm_cand AS (SELECT id_l, id_r FROM ({_PM_CANDS})),
+        pm_p1 AS (
+          SELECT c.id_l, c.id_r, 1 AS pass_id,
+                 {_PM_W} AS weight, {_PM_X} AS is_exact
+          FROM pm_cand c
+          JOIN d a ON a.doc_id = c.id_l
+          JOIN d b ON b.doc_id = c.id_r
+        ),
+        pm_u AS (SELECT * FROM pm_p0 UNION ALL SELECT * FROM pm_p1),
+        pm_fpw AS (
+          SELECT id_l, id_r, min(pass_id) AS pass_id,
+                 arg_min(weight, pass_id) AS weight,
+                 arg_min(is_exact, pass_id) AS is_exact
+          FROM pm_u GROUP BY id_l, id_r
+        )
+        SELECT id_l, id_r, pass_id, round(weight, 6) AS weight, is_exact,
+               CASE WHEN weight >= 2.0 THEN 'match'
+                    WHEN weight >= -50.0 THEN 'possible'
+                    ELSE 'below' END AS decision
+        FROM pm_fpw
+    """
 
     # gl: group-level linkage rollup over the FS-scored pairs
     from bigmatch_utilities_spark.operators.group_linkage import (

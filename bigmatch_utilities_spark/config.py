@@ -210,13 +210,29 @@ class BlockingPassSpec:
     #: band buckets above this are boilerplate canopies, dropped whole
     #: (None = uncapped; see run_repo_linkage's minhash_max_bucket note)
     lsh_max_bucket: int | None = 256
+    #: PPRL bloom-band pass (kind="pprl"): candidates come from Hamming-LSH
+    #: band agreement over pprl_field's Bloom/CLK encodings
+    #: (functions/pprl.bloom_band_pairs) — blocking WITHOUT cleartext, the
+    #: pass a party running encoded files declares; pair it with "b"
+    #: (bloom-dice) match fields for a fully-encoded pipeline. Single-file
+    #: (dedupe) passes only; block_fields are ignored (the join comes from
+    #: the band keys); the parmf grammar cannot express it (write_parmf
+    #: refuses, as for snm/lsh).
+    pprl_field: str | None = None
+    pprl_bits: int = 512
+    pprl_k: int = 3
+    pprl_bands: int = 8
+    pprl_band_bits: int = 8
+    #: band buckets above this are dropped whole (an all-zero band key is
+    #: the encoded analogue of a blank blocking key)
+    pprl_max_bucket: int = 2_000
     #: Transposition-tolerant field PAIRS scored via swapped_agreement
     #: (functions/comparators.py): each contributes ONE FS weight term
     #: computed on the better of the straight and crossed alignments.
     match_field_pairs: tuple["MatchFieldPair", ...] = ()
 
     def __post_init__(self) -> None:
-        if self.kind not in ("equi", "snm", "lsh"):
+        if self.kind not in ("equi", "snm", "lsh", "pprl"):
             raise ValueError(f"unknown pass kind {self.kind!r}")
         if self.kind == "snm":
             if self.snm_window < 2:
@@ -230,6 +246,13 @@ class BlockingPassSpec:
                 raise ValueError("star_block_rows is an equi-pass option")
             if self.lsh_bands < 1 or self.lsh_rows_per_band < 1:
                 raise ValueError("lsh_bands / lsh_rows_per_band must be >= 1")
+        if self.kind == "pprl":
+            if not self.pprl_field:
+                raise ValueError("kind='pprl' requires pprl_field")
+            if self.star_block_rows:
+                raise ValueError("star_block_rows is an equi-pass option")
+            if self.pprl_bands < 1 or self.pprl_band_bits < 1:
+                raise ValueError("pprl_bands / pprl_band_bits must be >= 1")
 
 
 @dataclass(frozen=True)

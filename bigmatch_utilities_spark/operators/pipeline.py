@@ -129,6 +129,40 @@ def pass_candidates(
             .withColumnRenamed("id_l", "id_rec")
             .withColumnRenamed("id_r", "id_mem")
         )
+    elif spec.kind == "pprl":
+        from bigmatch_utilities_spark.functions.pprl import bloom_band_pairs
+
+        if not dedupe or mem is not rec:
+            raise ValueError(
+                "kind='pprl' is a single-file (dedupe) pass; two encoded "
+                "files merge into one frame before a dedupe run"
+            )
+        # candidates come from bloom-band agreement (id_l < id_r canonical,
+        # singleton-dropped, bucket-capped); the carried match-field values
+        # join on from the source, same shape as the lsh canopy pass — note
+        # the carried fields may themselves be encodings when the run is
+        # fully privacy-preserving ("b" match fields re-encode the strings)
+        cands = bloom_band_pairs(
+            rec,
+            id_col,
+            spec.pprl_field,
+            bits=spec.pprl_bits,
+            k=spec.pprl_k,
+            bands=spec.pprl_bands,
+            band_bits=spec.pprl_band_bits,
+            max_bucket=spec.pprl_max_bucket,
+        ).select("id_l", "id_r")
+        side = rec.select(F.col(id_col), *carry_sup)
+        pairs = (
+            cands.join(
+                side.toDF(*(["id_l"] + [f"rec_{c}" for c in carry_sup])), "id_l"
+            )
+            .join(
+                side.toDF(*(["id_r"] + [f"mem_{c}" for c in carry_sup])), "id_r"
+            )
+            .withColumnRenamed("id_l", "id_rec")
+            .withColumnRenamed("id_r", "id_mem")
+        )
     else:
         pairs = candidate_pairs(
             rec,

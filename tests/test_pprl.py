@@ -216,3 +216,75 @@ def test_bloom_band_sql_parity(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in con.sql(sql).fetchall())
     assert got == want and len(got) > 0
+
+
+def test_pprl_pass_kind_contract(spark):
+    """kind='pprl' routes pass candidates through bloom_band_pairs and the
+    standard scoring: the scored pair set equals the band candidates."""
+    from bigmatch_utilities_spark.config import (
+        BlockingPassSpec,
+        CutoffSpec,
+        FieldRef,
+        MatchConfig,
+        MatchField,
+    )
+    from bigmatch_utilities_spark.functions.pprl import bloom_band_pairs
+    from bigmatch_utilities_spark.operators.pipeline import run_match
+
+    df = spark.createDataFrame(
+        [
+            (1, "jonathan q. smithfield", "a"),
+            (2, "jonathan q. smithfield", "a"),
+            (3, "jonathan q. smithfeild", "b"),
+            (4, "completely different 999", "b"),
+        ],
+        "rid long, name string, src string",
+    )
+    kw = dict(bits=512, k=3, bands=12, band_bits=14)
+    cut = CutoffSpec(hi=2.0, lo=-50.0)
+    cfg = MatchConfig(
+        passes=(
+            BlockingPassSpec(
+                kind="pprl",
+                pprl_field="name",
+                pprl_bits=kw["bits"],
+                pprl_k=kw["k"],
+                pprl_bands=kw["bands"],
+                pprl_band_bits=kw["band_bits"],
+                block_fields=(),
+                match_fields=(
+                    MatchField(name="name", comparator="b", m=0.9, u=0.1),
+                    MatchField(name="src", comparator="c", m=0.8, u=0.2),
+                ),
+                cutoff=cut,
+                print_cutoff=cut,
+            ),
+        ),
+        id_field=FieldRef(name="rid"),
+        dedupe_single_file=True,
+    )
+    res = run_match(df, None, cfg, id_col="rid", persist=False)
+    scored = {(r.id_rec, r.id_mem) for r in res.pairs.collect()}
+    cands = {
+        (r.id_l, r.id_r)
+        for r in bloom_band_pairs(df, "rid", "name", **kw).collect()
+    }
+    assert scored == cands and (1, 2) in scored
+    # the exact duplicate outscores the near-dup, which outscores nothing
+    w = {(r.id_rec, r.id_mem): r.weight for r in res.pairs.collect()}
+    if (1, 3) in w:
+        assert w[(1, 2)] > w[(1, 3)]
+
+
+def test_pprl_pass_kind_validation():
+    from bigmatch_utilities_spark.config import BlockingPassSpec
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pprl_field"):
+        BlockingPassSpec(block_fields=(), match_fields=(), kind="pprl")
+    with _pytest.raises(ValueError, match="pprl_bands"):
+        BlockingPassSpec(
+            block_fields=(), match_fields=(), kind="pprl",
+            pprl_field="x", pprl_bands=0,
+        )
