@@ -190,16 +190,30 @@ def main() -> None:
                 id_r="id_mem",
             ).write.mode("overwrite").parquet(clusters_dir)
 
-    # ---- optional: pairwise evaluation -> metrics/ ------------------------
+    # ---- optional: pairwise evaluation -> metrics/ + cutoff_sweep/ --------
     if args.truth and not (args.resume and _has_success(spark, f"{out}/metrics")):
-        from bigmatch_utilities_spark.operators.evaluate import pairwise_metrics
+        from bigmatch_utilities_spark.operators.evaluate import (
+            cutoff_sweep,
+            pairwise_metrics,
+        )
 
+        truth = spark.read.parquet(args.truth)
         pairwise_metrics(
             spark.read.parquet(f"{out}/good_pairs"),
-            spark.read.parquet(args.truth),
+            truth,
             id_l="id_rec",
             id_r="id_mem",
         ).write.mode("overwrite").parquet(f"{out}/metrics")
+        # the operating curve the analyst picks the accept cutoff from:
+        # P/R/F1 at a weight grid over ALL scored pairs (pairs/ keeps the
+        # below-cutoff rows), one extra pass
+        cutoff_sweep(
+            spark.read.parquet(f"{out}/pairs"),
+            truth,
+            thresholds=[-8.0, -6.0, -4.0, -2.0, -1.0, 0.0, 1.0, 2.0, 4.0, 8.0],
+            id_l="id_rec",
+            id_r="id_mem",
+        ).write.mode("overwrite").parquet(f"{out}/cutoff_sweep")
 
     # ---- stage 3: golden-record fusion -> entities/ ----------------------
     if not args.fuse_fields:

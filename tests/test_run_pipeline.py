@@ -90,6 +90,15 @@ def test_run_pipeline_end_to_end_and_resume(spark, tmp_path, monkeypatch):
     assert len(metrics) == 1
     assert metrics.tp[0] > 0 and metrics.recall[0] > 0.9
 
+    # --truth also writes the cutoff operating curve: one row per
+    # threshold, recall monotone non-increasing as the cutoff rises
+    sweep = duckdb.sql(
+        f"SELECT * FROM '{out}/cutoff_sweep/*.parquet' ORDER BY threshold"
+    ).df()
+    assert len(sweep) == 10
+    rec = list(sweep.recall.fillna(0.0))
+    assert all(a >= b - 1e-9 for a, b in zip(rec, rec[1:]))
+
     # --resume: all three stages skip (no output file rewritten)
     before = {s: _mtimes(f"{out}/{s}") for s in ("good_pairs", "clusters", "entities")}
     monkeypatch.setattr(sys, "argv", argv + ["--resume"])
