@@ -44,7 +44,14 @@ from dataclasses import dataclass, field, replace
 #: similarity, functions/comparators.py) — the typo-tolerant comparator
 #: the JW-only reference vocabulary lacks; grammar position identical to
 #: any other method token (app/BigMatchParmFile.py:472-506).
-COMPARATORS = ("c", "ci", "uo", "uoi", "p", "y", "q", "s", "e", "ei", "b")
+COMPARATORS = (
+    "c", "ci", "uo", "uoi", "p", "y", "q", "s",  # reference vocabulary
+    "e", "ei",  # normalized edit similarity (engine extension, round 4)
+    "b",  # privacy-preserving bloom-dice (engine extension)
+    "d",  # calendar-date banded days + day/month-swap tolerance (extension)
+    "n",  # relative-tolerance numeric for amounts (extension)
+    "t",  # token-set Jaccard for multi-token fields (extension)
+)
 
 DEFAULT_M = 0.90  # GUI spinner defaults, /root/reference/app/BlockingPass.py:75-76
 DEFAULT_U = 0.10
@@ -226,13 +233,33 @@ class BlockingPassSpec:
     #: band buckets above this are dropped whole (an all-zero band key is
     #: the encoded analogue of a blank blocking key)
     pprl_max_bucket: int = 2_000
+    #: Q-gram token-blocking pass (kind="qgram"): candidates share at least
+    #: one KEPT character n-gram of qgram_field after the mandatory purge +
+    #: per-record smallest-blocks filter (operators/meta_blocking.
+    #: qgram_block_pairs) — the typo-anywhere remedy for key fields, where
+    #: an equi pass silently drops every record with one edit in the key.
+    #: Single-file (dedupe) passes only; block_fields are ignored; the
+    #: parmf grammar cannot express it (write_parmf refuses, as for snm).
+    qgram_field: str | None = None
+    qgram_n: int = 4
+    qgram_ratio: float = 0.5
+    qgram_purge_above: int = 2_000
+    #: Suffix-array blocking pass (kind="suffix"): candidates share a KEPT
+    #: suffix (length >= suffix_min_len) of suffix_field — the PREFIX-
+    #: divergence remedy (truncation, titles, path prefixes) complementing
+    #: qgram. Same purge + per-record filter chain, same single-file /
+    #: no-parmf constraints.
+    suffix_field: str | None = None
+    suffix_min_len: int = 6
+    suffix_ratio: float = 0.5
+    suffix_purge_above: int = 2_000
     #: Transposition-tolerant field PAIRS scored via swapped_agreement
     #: (functions/comparators.py): each contributes ONE FS weight term
     #: computed on the better of the straight and crossed alignments.
     match_field_pairs: tuple["MatchFieldPair", ...] = ()
 
     def __post_init__(self) -> None:
-        if self.kind not in ("equi", "snm", "lsh", "pprl"):
+        if self.kind not in ("equi", "snm", "lsh", "pprl", "qgram", "suffix"):
             raise ValueError(f"unknown pass kind {self.kind!r}")
         if self.kind == "snm":
             if self.snm_window < 2:
@@ -253,6 +280,24 @@ class BlockingPassSpec:
                 raise ValueError("star_block_rows is an equi-pass option")
             if self.pprl_bands < 1 or self.pprl_band_bits < 1:
                 raise ValueError("pprl_bands / pprl_band_bits must be >= 1")
+        if self.kind == "qgram":
+            if not self.qgram_field:
+                raise ValueError("kind='qgram' requires qgram_field")
+            if self.star_block_rows:
+                raise ValueError("star_block_rows is an equi-pass option")
+            if self.qgram_n < 2:
+                raise ValueError("qgram_n must be >= 2")
+            if not (0.0 < self.qgram_ratio <= 1.0):
+                raise ValueError("qgram_ratio must be in (0, 1]")
+        if self.kind == "suffix":
+            if not self.suffix_field:
+                raise ValueError("kind='suffix' requires suffix_field")
+            if self.star_block_rows:
+                raise ValueError("star_block_rows is an equi-pass option")
+            if self.suffix_min_len < 2:
+                raise ValueError("suffix_min_len must be >= 2")
+            if not (0.0 < self.suffix_ratio <= 1.0):
+                raise ValueError("suffix_ratio must be in (0, 1]")
 
 
 @dataclass(frozen=True)

@@ -8,8 +8,11 @@ only names the codes.
 Design rules (BASELINE input_hint: "vectorized pandas/Arrow UDFs, no
 per-row Python"):
 
-* ``c``/``ci``/``p``/``y``/``q`` are pure Column expressions — they never
-  leave the JVM / whole-stage codegen.
+* ``c``/``ci``/``p``/``y``/``q`` — and the engine-extension codes ``e``/
+  ``ei`` (normalized edit similarity), ``d`` (calendar-date bands +
+  day/month-swap tolerance), ``n`` (relative numeric tolerance), ``t``
+  (token-set Jaccard) — are pure Column expressions: they never leave the
+  JVM / whole-stage codegen.
 * ``uo``/``uoi``/``s`` need Jaro-Winkler: implemented as a **numpy
   batch-vectorized** kernel wrapped in a scalar ``pandas_udf``. The inner
   loops run over *character positions* (bounded by field width), vectorized
@@ -234,6 +237,80 @@ def similarity(comparator: str, left: Column | str, right: Column | str) -> Colu
         return F.when(
             (F.trim(lc) == "") & (F.trim(rc) == ""), F.lit(1.0)
         ).otherwise(F.coalesce(d, F.lit(0.0)))
+    if comparator == "d":
+        # calendar-date comparator: banded day-difference agreement plus the
+        # classic day/month-transposition tolerance (a keyed "03/02" for
+        # "02/03" is a clerical error, not a different person). Engine
+        # extension — the reference's numeric codes (p/y/q) operate on bare
+        # numbers and read "1999-12-31" vs "2000-01-01" as a full
+        # disagreement; d reads it as 1 day. Either side unparseable → 0.0
+        # (e/ei convention). Parsing is STRICT ISO yyyy-MM-dd: Spark's bare
+        # try_cast accepts year-only strings ("1980" → 1980-01-01) where
+        # DuckDB returns NULL, so both engines regex-gate before the cast —
+        # the oracle contract demands identical accept sets.
+        iso = r"^\d{4}-\d{2}-\d{2}$"
+        da = F.when(lc.rlike(iso), lc.try_cast("date"))
+        db = F.when(rc.rlike(iso), rc.try_cast("date"))
+        diff = F.abs(F.datediff(da, db))
+        # swapped(make_date(y, day, month)) is always a VALID date when the
+        # guarded day <= 12 (the new day is an old month <= 12 <= 28), so
+        # ANSI make_date cannot throw
+        swap = (
+            (F.dayofmonth(db) <= 12)
+            & (da == F.make_date(F.year(db), F.dayofmonth(db), F.month(db)))
+        ) | (
+            (F.dayofmonth(da) <= 12)
+            & (db == F.make_date(F.year(da), F.dayofmonth(da), F.month(da)))
+        )
+        return (
+            F.when(da.isNull() | db.isNull(), F.lit(0.0))
+            .when(diff == 0, F.lit(1.0))
+            .when(diff <= 1, F.lit(0.9))
+            .when(swap, F.lit(0.8))
+            .when(diff <= 7, F.lit(0.7))
+            .when(diff <= 30, F.lit(0.5))
+            .when(diff <= 366, F.lit(0.25))
+            .otherwise(F.lit(0.0))
+        )
+    if comparator == "n":
+        # relative-tolerance numeric comparator for amounts/measurements,
+        # where the stepped ABSOLUTE bands of p/y (built for ages/years)
+        # misfire: $10,000 vs $10,050 is a 0.5% discrepancy, not five
+        # disagreement steps. rel = |a-b| / max(|a|,|b|); both engines run
+        # the identical short IEEE-double expression, so the oracle
+        # cross-check is exact.
+        a = lc.try_cast("double")
+        b = rc.try_cast("double")
+        rel = F.abs(a - b) / F.greatest(F.abs(a), F.abs(b))
+        return (
+            F.when(a.isNull() | b.isNull(), F.lit(0.0))
+            .when(a == b, F.lit(1.0))  # covers 0 == 0 before rel's 0/0
+            .when(rel <= 0.01, F.lit(0.9))
+            .when(rel <= 0.05, F.lit(0.7))
+            .when(rel <= 0.10, F.lit(0.4))
+            .otherwise(F.lit(0.0))
+        )
+    if comparator == "t":
+        # token-set Jaccard: word-order- and duplication-insensitive overlap
+        # for multi-token fields (company names, addresses, titles) — "ACME
+        # TRADING LTD" vs "LTD ACME TRADING" scores 1.0 where every
+        # positional string comparator pays for the rotation. Lowercased,
+        # whitespace-split, empty tokens dropped. Both sides tokenless
+        # (blank or NULL) → 1.0 trivial agreement, zero-weighted by the
+        # scoring layer's blank rule; one side tokenless → 0.0.
+        def toks(c: Column) -> Column:
+            return F.array_distinct(
+                F.filter(
+                    F.split(F.trim(F.lower(F.coalesce(c, F.lit("")))), r"\s+"),
+                    lambda x: x != F.lit(""),
+                )
+            )
+
+        ta, tb = toks(lc), toks(rc)
+        union = F.size(F.array_union(ta, tb))
+        return F.when(union == 0, F.lit(1.0)).otherwise(
+            F.size(F.array_intersect(ta, tb)).cast("double") / union.cast("double")
+        )
     if comparator in ("p", "y", "q"):
         # try_cast: ANSI mode (Spark 4 default) makes plain cast throw on junk
         a = lc.try_cast("double")
@@ -294,6 +371,53 @@ def similarity_sql(comparator: str, left: str, right: str) -> str:
         return (
             f"(CASE WHEN trim({left}) = '' AND trim({right}) = '' THEN 1.0 "
             f"ELSE coalesce({d}, 0.0) END)::DOUBLE"
+        )
+    if comparator == "d":
+        # strict ISO gate mirrors the Column expression (Spark would accept
+        # "1980" bare; DuckDB would not — see similarity())
+        da = (
+            f"(CASE WHEN regexp_matches({left}, '^\\d{{4}}-\\d{{2}}-\\d{{2}}$') "
+            f"THEN TRY_CAST({left} AS DATE) END)"
+        )
+        db = (
+            f"(CASE WHEN regexp_matches({right}, '^\\d{{4}}-\\d{{2}}-\\d{{2}}$') "
+            f"THEN TRY_CAST({right} AS DATE) END)"
+        )
+        diff = f"abs({da} - {db})"  # DuckDB date - date = integer days
+        swap = (
+            f"((day({db}) <= 12 AND {da} = make_date(year({db}), day({db}), month({db}))) "
+            f"OR (day({da}) <= 12 AND {db} = make_date(year({da}), day({da}), month({da}))))"
+        )
+        return (
+            f"(CASE WHEN {da} IS NULL OR {db} IS NULL THEN 0.0 "
+            f"WHEN {diff} = 0 THEN 1.0 WHEN {diff} <= 1 THEN 0.9 "
+            f"WHEN {swap} THEN 0.8 "
+            f"WHEN {diff} <= 7 THEN 0.7 WHEN {diff} <= 30 THEN 0.5 "
+            f"WHEN {diff} <= 366 THEN 0.25 ELSE 0.0 END)::DOUBLE"
+        )
+    if comparator == "n":
+        a = f"try_cast({left} AS DOUBLE)"
+        b = f"try_cast({right} AS DOUBLE)"
+        rel = f"(abs({a} - {b}) / greatest(abs({a}), abs({b})))"
+        return (
+            f"(CASE WHEN {a} IS NULL OR {b} IS NULL THEN 0.0 "
+            f"WHEN {a} = {b} THEN 1.0 "
+            f"WHEN {rel} <= 0.01 THEN 0.9 WHEN {rel} <= 0.05 THEN 0.7 "
+            f"WHEN {rel} <= 0.10 THEN 0.4 ELSE 0.0 END)::DOUBLE"
+        )
+    if comparator == "t":
+        def toks(c: str) -> str:
+            return (
+                "list_distinct(list_filter(string_split_regex("
+                f"trim(lower(coalesce({c}, ''))), '\\s+'), x -> x <> ''))"
+            )
+
+        ta, tb = toks(left), toks(right)
+        union = f"len(list_distinct(list_concat({ta}, {tb})))"
+        return (
+            f"(CASE WHEN {union} = 0 THEN 1.0 "
+            f"ELSE len(list_intersect({ta}, {tb}))::DOUBLE / ({union})::DOUBLE "
+            f"END)::DOUBLE"
         )
     if comparator in ("p", "y", "q"):
         a = f"try_cast({left} AS DOUBLE)"

@@ -163,6 +163,50 @@ def pass_candidates(
             .withColumnRenamed("id_l", "id_rec")
             .withColumnRenamed("id_r", "id_mem")
         )
+    elif spec.kind in ("qgram", "suffix"):
+        from bigmatch_utilities_spark.operators.meta_blocking import (
+            qgram_block_pairs,
+            suffix_block_pairs,
+        )
+
+        if not dedupe or mem is not rec:
+            raise ValueError(
+                f"kind={spec.kind!r} is a single-file (dedupe) pass; merge "
+                "two files into one frame before a dedupe run"
+            )
+        # candidates come from shared kept q-gram / suffix blocks (id_l <
+        # id_r canonical, purge + per-record smallest-blocks filter bounds
+        # the pair budget); carried match-field values join on from the
+        # source, same shape as the lsh/pprl canopy passes
+        if spec.kind == "qgram":
+            cands = qgram_block_pairs(
+                rec,
+                id_col,
+                spec.qgram_field,
+                n=spec.qgram_n,
+                ratio=spec.qgram_ratio,
+                purge_above=spec.qgram_purge_above,
+            ).select("id_l", "id_r")
+        else:
+            cands = suffix_block_pairs(
+                rec,
+                id_col,
+                spec.suffix_field,
+                min_len=spec.suffix_min_len,
+                ratio=spec.suffix_ratio,
+                purge_above=spec.suffix_purge_above,
+            ).select("id_l", "id_r")
+        side = rec.select(F.col(id_col), *carry_sup)
+        pairs = (
+            cands.join(
+                side.toDF(*(["id_l"] + [f"rec_{c}" for c in carry_sup])), "id_l"
+            )
+            .join(
+                side.toDF(*(["id_r"] + [f"mem_{c}" for c in carry_sup])), "id_r"
+            )
+            .withColumnRenamed("id_l", "id_rec")
+            .withColumnRenamed("id_r", "id_mem")
+        )
     else:
         pairs = candidate_pairs(
             rec,

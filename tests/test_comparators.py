@@ -125,7 +125,8 @@ def test_nulls_and_empty_batch():
 
 
 @pytest.mark.parametrize(
-    "comparator", ["c", "ci", "uo", "uoi", "p", "y", "q", "s", "e", "ei"]
+    "comparator",
+    ["c", "ci", "uo", "uoi", "p", "y", "q", "s", "e", "ei", "d", "n", "t"],
 )
 def test_spark_similarity_matches_duckdb_sql(spark, comparator):
     """Column-expression similarity and its SQL rendering agree on every
@@ -232,3 +233,87 @@ def test_swapped_agreement_crossed_wins(spark):
     ]
     for g, w in zip(got, want):
         assert g == pytest.approx(w, abs=1e-12)
+
+
+def _duckdb_parity(spark, comparator, rows):
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = [
+        r[0]
+        for r in df.select(similarity(comparator, "a", "b").alias("s")).collect()
+    ]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["a", "b"]))
+    want = [
+        r[0]
+        for r in con.sql(
+            f"select {similarity_sql(comparator, 'a', 'b')} as s from t"
+        ).fetchall()
+    ]
+    return got, want
+
+
+def test_date_comparator_bands_and_swap(spark):
+    """`d`: banded day difference + day/month-transposition tolerance,
+    bit-identical between the Column expression and the DuckDB SQL."""
+    rows = [
+        ("2000-01-01", "2000-01-01"),  # exact           -> 1.0
+        ("1999-12-31", "2000-01-01"),  # 1 day           -> 0.9
+        ("2000-02-03", "2000-03-02"),  # day/month swap  -> 0.8
+        ("2000-01-01", "2000-01-06"),  # within a week   -> 0.7
+        ("2000-01-01", "2000-01-25"),  # within a month  -> 0.5
+        ("2000-01-01", "2000-11-01"),  # within a year   -> 0.25
+        ("2000-01-01", "2005-01-01"),  # far apart       -> 0.0
+        ("2000-02-29", "2000-02-29"),  # leap day parses -> 1.0
+        ("not a date", "2000-01-01"),  # junk            -> 0.0
+        (None, "2000-01-01"),          # null            -> 0.0
+    ]
+    got, want = _duckdb_parity(spark, "d", rows)
+    expect = [1.0, 0.9, 0.8, 0.7, 0.5, 0.25, 0.0, 1.0, 0.0, 0.0]
+    assert got == expect
+    assert want == expect
+
+
+def test_date_swap_requires_valid_transposition(spark):
+    # 2000-01-13 vs 2000-13-01 is not a swap (month 13 invalid) and the
+    # guarded make_date never throws under ANSI mode
+    rows = [("2000-01-13", "2000-12-01"), ("2000-03-14", "2000-04-13")]
+    got, want = _duckdb_parity(spark, "d", rows)
+    assert got == want
+    assert all(g not in (0.8,) for g in got)  # neither is a true swap
+
+
+def test_numeric_relative_comparator(spark):
+    rows = [
+        ("10000", "10000"),   # exact       -> 1.0
+        ("10000", "10050"),   # 0.5%        -> 0.9
+        ("10000", "10400"),   # ~3.8%       -> 0.7
+        ("10000", "10900"),   # ~8.3%       -> 0.4
+        ("10000", "20000"),   # 50%         -> 0.0
+        ("0", "0"),           # 0==0 before 0/0 -> 1.0
+        ("-5", "-5.05"),      # signs: rel on abs -> 0.9
+        ("x", "1"),           # junk        -> 0.0
+        (None, "1"),          # null        -> 0.0
+    ]
+    got, want = _duckdb_parity(spark, "n", rows)
+    expect = [1.0, 0.9, 0.7, 0.4, 0.0, 1.0, 0.9, 0.0, 0.0]
+    assert got == expect
+    assert want == expect
+
+
+def test_token_set_jaccard_comparator(spark):
+    rows = [
+        ("ACME TRADING LTD", "LTD ACME TRADING"),  # rotation        -> 1.0
+        ("ACME TRADING LTD", "ACME LTD"),          # 2/3 overlap     -> 2/3
+        ("ACME ACME LTD", "acme ltd"),             # dups + case     -> 1.0
+        ("MAIN  ST", "MAIN ST"),                   # double space    -> 1.0
+        ("ALPHA", "BETA"),                         # disjoint        -> 0.0
+        ("", ""),                                  # both blank      -> 1.0 (zero-weighted later)
+        ("", "ACME"),                              # one blank       -> 0.0
+        (None, "ACME"),                            # null            -> 0.0
+        (None, None),                              # both null       -> 1.0 trivial
+    ]
+    got, want = _duckdb_parity(spark, "t", rows)
+    expect = [1.0, 2.0 / 3.0, 1.0, 1.0, 0.0, 1.0, 0.0, 0.0, 1.0]
+    for g, w, e in zip(got, want, expect):
+        assert g == pytest.approx(e, abs=1e-12)
+        assert w == pytest.approx(e, abs=1e-12)

@@ -281,3 +281,137 @@ def test_suffix_blocking_sql_parity(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in con.sql(sql).fetchall())
     assert got == want and len(got) > 0
+
+
+def test_qgram_pass_kind_through_run_match(spark):
+    """kind='qgram' routes pass_candidates through qgram_block_pairs and
+    feeds the standard FS scoring path — a typo'd key field still links."""
+    from bigmatch_utilities_spark.config import (
+        BlockingPassSpec,
+        CutoffSpec,
+        FieldRef,
+        MatchConfig,
+        MatchField,
+    )
+    from bigmatch_utilities_spark.operators.meta_blocking import qgram_block_pairs
+    from bigmatch_utilities_spark.operators.pipeline import run_match
+
+    df = spark.createDataFrame(
+        [
+            (1, "jonathan quincy smithfield", "a"),
+            (2, "jonathan quincy smithfeild", "a"),  # transposition in key
+            (3, "jonathan quincy smithfield", "b"),
+            (4, "zzzz entirely unrelated 99", "b"),
+        ],
+        "rid long, name string, src string",
+    )
+    cut = CutoffSpec(hi=0.5, lo=-50.0)
+    cfg = MatchConfig(
+        passes=(
+            BlockingPassSpec(
+                kind="qgram",
+                qgram_field="name",
+                qgram_n=4,
+                qgram_ratio=1.0,
+                block_fields=(),
+                match_fields=(
+                    MatchField(name="name", comparator="e", m=0.9, u=0.1),
+                    MatchField(name="src", comparator="c", m=0.8, u=0.2),
+                ),
+                cutoff=cut,
+                print_cutoff=cut,
+            ),
+        ),
+        id_field=FieldRef(name="rid"),
+        dedupe_single_file=True,
+    )
+    res = run_match(df, None, cfg, id_col="rid", persist=False)
+    scored = {(r.id_rec, r.id_mem) for r in res.pairs.collect()}
+    cands = {
+        (r.id_l, r.id_r)
+        for r in qgram_block_pairs(df, "rid", "name", n=4, ratio=1.0).collect()
+    }
+    assert scored == cands
+    assert {(1, 2), (1, 3), (2, 3)} <= scored and not any(4 in p for p in scored)
+
+
+def test_suffix_pass_kind_through_run_match(spark):
+    """kind='suffix' links records whose key diverges at the PREFIX."""
+    from bigmatch_utilities_spark.config import (
+        BlockingPassSpec,
+        CutoffSpec,
+        FieldRef,
+        MatchConfig,
+        MatchField,
+    )
+    from bigmatch_utilities_spark.operators.pipeline import run_match
+
+    df = spark.createDataFrame(
+        [
+            (1, "dr jonathan smithfield", "a"),
+            (2, "jonathan smithfield", "a"),  # title-stripped prefix
+            (3, "unrelated person here!", "b"),
+        ],
+        "rid long, name string, src string",
+    )
+    cut = CutoffSpec(hi=0.1, lo=-50.0)
+    cfg = MatchConfig(
+        passes=(
+            BlockingPassSpec(
+                kind="suffix",
+                suffix_field="name",
+                suffix_min_len=8,
+                suffix_ratio=1.0,
+                block_fields=(),
+                match_fields=(
+                    MatchField(name="name", comparator="e", m=0.9, u=0.1),
+                ),
+                cutoff=cut,
+                print_cutoff=cut,
+            ),
+        ),
+        id_field=FieldRef(name="rid"),
+        dedupe_single_file=True,
+    )
+    res = run_match(df, None, cfg, id_col="rid", persist=False)
+    scored = {(r.id_rec, r.id_mem) for r in res.pairs.collect()}
+    assert (1, 2) in scored and not any(3 in p for p in scored)
+
+
+def test_qgram_suffix_pass_validation_and_parmf_refusal():
+    import pytest as _pytest
+
+    from bigmatch_utilities_spark.config import (
+        BlockingPassSpec,
+        FieldRef,
+        MatchConfig,
+        MatchField,
+        write_parmf,
+    )
+
+    with _pytest.raises(ValueError, match="qgram_field"):
+        BlockingPassSpec(block_fields=(), match_fields=(), kind="qgram")
+    with _pytest.raises(ValueError, match="qgram_n"):
+        BlockingPassSpec(
+            block_fields=(), match_fields=(), kind="qgram",
+            qgram_field="x", qgram_n=1,
+        )
+    with _pytest.raises(ValueError, match="suffix_field"):
+        BlockingPassSpec(block_fields=(), match_fields=(), kind="suffix")
+    with _pytest.raises(ValueError, match="suffix_ratio"):
+        BlockingPassSpec(
+            block_fields=(), match_fields=(), kind="suffix",
+            suffix_field="x", suffix_ratio=0.0,
+        )
+    cfg = MatchConfig(
+        passes=(
+            BlockingPassSpec(
+                block_fields=(), kind="qgram", qgram_field="name",
+                match_fields=(MatchField(name="name", comparator="c", m=0.9, u=0.1),),
+            ),
+        ),
+        id_field=FieldRef(name="rid"),
+        dedupe_single_file=True,
+    )
+    with _pytest.raises(ValueError, match="cannot express"):
+        write_parmf(cfg)
