@@ -252,15 +252,33 @@ def similarity(comparator: str, left: Column | str, right: Column | str) -> Colu
         da = F.when(lc.rlike(iso), lc.try_cast("date"))
         db = F.when(rc.rlike(iso), rc.try_cast("date"))
         diff = F.abs(F.datediff(da, db))
-        # swapped(make_date(y, day, month)) is always a VALID date when the
-        # guarded day <= 12 (the new day is an old month <= 12 <= 28), so
-        # ANSI make_date cannot throw
+        # swapped(make_date(y, day, month)): the month argument is clamped
+        # with least(day, 12) because BOTH engines evaluate conjuncts
+        # vectorized — `day <= 12 AND make_date(...)` still builds the
+        # date for day > 12 rows (DuckDB throws Date-out-of-range). The
+        # clamped value only matters when the day <= 12 conjunct holds, so
+        # semantics are unchanged; the new day is an old month <= 12 <= 28,
+        # always valid.
         swap = (
             (F.dayofmonth(db) <= 12)
-            & (da == F.make_date(F.year(db), F.dayofmonth(db), F.month(db)))
+            & (
+                da
+                == F.make_date(
+                    F.year(db),
+                    F.least(F.dayofmonth(db), F.lit(12)),
+                    F.month(db),
+                )
+            )
         ) | (
             (F.dayofmonth(da) <= 12)
-            & (db == F.make_date(F.year(da), F.dayofmonth(da), F.month(da)))
+            & (
+                db
+                == F.make_date(
+                    F.year(da),
+                    F.least(F.dayofmonth(da), F.lit(12)),
+                    F.month(da),
+                )
+            )
         )
         return (
             F.when(da.isNull() | db.isNull(), F.lit(0.0))
@@ -384,9 +402,12 @@ def similarity_sql(comparator: str, left: str, right: str) -> str:
             f"THEN TRY_CAST({right} AS DATE) END)"
         )
         diff = f"abs({da} - {db})"  # DuckDB date - date = integer days
+        # least(day, 12) clamp: DuckDB evaluates AND conjuncts vectorized,
+        # so an unclamped make_date throws Date-out-of-range for day > 12
+        # rows even though the guard is false (see the Column expression)
         swap = (
-            f"((day({db}) <= 12 AND {da} = make_date(year({db}), day({db}), month({db}))) "
-            f"OR (day({da}) <= 12 AND {db} = make_date(year({da}), day({da}), month({da}))))"
+            f"((day({db}) <= 12 AND {da} = make_date(year({db}), least(day({db}), 12), month({db}))) "
+            f"OR (day({da}) <= 12 AND {db} = make_date(year({da}), least(day({da}), 12), month({da}))))"
         )
         return (
             f"(CASE WHEN {da} IS NULL OR {db} IS NULL THEN 0.0 "
