@@ -371,6 +371,26 @@ def main() -> None:
 
     counters["bloom_band_pairs"] = timed("bloom_band", q_bloom_band)
 
+    # round-5 fourth-session keys: the declarative equi+qgram+suffix
+    # mixed-pass pipeline and the extended comparator vocabulary (d/n/t)
+    def q_qgram_suffix_mix():
+        import __spark_entry__ as entrymod
+
+        return entrymod.queries()["qs_qgram_suffix_pass_mix"](spark, SF_DIR).count()
+
+    counters["qgram_suffix_mix_pairs"] = timed(
+        "qgram_suffix_mix", q_qgram_suffix_mix
+    )
+
+    def q_extended_comparators():
+        import __spark_entry__ as entrymod
+
+        return entrymod.queries()["cx_extended_comparators"](spark, SF_DIR).count()
+
+    counters["extended_comparator_pairs"] = timed(
+        "extended_comparators", q_extended_comparators
+    )
+
     # throughput denominator: candidate pairs actually entering the
     # comparator stage (BASELINE's candidate-pairs/sec unit), counted on
     # the same plans after the timed runs so the count jobs don't pollute
