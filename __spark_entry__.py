@@ -2053,6 +2053,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["qs_qgram_suffix_pass_mix"] = qs
 
+    # ---- TJ1: as-of join (latest prior view per click, 2 h tolerance) -----
+    def tja(spark, sf):
+        from bigmatch_utilities_spark.operators.temporal import asof_join
+
+        ev = _t(spark, sf, "events")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "value",
+        )
+        views = ev.filter(F.col("event_type") == "view").select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("vts"),
+            F.col("value").alias("view_value"),
+        )
+        out = asof_join(
+            clicks, views, on=["user_id"], left_ts="ts", right_ts="vts",
+            right_cols=["view_id", "view_value"], right_id="view_id",
+            tolerance_s=7200,
+        )
+        return out.select(
+            "event_id", "user_id", "ts_us", "value", "view_id", "view_value"
+        )
+
+    q["tj_asof_join"] = tja
+
+    # ---- TJ2: interval-overlap self-join (activity windows per user) ------
+    def tjo(spark, sf):
+        from bigmatch_utilities_spark.operators.temporal import (
+            interval_overlap_pairs,
+        )
+
+        ev = _t(spark, sf, "events").select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("s_ts"),
+            F.timestamp_micros(
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                + F.expr("CAST(floor(value * 600) AS BIGINT)") * 1_000_000
+            ).alias("e_ts"),
+        )
+        return interval_overlap_pairs(
+            ev, "event_id", "s_ts", "e_ts",
+            granule_s=3600, max_granules=16, block_cols=("user_id",),
+        )
+
+    q["tj_interval_overlap"] = tjo
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -2075,6 +2126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 5 (fourth session)
         "cx_extended_comparators",
         "qs_qgram_suffix_pass_mix",
+        "tj_asof_join",
+        "tj_interval_overlap",
         # new in round 5 (second session)
         "cm_bcubed_ari",
         "bf_block_filtering",
@@ -3332,6 +3385,41 @@ def oracle_sql() -> dict[str, str]:
         FROM o a JOIN o b
           ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
     """
+
+    # tj: temporal operators — the as-of attach (latest prior view per
+    # click, deterministic largest-id tie rule) and the interval-overlap
+    # self-join (bucketed in Spark, theta-join in the oracle; bucketing is
+    # complete so only the mirrored row drops matter)
+    from bigmatch_utilities_spark.operators.temporal import (
+        asof_join_sql as _af_sql,
+        interval_overlap_pairs_sql as _iv_sql,
+    )
+
+    _TJ_L = (
+        "(SELECT event_id, user_id, ts, epoch_us(ts) AS ts_us, value "
+        "FROM events WHERE event_type = 'click')"
+    )
+    _TJ_R = (
+        "(SELECT event_id AS view_id, user_id, ts AS vts, value AS view_value "
+        "FROM events WHERE event_type = 'view')"
+    )
+    _TJ_AF = _af_sql(
+        _TJ_L, _TJ_R, on=["user_id"], left_ts="ts", right_ts="vts",
+        right_cols=["view_id", "view_value"], left_id="event_id",
+        right_id="view_id", tolerance_s=7200,
+    )
+    o["tj_asof_join"] = f"""
+        SELECT event_id, user_id, ts_us, value, view_id, view_value
+        FROM ({_TJ_AF})
+    """
+
+    o["tj_interval_overlap"] = _iv_sql(
+        "(SELECT event_id, user_id, ts AS s_ts, "
+        "make_timestamp(epoch_us(ts) + CAST(floor(value * 600) AS BIGINT) * 1000000) AS e_ts "
+        "FROM events)",
+        "event_id", "s_ts", "e_ts",
+        granule_s=3600, max_granules=16, block_cols=("user_id",),
+    )
 
     # fp: swap-tolerant field-pair scoring — mem side is the token-swapped
     # twin of every document, so each (x, x) candidate is a planted
