@@ -2104,6 +2104,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tj_interval_overlap"] = tjo
 
+    # ---- VC1: auto-induced standardization dictionary ----------------------
+    def vc(spark, sf):
+        from bigmatch_utilities_spark.operators.standardize import (
+            induce_canonical_map,
+        )
+
+        return induce_canonical_map(
+            _t(spark, sf, "part"), "p_name", min_sim=0.75
+        )
+
+    q["vc_value_canonicalize"] = vc
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -2128,6 +2140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qs_qgram_suffix_pass_mix",
         "tj_asof_join",
         "tj_interval_overlap",
+        "vc_value_canonicalize",
         # new in round 5 (second session)
         "cm_bcubed_ari",
         "bf_block_filtering",
@@ -3412,6 +3425,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_id, user_id, ts_us, value, view_id, view_value
         FROM ({_TJ_AF})
     """
+
+    # vc: auto-induced standardization dictionary over part names
+    from bigmatch_utilities_spark.operators.standardize import (
+        induce_canonical_map_sql as _im_sql,
+    )
+
+    o["vc_value_canonicalize"] = _im_sql("part", "p_name", min_sim=0.75)
 
     o["tj_interval_overlap"] = _iv_sql(
         "(SELECT event_id, user_id, ts AS s_ts, "

@@ -64,3 +64,65 @@ def test_join_path_equals_expr_path(spark):
         for r in df.select("rid", standardize_expr(F.col("raw")).alias("std")).collect()
     }
     assert joined == expr
+
+
+def test_induce_canonical_map_hand_case(spark):
+    """Planted spelling variants collapse onto the most frequent form;
+    ties break lexicographically; untouched values map to themselves."""
+    from bigmatch_utilities_spark.operators.standardize import (
+        induce_canonical_map,
+    )
+
+    rows = (
+        [("WILLIAMS",)] * 5
+        + [("WILLIAMS",)] * 0
+        + [("WILLAMS",)] * 2   # deletion typo of WILLIAMS
+        + [("WILIAMS",)] * 1   # another deletion typo
+        + [("JOHNSON",)] * 3
+        + [("JOHNSTON",)] * 3  # tie on freq with JOHNSON -> lexicographic
+        + [("UNRELATED",)] * 1
+        + [("",)] * 2          # blanks dropped
+    )
+    df = spark.createDataFrame(rows, "name string")
+    got = {
+        r.value: (r.canonical, r.freq)
+        for r in induce_canonical_map(
+            df, "name", qgram_n=3, min_sim=0.8
+        ).collect()
+    }
+    assert got["WILLAMS"] == ("WILLIAMS", 2)
+    assert got["WILIAMS"] == ("WILLIAMS", 1)
+    assert got["WILLIAMS"] == ("WILLIAMS", 5)
+    # JOHNSON vs JOHNSTON: sim = 1 - 1/8 = 0.875 >= 0.8, freq tie -> JOHNSON
+    assert got["JOHNSON"] == ("JOHNSON", 3)
+    assert got["JOHNSTON"] == ("JOHNSON", 3)
+    assert got["UNRELATED"] == ("UNRELATED", 1)
+    assert "" not in got
+    # total map over observed non-blank values
+    assert set(got) == {"WILLIAMS", "WILLAMS", "WILIAMS", "JOHNSON", "JOHNSTON", "UNRELATED"}
+
+
+def test_induce_canonical_map_oracle_parity(spark):
+    import duckdb
+
+    from bigmatch_utilities_spark.operators.standardize import (
+        induce_canonical_map,
+        induce_canonical_map_sql,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    got = sorted(
+        (r.value, r.canonical, r.freq)
+        for r in induce_canonical_map(df, "p_name", min_sim=0.75).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "create view part as select * from "
+        "'/root/testdata/sf0.001/part.parquet'"
+    )
+    want = sorted(
+        map(tuple, con.sql(
+            induce_canonical_map_sql("part", "p_name", min_sim=0.75)
+        ).fetchall())
+    )
+    assert got == want and len(got) > 0
