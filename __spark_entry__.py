@@ -219,6 +219,47 @@ def _qs_mix_config():
     )
 
 
+#: FS fields for the interval pass: event_type exact + scaled value under
+#: the relative-numeric comparator (integer-string so is_exact's string
+#: coalesce renders identically on both engines)
+_TP_FIELDS = (
+    MatchField(name="event_type", comparator="c", m=0.85, u=0.15),
+    MatchField(name="val_s", comparator="n", m=0.90, u=0.10),
+)
+_TP_CUT = (1.0, -50.0)
+
+
+def _tp_interval_config():
+    """One interval-overlap pass per user: candidates are events whose
+    activity windows overlap; scored with the standard FS path."""
+    from bigmatch_utilities_spark.config import (
+        BlockField,
+        BlockingPassSpec,
+        CutoffSpec,
+        FieldRef,
+        MatchConfig,
+    )
+
+    cut = CutoffSpec(hi=_TP_CUT[0], lo=_TP_CUT[1])
+    return MatchConfig(
+        passes=(
+            BlockingPassSpec(
+                kind="interval",
+                interval_start="s_ts",
+                interval_end="e_ts",
+                interval_granule_s=3600,
+                interval_max_granules=16,
+                block_fields=(BlockField(name="user_id"),),
+                match_fields=_TP_FIELDS,
+                cutoff=cut,
+                print_cutoff=cut,
+            ),
+        ),
+        id_field=FieldRef(name="event_id"),
+        dedupe_single_file=True,
+    )
+
+
 def _snm_mix_config():
     """Pass 0: reference-style blocked equi-join on (lang, bucket).
     Pass 1: SNM mop-up sorted on (lang, n_chars_s), window 3 — the
@@ -2116,6 +2157,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["vc_value_canonicalize"] = vc
 
+    # ---- TP1: interval-overlap as a declarable pass kind -------------------
+    def tp(spark, sf):
+        from bigmatch_utilities_spark.operators.pipeline import run_match
+
+        ev = _t(spark, sf, "events").select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("s_ts"),
+            F.timestamp_micros(
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                + F.expr("CAST(floor(value * 600) AS BIGINT)") * 1_000_000
+            ).alias("e_ts"),
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").cast("string").alias("val_s"),
+        )
+        res = run_match(ev, None, _tp_interval_config(), id_col="event_id",
+                        persist=False)
+        return res.pairs.select(
+            F.col("id_rec").alias("id_l"),
+            F.col("id_mem").alias("id_r"),
+            "pass_id",
+            F.round("weight", 6).alias("weight"),
+            "is_exact",
+            "decision",
+        )
+
+    q["tp_interval_pass"] = tp
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -2141,6 +2210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tj_asof_join",
         "tj_interval_overlap",
         "vc_value_canonicalize",
+        "tp_interval_pass",
         # new in round 5 (second session)
         "cm_bcubed_ari",
         "bf_block_filtering",
@@ -3440,6 +3510,42 @@ def oracle_sql() -> dict[str, str]:
         "event_id", "s_ts", "e_ts",
         granule_s=3600, max_granules=16, block_cols=("user_id",),
     )
+
+    # tp: interval-overlap as a declarable pass — the candidate generator's
+    # SQL twin joined back to the source, scored with the shared FS weight
+    # SQL (single pass, so no first-wins fold needed)
+    _TP_W = pair_weight_sql(_TP_FIELDS, rec_prefix="a.", mem_prefix="b.")
+    _TP_X = (
+        "(coalesce(a.event_type, '') = coalesce(b.event_type, '') AND "
+        "coalesce(a.val_s, '') = coalesce(b.val_s, ''))"
+    )
+    _TP_SRC = (
+        "SELECT event_id, user_id, ts AS s_ts, "
+        "make_timestamp(epoch_us(ts) + CAST(floor(value * 600) AS BIGINT) * 1000000) AS e_ts, "
+        "event_type, CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR) AS val_s "
+        "FROM events"
+    )
+    _TP_C = _iv_sql(
+        "tp_src", "event_id", "s_ts", "e_ts",
+        granule_s=3600, max_granules=16, block_cols=("user_id",),
+    )
+    _tp_hi, _tp_lo = _TP_CUT
+    o["tp_interval_pass"] = f"""
+        WITH tp_src AS ({_TP_SRC}),
+        tp_c AS ({_TP_C}),
+        tp_p AS (
+          SELECT c.id_l, c.id_r, 0 AS pass_id,
+                 {_TP_W} AS weight, {_TP_X} AS is_exact
+          FROM tp_c c
+          JOIN tp_src a ON a.event_id = c.id_l
+          JOIN tp_src b ON b.event_id = c.id_r
+        )
+        SELECT id_l, id_r, pass_id, round(weight, 6) AS weight, is_exact,
+               CASE WHEN weight >= {_tp_hi} THEN 'match'
+                    WHEN weight >= {_tp_lo} THEN 'possible'
+                    ELSE 'below' END AS decision
+        FROM tp_p
+    """
 
     # fp: swap-tolerant field-pair scoring — mem side is the token-swapped
     # twin of every document, so each (x, x) candidate is a planted

@@ -253,13 +253,28 @@ class BlockingPassSpec:
     suffix_min_len: int = 6
     suffix_ratio: float = 0.5
     suffix_purge_above: int = 2_000
+    #: Interval-overlap pass (kind="interval"): candidates are record
+    #: pairs whose [interval_start, interval_end] validity windows
+    #: overlap, optionally restricted to rows agreeing on block_fields
+    #: (used as exact co-block keys, blank_flag ignored). The temporal
+    #: pass the snapshot-only reference grammar cannot express — linking
+    #: longitudinal observations of the same entity. Backed by
+    #: operators/temporal.interval_overlap_pairs (granule-bucketed
+    #: equi-join; rows spanning >= interval_max_granules granules are
+    #: dropped). Single-file (dedupe) passes only; no parmf rendering.
+    interval_start: str | None = None
+    interval_end: str | None = None
+    interval_granule_s: int = 3600
+    interval_max_granules: int = 64
     #: Transposition-tolerant field PAIRS scored via swapped_agreement
     #: (functions/comparators.py): each contributes ONE FS weight term
     #: computed on the better of the straight and crossed alignments.
     match_field_pairs: tuple["MatchFieldPair", ...] = ()
 
     def __post_init__(self) -> None:
-        if self.kind not in ("equi", "snm", "lsh", "pprl", "qgram", "suffix"):
+        if self.kind not in (
+            "equi", "snm", "lsh", "pprl", "qgram", "suffix", "interval"
+        ):
             raise ValueError(f"unknown pass kind {self.kind!r}")
         if self.kind == "snm":
             if self.snm_window < 2:
@@ -298,6 +313,17 @@ class BlockingPassSpec:
                 raise ValueError("suffix_min_len must be >= 2")
             if not (0.0 < self.suffix_ratio <= 1.0):
                 raise ValueError("suffix_ratio must be in (0, 1]")
+        if self.kind == "interval":
+            if not self.interval_start or not self.interval_end:
+                raise ValueError(
+                    "kind='interval' requires interval_start and interval_end"
+                )
+            if self.star_block_rows:
+                raise ValueError("star_block_rows is an equi-pass option")
+            if self.interval_granule_s < 1 or self.interval_max_granules < 1:
+                raise ValueError(
+                    "interval_granule_s / interval_max_granules must be >= 1"
+                )
 
 
 @dataclass(frozen=True)

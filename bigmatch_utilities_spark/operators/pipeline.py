@@ -163,6 +163,36 @@ def pass_candidates(
             .withColumnRenamed("id_l", "id_rec")
             .withColumnRenamed("id_r", "id_mem")
         )
+    elif spec.kind == "interval":
+        from bigmatch_utilities_spark.operators.temporal import (
+            interval_overlap_pairs,
+        )
+
+        if not dedupe or mem is not rec:
+            raise ValueError(
+                "kind='interval' is a single-file (dedupe) pass; merge "
+                "two files into one frame before a dedupe run"
+            )
+        cands = interval_overlap_pairs(
+            rec,
+            id_col,
+            spec.interval_start,
+            spec.interval_end,
+            granule_s=spec.interval_granule_s,
+            max_granules=spec.interval_max_granules,
+            block_cols=tuple(bf.name for bf in spec.block_fields),
+        ).select("id_l", "id_r")
+        side = rec.select(F.col(id_col), *carry_sup)
+        pairs = (
+            cands.join(
+                side.toDF(*(["id_l"] + [f"rec_{c}" for c in carry_sup])), "id_l"
+            )
+            .join(
+                side.toDF(*(["id_r"] + [f"mem_{c}" for c in carry_sup])), "id_r"
+            )
+            .withColumnRenamed("id_l", "id_rec")
+            .withColumnRenamed("id_r", "id_mem")
+        )
     elif spec.kind in ("qgram", "suffix"):
         from bigmatch_utilities_spark.operators.meta_blocking import (
             qgram_block_pairs,

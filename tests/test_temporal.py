@@ -230,3 +230,91 @@ def test_temporal_plans_have_no_nested_loop(spark):
         df, "id", "s", "e", block_cols=("k",)
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p2 and "BroadcastNestedLoop" not in p2
+
+
+def test_interval_pass_kind_through_run_match(spark):
+    """kind='interval' routes pass_candidates through interval_overlap_pairs
+    (block_fields as exact co-block keys) and feeds the standard FS path."""
+    from bigmatch_utilities_spark.config import (
+        BlockField,
+        BlockingPassSpec,
+        CutoffSpec,
+        FieldRef,
+        MatchConfig,
+        MatchField,
+    )
+    from bigmatch_utilities_spark.operators.pipeline import run_match
+    from bigmatch_utilities_spark.operators.temporal import (
+        interval_overlap_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 7, T(2024, 1, 1, 0), T(2024, 1, 1, 2), "alpha"),
+            (2, 7, T(2024, 1, 1, 1), T(2024, 1, 1, 3), "alpha"),  # overlaps 1
+            (3, 7, T(2024, 1, 2, 0), T(2024, 1, 2, 1), "alpha"),  # disjoint
+            (4, 9, T(2024, 1, 1, 1), T(2024, 1, 1, 3), "alpha"),  # other key
+        ],
+        "rid long, k long, s timestamp, e timestamp, name string",
+    )
+    cut = CutoffSpec(hi=0.1, lo=-50.0)
+    cfg = MatchConfig(
+        passes=(
+            BlockingPassSpec(
+                kind="interval",
+                interval_start="s",
+                interval_end="e",
+                interval_granule_s=3600,
+                interval_max_granules=8,
+                block_fields=(BlockField(name="k"),),
+                match_fields=(
+                    MatchField(name="name", comparator="c", m=0.9, u=0.1),
+                ),
+                cutoff=cut,
+                print_cutoff=cut,
+            ),
+        ),
+        id_field=FieldRef(name="rid"),
+        dedupe_single_file=True,
+    )
+    res = run_match(df, None, cfg, id_col="rid", persist=False)
+    scored = {(r.id_rec, r.id_mem) for r in res.pairs.collect()}
+    cands = {
+        (r.id_l, r.id_r)
+        for r in interval_overlap_pairs(
+            df, "rid", "s", "e", granule_s=3600, max_granules=8,
+            block_cols=("k",),
+        ).collect()
+    }
+    assert scored == cands == {(1, 2)}
+
+
+def test_interval_pass_validation_and_parmf_refusal():
+    from bigmatch_utilities_spark.config import (
+        BlockingPassSpec,
+        FieldRef,
+        MatchConfig,
+        MatchField,
+        write_parmf,
+    )
+
+    with pytest.raises(ValueError, match="interval_start"):
+        BlockingPassSpec(block_fields=(), match_fields=(), kind="interval")
+    with pytest.raises(ValueError, match="interval_granule_s"):
+        BlockingPassSpec(
+            block_fields=(), match_fields=(), kind="interval",
+            interval_start="s", interval_end="e", interval_granule_s=0,
+        )
+    cfg = MatchConfig(
+        passes=(
+            BlockingPassSpec(
+                block_fields=(), kind="interval",
+                interval_start="s", interval_end="e",
+                match_fields=(MatchField(name="n", comparator="c", m=0.9, u=0.1),),
+            ),
+        ),
+        id_field=FieldRef(name="rid"),
+        dedupe_single_file=True,
+    )
+    with pytest.raises(ValueError, match="cannot express"):
+        write_parmf(cfg)
