@@ -391,6 +391,29 @@ def main() -> None:
         "extended_comparators", q_extended_comparators
     )
 
+    # temporal operators: one-shuffle as-of attach and the bucketed
+    # interval-overlap pass; plus induced standardization dictionaries
+    def q_asof():
+        import __spark_entry__ as entrymod
+
+        return entrymod.queries()["tj_asof_join"](spark, SF_DIR).count()
+
+    counters["asof_rows"] = timed("asof_join", q_asof)
+
+    def q_interval_pass():
+        import __spark_entry__ as entrymod
+
+        return entrymod.queries()["tp_interval_pass"](spark, SF_DIR).count()
+
+    counters["interval_pass_pairs"] = timed("interval_pass", q_interval_pass)
+
+    def q_value_canon():
+        import __spark_entry__ as entrymod
+
+        return entrymod.queries()["vc_value_canonicalize"](spark, SF_DIR).count()
+
+    counters["value_canon_rows"] = timed("value_canon", q_value_canon)
+
     # throughput denominator: candidate pairs actually entering the
     # comparator stage (BASELINE's candidate-pairs/sec unit), counted on
     # the same plans after the timed runs so the count jobs don't pollute
