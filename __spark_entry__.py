@@ -2185,6 +2185,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tp_interval_pass"] = tp
 
+    # ---- SS1: exact set-similarity join (AllPairs/PPJoin prefix filter) ---
+    def ss(spark, sf):
+        from bigmatch_utilities_spark.operators.setsim import (
+            jaccard_prefix_join,
+        )
+
+        return jaccard_prefix_join(
+            _t(spark, sf, "documents"), "text", "doc_id", t_num=9, t_den=10
+        )
+
+    q["ss_prefix_jaccard"] = ss
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -2211,6 +2223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tj_interval_overlap",
         "vc_value_canonicalize",
         "tp_interval_pass",
+        "ss_prefix_jaccard",
         # new in round 5 (second session)
         "cm_bcubed_ari",
         "bf_block_filtering",
@@ -3502,6 +3515,14 @@ def oracle_sql() -> dict[str, str]:
     )
 
     o["vc_value_canonicalize"] = _im_sql("part", "p_name", min_sim=0.75)
+
+    from bigmatch_utilities_spark.operators.setsim import (
+        jaccard_prefix_join_sql as _ss_sql,
+    )
+
+    o["ss_prefix_jaccard"] = _ss_sql(
+        "documents", "text", "doc_id", t_num=9, t_den=10
+    )
 
     o["tj_interval_overlap"] = _iv_sql(
         "(SELECT event_id, user_id, ts AS s_ts, "
