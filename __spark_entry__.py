@@ -2197,6 +2197,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ss_prefix_jaccard"] = ss
 
+    # ---- PO1: EM-posterior match probability per pair ----------------------
+    def po(spark, sf):
+        from bigmatch_utilities_spark.operators.em import estimate_posterior
+
+        return estimate_posterior(_blocked_pairs(spark, sf), _FS_FIELDS)
+
+    q["po_match_posterior"] = po
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -2224,6 +2232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vc_value_canonicalize",
         "tp_interval_pass",
         "ss_prefix_jaccard",
+        "po_match_posterior",
         # new in round 5 (second session)
         "cm_bcubed_ari",
         "bf_block_filtering",
@@ -3523,6 +3532,12 @@ def oracle_sql() -> dict[str, str]:
     o["ss_prefix_jaccard"] = _ss_sql(
         "documents", "text", "doc_id", t_num=9, t_den=10
     )
+
+    from bigmatch_utilities_spark.operators.em import (
+        estimate_posterior_sql as _po_sql,
+    )
+
+    o["po_match_posterior"] = _po_sql(_BLOCKED_PAIRS_SQL, _FS_FIELDS)
 
     o["tj_interval_overlap"] = _iv_sql(
         "(SELECT event_id, user_id, ts AS s_ts, "

@@ -239,6 +239,34 @@ def estimate_mu_sql(
 
     Oracle twin of :func:`estimate_mu`; generated, never handwritten.
     """
+    ctes = _em_state_ctes(
+        pairs_sql, match_fields, rec_prefix, mem_prefix, agree_threshold,
+        n_iter, init_lambda, init_m, init_u,
+    )
+    last = f"s{n_iter}"
+    selects = [
+        f"SELECT '{mf.name}' AS field, round(m{k}, 6) AS m, round(u{k}, 6) AS u, "
+        f"round(lam, 6) AS lam, round(log2(m{k} / u{k}), 6) AS agr_w, "
+        f"round(log2((1.0 - m{k}) / (1.0 - u{k})), 6) AS dis_w FROM {last}"
+        for k, mf in enumerate(match_fields)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(selects)
+
+
+def _em_state_ctes(
+    pairs_sql: str,
+    match_fields: Sequence[MatchField],
+    rec_prefix: str,
+    mem_prefix: str,
+    agree_threshold: float,
+    n_iter: int,
+    init_lambda: float,
+    init_m: float,
+    init_u: float,
+) -> list[str]:
+    """The gamma/histogram/unrolled-EM CTE list shared by
+    :func:`estimate_mu_sql` and :func:`estimate_posterior_sql` — ends with
+    the 1-row state CTE ``s{n_iter}(lam, m0, u0, ...)``."""
     K = len(match_fields)
     gnames = [f"g{k}" for k in range(K)]
     gexprs = ", ".join(
@@ -287,11 +315,133 @@ def estimate_mu_sql(
             + _clamp("SUM(n * (w/(w+v))) / SUM(n)")
             + f" AS lam, {mterms} FROM e{t})"
         )
-    last = f"s{n_iter}"
-    selects = [
-        f"SELECT '{mf.name}' AS field, round(m{k}, 6) AS m, round(u{k}, 6) AS u, "
-        f"round(lam, 6) AS lam, round(log2(m{k} / u{k}), 6) AS agr_w, "
-        f"round(log2((1.0 - m{k}) / (1.0 - u{k})), 6) AS dis_w FROM {last}"
-        for k, mf in enumerate(match_fields)
+    return ctes
+
+
+def match_posterior(
+    pairs: DataFrame,
+    match_fields: Sequence[MatchField],
+    lam: float,
+    m: Sequence[float],
+    u: Sequence[float],
+    rec_prefix: str = "rec_",
+    mem_prefix: str = "mem_",
+    agree_threshold: float = PARTIAL_FLOOR,
+    id_cols: Sequence[str] = ("id_l", "id_r"),
+) -> DataFrame:
+    """Per-pair posterior match probability P(M | gamma) under calibrated
+    Fellegi-Sunter parameters - the probabilistic reading of the pair
+    weight (Splink's match_probability; the reference only ever surfaces
+    the log2 composite weight, never the probability:
+    /root/reference/app/BigMatchParmFile.py carries fixed m/u per row and
+    the GUI shows weights).
+
+        P(M | gamma) = lam * prod_k(g_k ? m_k : 1-m_k)
+                       / (lam * prod(...) + (1-lam) * prod_k(g_k ? u_k : 1-u_k))
+
+    Map-only: the gammas are codegen CASE expressions and the products are
+    a fixed-order multiply chain over scalar literals - no shuffle, no
+    join, linear scan at any scale. Because g is binary the chain never
+    calls pow(), so Spark and the SQL twin multiply the exact same IEEE
+    doubles in the exact same order (1-ulp-identical before the 6dp
+    round).
+    """
+    w: Column = F.lit(float(lam))
+    v: Column = F.lit(1.0 - float(lam))
+    for k, mf in enumerate(match_fields):
+        g = gamma_column(
+            mf,
+            F.col(rec_prefix + mf.name),
+            F.col(mem_prefix + mf.name),
+            agree_threshold,
+        )
+        w = w * F.when(g == 1, F.lit(float(m[k]))).otherwise(
+            F.lit(1.0 - float(m[k]))
+        )
+        v = v * F.when(g == 1, F.lit(float(u[k]))).otherwise(
+            F.lit(1.0 - float(u[k]))
+        )
+    return pairs.select(
+        *id_cols, F.round(w / (w + v), 6).alias("posterior")
+    )
+
+
+def estimate_posterior(
+    pairs: DataFrame,
+    match_fields: Sequence[MatchField],
+    rec_prefix: str = "rec_",
+    mem_prefix: str = "mem_",
+    agree_threshold: float = PARTIAL_FLOOR,
+    n_iter: int = N_ITER,
+    id_cols: Sequence[str] = ("id_l", "id_r"),
+) -> DataFrame:
+    """EM-calibrate (lam, m, u) on ``pairs`` (driver-side fold of the
+    <= 2^K pattern histogram, exactly :func:`estimate_mu`'s path), then
+    attach the per-pair posterior. One scoring-shaped pass over the pairs
+    plus the histogram aggregate - the same cost envelope as
+    ``run_match --estimate-mu``."""
+    hist_df = pattern_histogram(
+        pairs, match_fields, rec_prefix, mem_prefix, agree_threshold
+    )
+    gcols = [f"g_{mf.name}" for mf in match_fields]
+    hist = [
+        (tuple(int(r[c]) for c in gcols), float(r["n"]))
+        for r in hist_df.collect()  # <= 2^K rows by construction
     ]
-    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(selects)
+    if not hist:
+        raise ValueError("estimate_posterior: no candidate pairs")
+    lam, m, u = em_fit(hist, len(match_fields), n_iter)
+    return match_posterior(
+        pairs, match_fields, lam, m, u, rec_prefix, mem_prefix,
+        agree_threshold, id_cols,
+    )
+
+
+def estimate_posterior_sql(
+    pairs_sql: str,
+    match_fields: Sequence[MatchField],
+    rec_prefix: str = "rec_",
+    mem_prefix: str = "mem_",
+    agree_threshold: float = PARTIAL_FLOOR,
+    n_iter: int = N_ITER,
+    init_lambda: float = INIT_LAMBDA,
+    init_m: float = INIT_M,
+    init_u: float = INIT_U,
+    id_exprs: Sequence[str] = ("id_l", "id_r"),
+) -> str:
+    """Oracle twin of :func:`estimate_posterior`: the unrolled-EM CTE
+    chain of :func:`estimate_mu_sql` (same state CTEs), then every pair's
+    gamma CASE-chained against the final 1-row state. The posterior
+    product uses CASE (never pow) in the same left-fold order as the
+    Column chain."""
+    K = len(match_fields)
+    gnames = [f"g{k}" for k in range(K)]
+    id_list = ", ".join(id_exprs)
+    gexprs = ", ".join(
+        f"{gamma_sql(mf, rec_prefix + mf.name, mem_prefix + mf.name, agree_threshold)} AS g{k}"
+        for k, mf in enumerate(match_fields)
+    )
+    ctes = _em_state_ctes(
+        pairs_sql, match_fields, rec_prefix, mem_prefix, agree_threshold,
+        n_iter, init_lambda, init_m, init_u,
+    )
+    last = f"s{n_iter}"
+    wprod = " * ".join(
+        f"(CASE WHEN p.g{k} = 1 THEN s.m{k} ELSE 1.0 - s.m{k} END)"
+        for k in range(K)
+    )
+    vprod = " * ".join(
+        f"(CASE WHEN p.g{k} = 1 THEN s.u{k} ELSE 1.0 - s.u{k} END)"
+        for k in range(K)
+    )
+    ctes.append(
+        f"pp AS (SELECT {id_list}, {gexprs} FROM ({pairs_sql}))"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT {', '.join('p.' + e.split(' AS ')[-1].strip() for e in id_exprs)},
+       round((s.lam * {wprod}) / (s.lam * {wprod} + (1.0 - s.lam) * {vprod}), 6)
+         AS posterior
+FROM pp p CROSS JOIN {last} s
+"""
+    )

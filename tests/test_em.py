@@ -205,3 +205,67 @@ def test_precomputed_gammas_fold_em_onto_one_scoring_pass(spark):
                 spark.read.parquet(f"{td}/pairs"), _FUZZY_FIELDS
             ).collect()
         } == got
+
+
+def test_estimate_posterior_matches_duckdb_oracle(spark, tmp_path):
+    """Per-pair posterior: Spark (driver-side EM + CASE multiply chain)
+    equals the unrolled-CTE DuckDB twin exactly at 6dp."""
+    from bigmatch_utilities_spark.operators.em import (
+        estimate_posterior,
+        estimate_posterior_sql,
+    )
+
+    pairs = _pairs_df(spark, n=1500)
+    pq = str(tmp_path / "ppairs.parquet")
+    pairs.write.mode("overwrite").parquet(pq)
+
+    got = {
+        (r["id_l"], r["id_r"]): r["posterior"]
+        for r in estimate_posterior(pairs, FIELDS).collect()
+    }
+    con = duckdb.connect()
+    sql = estimate_posterior_sql(
+        f"SELECT * FROM read_parquet('{pq}/*.parquet')", FIELDS
+    )
+    want = {(l, r): p for l, r, p in con.execute(sql).fetchall()}
+    assert got == want
+
+
+def test_posterior_monotone_in_agreement(spark):
+    """More agreeing fields => strictly higher posterior; all-agree is
+    near 1 and all-disagree near 0 on well-separated parameters."""
+    from bigmatch_utilities_spark.operators.em import match_posterior
+
+    rows = []
+    for i, g in enumerate([(0, 0, 0), (1, 0, 0), (1, 1, 0), (1, 1, 1)]):
+        row = {"id_l": i, "id_r": 100 + i}
+        for k, f in enumerate(FIELDS):
+            row[f"rec_{f.name}"] = f"x{k}"
+            row[f"mem_{f.name}"] = f"x{k}" if g[k] else f"y{k}"
+        rows.append(row)
+    df = spark.createDataFrame(rows)
+    got = {
+        r["id_l"]: r["posterior"]
+        for r in match_posterior(
+            df, FIELDS, lam=0.2, m=TRUE_M, u=TRUE_U
+        ).collect()
+    }
+    assert got[0] < got[1] < got[2] < got[3]
+    assert got[0] < 0.05 and got[3] > 0.99
+
+
+def test_posterior_plan_is_map_only(spark):
+    """The posterior attach is pure codegen: no join, no shuffle, no
+    Python evaluation in the optimized plan."""
+    from bigmatch_utilities_spark.operators.em import match_posterior
+
+    df = _pairs_df(spark, n=50)
+    plan = (
+        match_posterior(df, FIELDS, 0.2, TRUE_M, TRUE_U)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    for marker in ("ArrowEval", "BatchEvalPython", "PythonUDF"):
+        assert marker not in plan
