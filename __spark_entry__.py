@@ -2205,6 +2205,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["po_match_posterior"] = po
 
+    # ---- MS1: one-record-per-source cluster audit --------------------------
+    def ms(spark, sf):
+        from bigmatch_utilities_spark.operators.closure import connected_components
+        from bigmatch_utilities_spark.operators.cluster_audit import (
+            source_conflicts,
+        )
+
+        d = _docs_keyed(spark, sf)
+        a = d.select(F.col("doc_id").alias("src"), "lang", "n_chars")
+        b = d.select(
+            F.col("doc_id").alias("dst"),
+            F.col("lang").alias("lang2"),
+            F.col("n_chars").alias("nc2"),
+        )
+        edges = a.join(
+            b,
+            (F.col("lang") == F.col("lang2")) & (F.col("nc2") == F.col("n_chars") + 1),
+        ).select("src", "dst")
+        clusters = connected_components(edges)
+        recs = _t(spark, sf, "documents").select(
+            F.col("doc_id").alias("id"), "source"
+        )
+        return source_conflicts(clusters, recs).select(
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            "source",
+            "n_records",
+            F.col("id_min").cast("long").alias("id_min"),
+            F.col("id_max").cast("long").alias("id_max"),
+        )
+
+    q["ms_source_conflicts"] = ms
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -2233,6 +2265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tp_interval_pass",
         "ss_prefix_jaccard",
         "po_match_posterior",
+        "ms_source_conflicts",
         # new in round 5 (second session)
         "cm_bcubed_ari",
         "bf_block_filtering",
@@ -3538,6 +3571,31 @@ def oracle_sql() -> dict[str, str]:
     )
 
     o["po_match_posterior"] = _po_sql(_BLOCKED_PAIRS_SQL, _FS_FIELDS)
+
+    o["ms_source_conflicts"] = """
+        WITH RECURSIVE msc_e AS (
+            SELECT a.doc_id AS s, b.doc_id AS d
+            FROM documents a JOIN documents b
+              ON a.lang = b.lang AND b.n_chars = a.n_chars + 1
+        ), msc_und AS (
+            SELECT s, d FROM msc_e UNION SELECT d AS s, s AS d FROM msc_e
+        ), msc_nodes AS (
+            SELECT DISTINCT s AS n FROM msc_und
+        ), msc_reach(n, m) AS (
+            SELECT n, n FROM msc_nodes
+            UNION
+            SELECT u.d, r.m FROM msc_reach r JOIN msc_und u ON u.s = r.n
+        ), msc_cl AS (
+            SELECT n AS id, min(m) AS cluster_id FROM msc_reach GROUP BY n
+        )
+        SELECT CAST(c.cluster_id AS BIGINT) AS cluster_id, d.source AS source,
+               count(*) AS n_records,
+               CAST(min(d.doc_id) AS BIGINT) AS id_min,
+               CAST(max(d.doc_id) AS BIGINT) AS id_max
+        FROM msc_cl c JOIN documents d ON d.doc_id = c.id
+        GROUP BY c.cluster_id, d.source
+        HAVING count(*) >= 2
+    """
 
     o["tj_interval_overlap"] = _iv_sql(
         "(SELECT event_id, user_id, ts AS s_ts, "

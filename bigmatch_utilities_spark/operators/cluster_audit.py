@@ -360,3 +360,44 @@ def repair_clusters_sql(
         SELECT sm.id, sm.old_cluster_id, cc.new_cluster AS cluster_id
         FROM rp_susm sm JOIN rp_cc cc ON cc.id = sm.id
     """
+
+
+def source_conflicts(
+    assignments: DataFrame,
+    records: DataFrame,
+    source_col: str = "source",
+    id_col: str = "id",
+) -> DataFrame:
+    """Clusters violating the one-record-per-source constraint.
+
+    In dedup against a trusted source (a census file, a master patient
+    index), a correct entity holds AT MOST ONE record from each source --
+    two same-source records in a cluster is the classic over-merge signal
+    and the constraint restricted/one-to-one linkage enforces up front
+    (the reference enforces nothing like it: its review GUI leaves
+    over-merges to the human eye, /root/reference/app/MatchReview.py).
+    This is the audit half: report every (cluster, source) cell with
+    two or more members, with the id span for triage.
+
+    Returns (cluster_id, source, n_records, id_min, id_max), only rows
+    with n_records >= 2. One equi-join on id + one groupBy on
+    (cluster_id, source) -- both hash-partitionable; no windows, no
+    all-pairs, linear at any cluster-size distribution (a 10M-member
+    pathological cluster costs its row count, not its pair count).
+    """
+    a = assignments.select(
+        F.col(id_col).alias("_sc_id"), "cluster_id"
+    )
+    r = records.select(
+        F.col(id_col).alias("_sc_id"), F.col(source_col).alias("source")
+    )
+    return (
+        a.join(r, "_sc_id")
+        .groupBy("cluster_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.min("_sc_id").alias("id_min"),
+            F.max("_sc_id").alias("id_max"),
+        )
+        .filter(F.col("n_records") >= 2)
+    )

@@ -188,3 +188,50 @@ def test_repair_sql_parity(spark, graph):
     )
     want = {tuple(r) for r in con.sql(sql).fetchall()}
     assert got == want
+
+
+def test_source_conflicts(spark):
+    """Only (cluster, source) cells with >= 2 members are reported, with
+    the right counts and id spans; singleton-per-source clusters are
+    silent."""
+    from bigmatch_utilities_spark.operators.cluster_audit import (
+        source_conflicts,
+    )
+
+    assignments = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (4, 200), (5, 200), (6, 300)],
+        ["id", "cluster_id"],
+    )
+    records = spark.createDataFrame(
+        [
+            (1, "census"), (2, "census"), (3, "tax"),      # census conflict
+            (4, "tax"), (5, "census"),                      # clean
+            (6, "census"),                                  # singleton
+        ],
+        ["id", "source"],
+    )
+    rows = {
+        (r["cluster_id"], r["source"]): (r["n_records"], r["id_min"], r["id_max"])
+        for r in source_conflicts(assignments, records).collect()
+    }
+    assert rows == {(100, "census"): (2, 1, 2)}
+
+
+def test_source_conflicts_plan_shape(spark):
+    """One join + one aggregate; no window, no cartesian, no Python."""
+    from bigmatch_utilities_spark.operators.cluster_audit import (
+        source_conflicts,
+    )
+
+    assignments = spark.createDataFrame([(1, 1)], ["id", "cluster_id"])
+    records = spark.createDataFrame([(1, "s")], ["id", "source"])
+    plan = (
+        source_conflicts(assignments, records)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert plan.count("Join") == 1
+    for marker in ("ArrowEval", "BatchEvalPython", "PythonUDF"):
+        assert marker not in plan
