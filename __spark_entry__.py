@@ -2237,6 +2237,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ms_source_conflicts"] = ms
 
+    # ---- EH1: per-entity attribute timeline (SCD-2 build) ------------------
+    def eh(spark, sf):
+        from bigmatch_utilities_spark.operators.temporal import entity_history
+
+        ev = _t(spark, sf, "events").select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            F.floor(F.col("value") * 10).cast("long").cast("string").alias("val_band"),
+        )
+        return entity_history(
+            ev,
+            entity_col="user_id",
+            ts_col="ts",
+            fields=["event_type", "val_band"],
+            id_col="event_id",
+        )
+
+    q["eh_entity_history"] = eh
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -2266,6 +2287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ss_prefix_jaccard",
         "po_match_posterior",
         "ms_source_conflicts",
+        "eh_entity_history",
         # new in round 5 (second session)
         "cm_bcubed_ari",
         "bf_block_filtering",
@@ -3596,6 +3618,20 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY c.cluster_id, d.source
         HAVING count(*) >= 2
     """
+
+    from bigmatch_utilities_spark.operators.temporal import (
+        entity_history_sql as _eh_sql,
+    )
+
+    o["eh_entity_history"] = _eh_sql(
+        "(SELECT event_id, user_id, ts, event_type, "
+        "CAST(CAST(floor(value * 10) AS BIGINT) AS VARCHAR) AS val_band "
+        "FROM events)",
+        entity_expr="user_id",
+        ts_expr="ts",
+        fields=["event_type", "val_band"],
+        id_expr="event_id",
+    )
 
     o["tj_interval_overlap"] = _iv_sql(
         "(SELECT event_id, user_id, ts AS s_ts, "

@@ -276,3 +276,113 @@ def interval_overlap_pairs_sql(
           ON {blocks}a.{id_col} < b.{id_col}
              AND a._s <= b._e AND b._s <= a._e
     """
+
+
+def entity_history(
+    records: DataFrame,
+    *,
+    entity_col: str,
+    ts_col: str,
+    fields: list[str],
+    id_col: str,
+) -> DataFrame:
+    """Per-entity attribute timeline (an SCD-2 build): for every entity
+    and tracked field, the sequence of DISTINCT consecutive values with
+    their validity windows.
+
+    Once clustering assigns records to entities, the longitudinal
+    question is "what was this entity's address in March?" -- the
+    slowly-changing-dimension view fusion flattens away (golden_record
+    keeps ONE value; this keeps the history). The reference has no
+    longitudinal vocabulary at all (snapshot passes only,
+    /root/reference/app/BlockingPass.py).
+
+    Semantics: melt ``fields`` to (entity, field, value, ts, id); order
+    each (entity, field) partition by (ts, id); keep rows where the value
+    CHANGED vs the previous record (nulls compare as the empty string, so
+    null -> 'x' and 'x' -> null are both changes); ``valid_from`` is the
+    change's timestamp, ``valid_to`` the next change's (null = current).
+    Timestamps are emitted as integer epoch microseconds -- exact in both
+    engines.
+
+    Scale shape: ONE shuffle on (entity, field) -- the melt is map-side
+    (explode of a literal struct array), both windows run on the same
+    partitioning (Catalyst reuses the single sort), and a partition is
+    one entity's one field's observations, never the whole table. Skew =
+    an entity with millions of observations of one field; that is the
+    same exposure as any per-entity window and bounds at the entity's
+    row count, not a pair count.
+    """
+    melted = records.select(
+        F.col(entity_col).alias("entity_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+        F.col(id_col).alias("_eh_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f).alias("field"),
+                        F.col(f).cast("string").alias("value"),
+                    )
+                    for f in fields
+                ]
+            )
+        ).alias("_fv"),
+    ).select(
+        "entity_id", "ts_us", "_eh_id",
+        F.col("_fv.field").alias("field"),
+        F.col("_fv.value").alias("value"),
+    )
+    w = Window.partitionBy("entity_id", "field").orderBy("ts_us", "_eh_id")
+    changed = melted.withColumn(
+        "_prev", F.lag(F.coalesce(F.col("value"), F.lit(""))).over(w)
+    ).filter(
+        F.col("_prev").isNull()
+        | (F.coalesce(F.col("value"), F.lit("")) != F.col("_prev"))
+    )
+    w2 = Window.partitionBy("entity_id", "field").orderBy("ts_us", "_eh_id")
+    return changed.select(
+        "entity_id",
+        "field",
+        "value",
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w2).alias("valid_to_us"),
+    )
+
+
+def entity_history_sql(
+    table: str,
+    *,
+    entity_expr: str,
+    ts_expr: str,
+    fields: list[str],
+    id_expr: str,
+) -> str:
+    """DuckDB oracle twin of :func:`entity_history` (identical rows: the
+    change-detection ordering, null-as-'' comparison, and epoch-us
+    integers all mirror the Column chain)."""
+    melt = " UNION ALL ".join(
+        f"SELECT {entity_expr} AS entity_id, "
+        f"epoch_us(CAST({ts_expr} AS TIMESTAMP)) AS ts_us, "
+        f"{id_expr} AS _eh_id, '{f}' AS field, CAST({f} AS VARCHAR) AS value "
+        f"FROM {table}"
+        for f in fields
+    )
+    return f"""
+        WITH eh_m AS ({melt}),
+        eh_p AS (
+            SELECT *, lag(coalesce(value, '')) OVER (
+                PARTITION BY entity_id, field ORDER BY ts_us, _eh_id
+            ) AS _prev
+            FROM eh_m
+        ),
+        eh_c AS (
+            SELECT * FROM eh_p
+            WHERE _prev IS NULL OR coalesce(value, '') <> _prev
+        )
+        SELECT entity_id, field, value, ts_us AS valid_from_us,
+               lead(ts_us) OVER (
+                   PARTITION BY entity_id, field ORDER BY ts_us, _eh_id
+               ) AS valid_to_us
+        FROM eh_c
+    """

@@ -318,3 +318,104 @@ def test_interval_pass_validation_and_parmf_refusal():
     )
     with pytest.raises(ValueError, match="cannot express"):
         write_parmf(cfg)
+
+
+def test_entity_history_change_detection(spark):
+    """Consecutive duplicates collapse; value changes (incl. null<->value)
+    open new validity windows; valid_to chains to the next change."""
+    from bigmatch_utilities_spark.operators.temporal import entity_history
+
+    rows = [
+        # entity 1, field "city": A, A (dup), B, A again
+        (1, 1, "2020-01-01 00:00:00", "A"),
+        (2, 1, "2020-02-01 00:00:00", "A"),
+        (3, 1, "2020-03-01 00:00:00", "B"),
+        (4, 1, "2020-04-01 00:00:00", "A"),
+        # entity 2: null then value
+        (5, 2, "2020-01-01 00:00:00", None),
+        (6, 2, "2020-02-01 00:00:00", "X"),
+    ]
+    df = spark.createDataFrame(rows, ["rid", "uid", "ts", "city"])
+    out = entity_history(
+        df, entity_col="uid", ts_col="ts", fields=["city"], id_col="rid"
+    ).collect()
+    by_ent = {}
+    for r in sorted(out, key=lambda r: (r["entity_id"], r["valid_from_us"])):
+        by_ent.setdefault(r["entity_id"], []).append(
+            (r["value"], r["valid_to_us"] is None)
+        )
+    assert by_ent[1] == [("A", False), ("B", False), ("A", True)]
+    assert by_ent[2] == [(None, False), ("X", True)]
+    # windows chain: each valid_to equals the next valid_from
+    e1 = [r for r in out if r["entity_id"] == 1]
+    e1.sort(key=lambda r: r["valid_from_us"])
+    for a, b in zip(e1, e1[1:]):
+        assert a["valid_to_us"] == b["valid_from_us"]
+
+
+def test_entity_history_oracle_parity(spark, tmp_path):
+    """Spark and the DuckDB twin emit identical timelines on random data
+    with duplicate values, nulls, and tied timestamps."""
+    import random
+
+    import duckdb
+
+    from bigmatch_utilities_spark.operators.temporal import (
+        entity_history,
+        entity_history_sql,
+    )
+
+    rng = random.Random(99)
+    rows = []
+    for rid in range(1, 301):
+        rows.append(
+            (
+                rid,
+                rng.randint(1, 12),
+                f"2021-0{rng.randint(1, 9)}-0{rng.randint(1, 9)} 0{rng.randint(0, 9)}:00:00",
+                rng.choice(["a", "b", "c", None]),
+                rng.choice(["x", "y"]),
+            )
+        )
+    df = spark.createDataFrame(rows, ["rid", "uid", "ts", "f1", "f2"])
+    pq = str(tmp_path / "eh.parquet")
+    df.write.mode("overwrite").parquet(pq)
+
+    got = {
+        tuple(r)
+        for r in entity_history(
+            spark.read.parquet(pq),
+            entity_col="uid", ts_col="ts", fields=["f1", "f2"], id_col="rid",
+        ).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        tuple(r)
+        for r in con.execute(
+            entity_history_sql(
+                f"read_parquet('{pq}/*.parquet')",
+                entity_expr="uid", ts_expr="ts",
+                fields=["f1", "f2"], id_expr="rid",
+            )
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_entity_history_single_sort(spark):
+    """Both windows share one (entity, field) partitioning: the physical
+    plan holds exactly ONE shuffle exchange."""
+    from bigmatch_utilities_spark.operators.temporal import entity_history
+
+    df = spark.createDataFrame(
+        [(1, 1, "2020-01-01 00:00:00", "A")], ["rid", "uid", "ts", "city"]
+    )
+    plan = (
+        entity_history(
+            df, entity_col="uid", ts_col="ts", fields=["city"], id_col="rid"
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
