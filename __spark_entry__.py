@@ -2258,6 +2258,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["eh_entity_history"] = eh
 
+    # ---- LS1: leakage-safe cluster-granular train/val/test split -----------
+    def lsp(spark, sf):
+        from bigmatch_utilities_spark.operators.closure import connected_components
+        from bigmatch_utilities_spark.operators.corpus_ops import leakage_safe_split
+
+        d = _t(spark, sf, "documents")
+        a = d.select(F.col("doc_id").alias("src"), "lang", "n_chars")
+        b = d.select(
+            F.col("doc_id").alias("dst"),
+            F.col("lang").alias("lang2"),
+            F.col("n_chars").alias("nc2"),
+        )
+        edges = a.join(
+            b,
+            (F.col("lang") == F.col("lang2")) & (F.col("nc2") == F.col("n_chars") + 1),
+        ).select("src", "dst")
+        comp = connected_components(edges)
+        asg = (
+            d.select(F.col("doc_id").alias("id"))
+            .join(comp, "id", "left")
+            .select(
+                F.col("id").cast("long").alias("id"),
+                F.coalesce("cluster_id", F.col("id")).cast("long").alias("cluster_id"),
+            )
+        )
+        return leakage_safe_split(asg).select("id", "cluster_id", "split")
+
+    q["ls_cluster_split"] = lsp
+
+    # ---- BC1: benchmark contamination (n-gram overlap) ----------------------
+    def bc(spark, sf):
+        from bigmatch_utilities_spark.operators.corpus_ops import contamination_report
+
+        d = _t(spark, sf, "documents")
+        bench = d.filter(F.col("doc_id") % 37 == 0)
+        corpus = d.filter(F.col("doc_id") % 37 != 0)
+        return contamination_report(corpus, bench, "text", "doc_id", n=5).select(
+            F.col("id").cast("long").alias("id"),
+            "n_grams",
+            "n_contaminated",
+            F.round("contaminated_frac", 6).alias("contaminated_frac"),
+        )
+
+    q["bc_contamination"] = bc
+
+    # ---- TR1: intra-document repetition profile (Gopher rule) ---------------
+    def rep(spark, sf):
+        from bigmatch_utilities_spark.operators.corpus_ops import repetition_profile
+
+        d = _t(spark, sf, "documents")
+        return repetition_profile(d, "text", "doc_id", n=2).select(
+            F.col("id").cast("long").alias("id"),
+            "n_grams_total",
+            "n_grams_distinct",
+            F.round("dup_frac", 6).alias("dup_frac"),
+        )
+
+    q["ta_repetition"] = rep
+
+    # ---- WP1: meta-blocking with weighted-NODE pruning ----------------------
+    def wp(spark, sf):
+        from bigmatch_utilities_spark.operators.meta_blocking import wnp_pairs
+
+        return wnp_pairs(
+            _t(spark, sf, "documents"), "doc_id", _MB_KEYS, max_block_rows=256
+        )
+
+    q["wp_wnp_meta_blocking"] = wp
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -2269,6 +2338,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r4+r5 rows are read as the union).
     # ------------------------------------------------------------------
     driver_first = [
+        # new in round 5 (fifth session) — corpus-curation + WNP additions;
+        # these four displace j1..j4 (driver-green in r4) from the window
+        "ls_cluster_split",
+        "bc_contamination",
+        "ta_repetition",
+        "wp_wnp_meta_blocking",
         # new in round 5 (third session)
         "rp_cluster_repair",
         "cw_cutoff_sweep",
@@ -3996,6 +4071,107 @@ def oracle_sql() -> dict[str, str]:
 
     o["rc_repo_containment"] = group_containment_sql(
         "documents", "text", "source", min_shared=3, max_df=8
+    )
+
+    # ls: leakage-safe split — cc closure clusters (singletons = own id),
+    # split decided ONLY by md5-prefix of the cluster id (corpus_ops twin)
+    from bigmatch_utilities_spark.operators.corpus_ops import (
+        leakage_safe_split_sql,
+    )
+
+    _ls_split = leakage_safe_split_sql("coalesce(c.cluster_id, d.doc_id)")
+    o["ls_cluster_split"] = f"""
+        WITH RECURSIVE e AS (
+            SELECT a.doc_id AS s, b.doc_id AS d
+            FROM documents a JOIN documents b
+              ON a.lang = b.lang AND b.n_chars = a.n_chars + 1
+        ), und AS (
+            SELECT s, d FROM e UNION SELECT d AS s, s AS d FROM e
+        ), nodes AS (
+            SELECT DISTINCT s AS n FROM und
+        ), reach(n, m) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT u.d, r.m FROM reach r JOIN und u ON u.s = r.n
+        ), comp AS (
+            SELECT n AS id, min(m) AS cluster_id FROM reach GROUP BY n
+        )
+        SELECT CAST(d.doc_id AS BIGINT) AS id,
+               CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+               {_ls_split} AS split
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    """
+
+    # bc: benchmark contamination — distinct word 5-grams, 48-bit md5 hash
+    # join against the benchmark slice's gram set (doc_id % 37 = 0)
+    o["bc_contamination"] = """
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                                       x -> x <> '') AS tk
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(tk) >= 5 THEN
+                     list_distinct(list_transform(range(1, len(tk) - 3),
+                        i -> array_to_string(list_slice(tk, i, i + 4), ' ')))
+                   ELSE [array_to_string(tk, ' ')] END AS grams
+            FROM toks
+        ), ex AS (
+            SELECT doc_id, unnest(grams) AS g FROM sh
+        ), gh AS (
+            SELECT doc_id, CAST(('0x' || substring(md5(g), 1, 12)) AS BIGINT) AS h
+            FROM ex WHERE g <> ''
+        ), bench AS (
+            SELECT DISTINCT h FROM gh WHERE doc_id % 37 = 0
+        ), corp AS (
+            SELECT doc_id, h FROM gh WHERE doc_id % 37 <> 0
+        ), per AS (
+            SELECT c.doc_id, count(*) AS n_grams,
+                   sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated
+            FROM corp c LEFT JOIN bench b ON b.h = c.h
+            GROUP BY c.doc_id
+        )
+        SELECT CAST(d.doc_id AS BIGINT) AS id,
+               CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(coalesce(p.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+               round(CASE WHEN coalesce(p.n_grams, 0) > 0
+                          THEN coalesce(p.n_contaminated, 0) * 1.0 / p.n_grams
+                     END, 6) AS contaminated_frac
+        FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+        WHERE d.doc_id % 37 <> 0
+    """
+
+    # rep: repetition profile — ALL word bigrams (duplicates kept) vs distinct
+    o["ta_repetition"] = """
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                                       x -> x <> '') AS tk
+            FROM documents
+        ), gr AS (
+            SELECT doc_id,
+                   list_filter(
+                     CASE WHEN len(tk) >= 2 THEN
+                       list_transform(range(1, len(tk)),
+                          i -> array_to_string(list_slice(tk, i, i + 1), ' '))
+                     ELSE [array_to_string(tk, ' ')] END,
+                     x -> x <> '') AS grams
+            FROM toks
+        )
+        SELECT CAST(doc_id AS BIGINT) AS id,
+               CAST(len(grams) AS BIGINT) AS n_grams_total,
+               CAST(len(list_distinct(grams)) AS BIGINT) AS n_grams_distinct,
+               round(CASE WHEN len(grams) > 0
+                          THEN (len(grams) - len(list_distinct(grams))) * 1.0
+                               / len(grams)
+                     END, 6) AS dup_frac
+        FROM gr
+    """
+
+    # wp: meta-blocking with weighted-NODE pruning — same keys as mb
+    from bigmatch_utilities_spark.operators.meta_blocking import wnp_pairs_sql
+
+    o["wp_wnp_meta_blocking"] = wnp_pairs_sql(
+        "documents", "doc_id", _MB_KEYS, max_block_rows=256
     )
 
     return o

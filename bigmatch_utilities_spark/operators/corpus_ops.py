@@ -1,0 +1,190 @@
+"""Training-corpus curation operators: leakage-safe splits, benchmark
+contamination detection, and intra-document repetition profiling.
+
+These are the steps a large-scale LLM-training-data pipeline runs AFTER
+deduplication/linkage (operators/dedup.py, operators/closure.py) has
+produced entity/near-dup clusters — the reference engine stops at the
+matched-pairs file (`/root/reference/app/MatchReview.py` hands pairs to a
+human), so all three are beyond-reference additions in the spirit of its
+pipeline: decide what a downstream consumer may safely use.
+
+1. ``leakage_safe_split`` — assign train/val/test at CLUSTER granularity,
+   so two near-duplicate documents can never straddle a split (the classic
+   train/test-contamination bug when splitting at row granularity).  The
+   split is a pure deterministic map over the cluster id (md5-prefix mod
+   100), so it is reproducible across runs, engines, and cluster sizes —
+   no sampling, no RNG state, no shuffle beyond what clustering already
+   paid.
+
+2. ``contamination_report`` — per corpus document, how many of its
+   distinct word n-grams also appear anywhere in a benchmark/eval corpus
+   (Lee et al. 2022; the n-gram-overlap decontamination used for public
+   LLM corpora).  Grams are 48-bit md5-prefix ints (operators/dedup.py's
+   oracle-portable hash), so the join shuffles longs, not strings.
+
+3. ``repetition_profile`` — per document, total vs distinct word n-grams
+   and the duplicate fraction (the Gopher/MassiveText repetition rules):
+   boilerplate and degenerate generations repeat n-grams heavily.  Pure
+   map-only projection — no shuffle at all.
+
+At 100 TB: (1) is map-only over the clustered output; (2) shuffles one
+long per distinct gram — linear in corpus size, with the benchmark side
+typically small enough that AQE picks a broadcast join on its own; (3) is
+embarrassingly parallel.  Nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _hash64, word_shingles
+
+# ---------------------------------------------------------------------------
+# 1. leakage-safe split
+# ---------------------------------------------------------------------------
+
+
+def split_bucket(cluster: Column) -> Column:
+    """Deterministic 0..99 bucket from the cluster id: md5-prefix of the
+    id's string form, mod 100. Same arithmetic as split_bucket_sql."""
+    return F.conv(F.substring(F.md5(cluster.cast("string")), 1, 4), 16, 10).cast(
+        "long"
+    ) % 100
+
+
+def split_bucket_sql(cluster_expr: str) -> str:
+    return (
+        f"CAST(('0x' || substring(md5(CAST({cluster_expr} AS VARCHAR)), 1, 4)) "
+        f"AS BIGINT) % 100"
+    )
+
+
+def leakage_safe_split(
+    assignments: DataFrame,
+    *,
+    cluster_col: str = "cluster_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Append a ``split`` column ('train'/'val'/'test') decided ONLY by the
+    cluster id, so every member of a near-dup cluster lands in the same
+    split. Map-only; bucket < train_pct -> train, < train+val -> val."""
+    b = split_bucket(F.col(cluster_col))
+    return assignments.withColumn(
+        "split",
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def leakage_safe_split_sql(
+    cluster_expr: str, *, train_pct: int = 80, val_pct: int = 10
+) -> str:
+    """The split CASE expression for the DuckDB oracle twin."""
+    b = split_bucket_sql(cluster_expr)
+    return (
+        f"CASE WHEN {b} < {train_pct} THEN 'train' "
+        f"WHEN {b} < {train_pct + val_pct} THEN 'val' ELSE 'test' END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. benchmark contamination
+# ---------------------------------------------------------------------------
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 5,
+) -> DataFrame:
+    """(id, n_grams, n_contaminated, contaminated_frac) per corpus doc.
+
+    n_grams counts the doc's DISTINCT word n-grams; n_contaminated counts
+    how many of those also occur anywhere in `benchmark`. Documents whose
+    text yields no usable gram (empty/whitespace) report 0/0 with a NULL
+    fraction rather than vanishing.
+
+    Plan: explode distinct grams (one row per doc-gram), hash to 48-bit
+    longs, LEFT SEMI-free left join against the benchmark's distinct gram
+    hashes, one groupBy(id). The benchmark side is aggregated to DISTINCT
+    before the join, so a gram repeated across benchmark docs can't
+    double-count a corpus gram.
+    """
+    grams = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("_g"),
+    ).filter(F.col("_g") != "")
+    grams = grams.select("id", _hash64(F.col("_g")).alias("_h"))
+    bench = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(text_col), n)).alias("_g")
+        )
+        .filter(F.col("_g") != "")
+        .select(_hash64(F.col("_g")).alias("_h"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    per_doc = (
+        grams.join(bench, "_h", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
+        )
+    )
+    return (
+        corpus.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_contaminated", F.lit(0))
+            .cast("long")
+            .alias("n_contaminated"),
+            (
+                F.coalesce("n_contaminated", F.lit(0))
+                / F.when(F.coalesce("n_grams", F.lit(0)) > 0, F.col("n_grams"))
+            ).alias("contaminated_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. repetition profile
+# ---------------------------------------------------------------------------
+
+
+def _word_ngrams_all(c: Column, n: int) -> Column:
+    """ALL word n-grams (duplicates kept — unlike dedup.word_shingles,
+    which is distinct by design). Short docs fall back to the whole token
+    string, matching the shingle convention."""
+    toks = F.filter(F.split(F.trim(c), "\\s+"), lambda x: x != F.lit(""))
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return F.when(cnt >= n, sh).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def repetition_profile(
+    df: DataFrame, text_col: str, id_col: str, *, n: int = 2
+) -> DataFrame:
+    """(id, n_grams_total, n_grams_distinct, dup_frac) per document —
+    the MassiveText/Gopher 'duplicate n-gram fraction' rule. Map-only:
+    the gram array is built, sized, and deduped inside one projection;
+    empty docs report 0/0 with NULL dup_frac."""
+    grams = _word_ngrams_all(F.col(text_col), n)
+    grams = F.filter(grams, lambda x: x != F.lit(""))
+    total = F.size(grams).cast("long")
+    distinct = F.size(F.array_distinct(grams)).cast("long")
+    return df.select(
+        F.col(id_col).alias("id"),
+        total.alias("n_grams_total"),
+        distinct.alias("n_grams_distinct"),
+        ((total - distinct) / F.when(total > 0, total)).alias("dup_frac"),
+    )

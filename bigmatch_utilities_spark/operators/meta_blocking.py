@@ -487,3 +487,136 @@ def meta_block_pairs_sql(
         SELECT id_l, id_r, cbs FROM edges, st
         WHERE cbs * n_edges >= sum_cbs
     """
+
+
+def wnp_prune(edges: DataFrame) -> DataFrame:
+    """Weighted Node Pruning (Papadakis et al., TKDE 2014) over a CBS
+    edge frame (id_l, id_r, cbs): keep an edge iff its weight is at or
+    above the LOCAL mean edge weight of at least one endpoint.
+
+    WEP (:func:`meta_block_pairs`) applies one GLOBAL mean — fine when
+    edge weights are comparable corpus-wide, but a dense region (a hot
+    repo, a boilerplate-heavy language) inflates the global mean and
+    starves sparse regions of all their candidates.  WNP localizes the
+    threshold: each node averages only its OWN incident edges, so sparse
+    entities keep their best evidence while dense hubs still shed their
+    weak tail.  The union (either endpoint retains) is the standard
+    redefined-WNP form — it preserves recall at a small precision cost
+    vs the intersection variant.
+
+    Exact integer arithmetic (`cbs * n_node >= sum_node`), same zero-
+    float-hazard discipline as the WEP prune.  Plan: one explode to
+    (node, cbs) — 2 rows per edge — one groupBy(node), then two joins of
+    the edge frame against the tiny per-node stats frame (AQE broadcasts
+    it when small).  Linear in edge count; no global scalar, no window.
+    """
+    incident = edges.select(
+        F.explode(F.array("id_l", "id_r")).alias("node"), "cbs"
+    )
+    stats = incident.groupBy("node").agg(
+        F.sum("cbs").alias("_sum"), F.count(F.lit(1)).alias("_n")
+    )
+    sl = stats.select(
+        F.col("node").alias("id_l"),
+        F.col("_sum").alias("_sum_l"),
+        F.col("_n").alias("_n_l"),
+    )
+    sr = stats.select(
+        F.col("node").alias("id_r"),
+        F.col("_sum").alias("_sum_r"),
+        F.col("_n").alias("_n_r"),
+    )
+    return (
+        edges.join(sl, "id_l")
+        .join(sr, "id_r")
+        .filter(
+            (F.col("cbs") * F.col("_n_l") >= F.col("_sum_l"))
+            | (F.col("cbs") * F.col("_n_r") >= F.col("_sum_r"))
+        )
+        .select("id_l", "id_r", "cbs")
+    )
+
+
+def wnp_pairs_sql(
+    table: str,
+    id_col: str,
+    key_exprs: dict[str, str],
+    *,
+    max_block_rows: int = 2_000,
+) -> str:
+    """DuckDB oracle twin of block_assignments → CBS edges → wnp_prune."""
+    unions = "\nUNION ALL\n".join(
+        f"""SELECT {id_col} AS id, '{kname}=' || CAST(({kexpr}) AS STRING) AS block
+            FROM {table}
+            WHERE ({kexpr}) IS NOT NULL AND trim(CAST(({kexpr}) AS STRING)) <> ''"""
+        for kname, kexpr in key_exprs.items()
+    )
+    return f"""
+        WITH asg AS ({unions}),
+        sized AS (
+            SELECT block FROM asg GROUP BY block
+            HAVING count(*) BETWEEN 2 AND {max_block_rows}
+        ),
+        kept AS (SELECT a.* FROM asg a JOIN sized USING (block)),
+        edges AS (
+            SELECT x.id AS id_l, y.id AS id_r, count(*) AS cbs
+            FROM kept x JOIN kept y
+              ON x.block = y.block AND x.id < y.id
+            GROUP BY x.id, y.id
+        ),
+        incident AS (
+            SELECT id_l AS node, cbs FROM edges
+            UNION ALL SELECT id_r AS node, cbs FROM edges
+        ),
+        st AS (
+            SELECT node, sum(cbs) AS _sum, count(*) AS _n
+            FROM incident GROUP BY node
+        )
+        SELECT e.id_l, e.id_r, e.cbs
+        FROM edges e
+        JOIN st a ON a.node = e.id_l
+        JOIN st b ON b.node = e.id_r
+        WHERE e.cbs * a._n >= a._sum OR e.cbs * b._n >= b._sum
+    """
+
+
+def cbs_edges(
+    df: DataFrame,
+    id_col: str,
+    key_exprs: dict[str, str],
+    *,
+    max_block_rows: int = 2_000,
+) -> DataFrame:
+    """CBS-weighted raw edges (id_l, id_r, cbs) — the shared front half of
+    meta_block_pairs / wnp_pairs: assignments, size guard, block self-join,
+    one map-side-combined groupBy."""
+    asg = block_assignments(df, id_col, key_exprs)
+    sized = (
+        asg.groupBy("block")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= max_block_rows))
+        .select("block")
+    )
+    kept = asg.join(sized, "block")
+    a = kept.select("block", F.col("id").alias("id_l"))
+    b = kept.select("block", F.col("id").alias("id_r"))
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_l") < F.col("id_r"))
+        .groupBy("id_l", "id_r")
+        .agg(F.count(F.lit(1)).alias("cbs"))
+    )
+
+
+def wnp_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_exprs: dict[str, str],
+    *,
+    max_block_rows: int = 2_000,
+) -> DataFrame:
+    """Meta-blocking with Weighted NODE Pruning: CBS edges kept when at or
+    above the local mean of either endpoint (see :func:`wnp_prune`)."""
+    return wnp_prune(
+        cbs_edges(df, id_col, key_exprs, max_block_rows=max_block_rows)
+    )

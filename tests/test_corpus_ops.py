@@ -1,0 +1,140 @@
+"""Corpus-curation operators: leakage-safe split, contamination, repetition,
+and WNP meta-blocking."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigmatch_utilities_spark.operators.corpus_ops import (
+    contamination_report,
+    leakage_safe_split,
+    repetition_profile,
+)
+from bigmatch_utilities_spark.operators.meta_blocking import (
+    cbs_edges,
+    meta_block_pairs,
+    wnp_pairs,
+    wnp_prune,
+)
+
+
+def test_split_is_cluster_granular_and_deterministic(spark):
+    # 600 rows in 200 clusters of 3 — every member must share its
+    # cluster's split, and re-running must give the identical assignment
+    rows = [(i, i // 3) for i in range(600)]
+    df = spark.createDataFrame(rows, "id long, cluster_id long")
+    out1 = leakage_safe_split(df).collect()
+    out2 = leakage_safe_split(df).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    by_cluster: dict[int, set[str]] = {}
+    for r in out1:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # all three splits realized, and train dominates (80/10/10 target)
+    counts = {s: 0 for s in ("train", "val", "test")}
+    for r in out1:
+        counts[r.split] += 1
+    assert counts["train"] > counts["val"] > 0
+    assert counts["test"] > 0
+    assert counts["train"] > 0.6 * 600
+
+
+def test_split_custom_percentages(spark):
+    df = spark.createDataFrame([(i, i) for i in range(500)], "id long, cluster_id long")
+    out = leakage_safe_split(df, train_pct=0, val_pct=100).collect()
+    assert {r.split for r in out} == {"val"}
+
+
+def test_contamination_counts_by_hand(spark):
+    # benchmark holds "a b c d e"; corpus doc 1 shares exactly that one
+    # 5-gram out of its two; doc 2 shares nothing; doc 3 is too short for
+    # a 5-gram and falls back to its whole token string (no overlap)
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),      # grams: "a b c d e", "b c d e f"
+            (2, "x y z w v u"),      # grams: 2, no overlap
+            (3, "hi there"),          # short fallback: "hi there"
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(9, "a b c d e")], "doc_id long, text string")
+    out = {r.id: r for r in contamination_report(corpus, bench, "text", "doc_id", n=5).collect()}
+    assert out[1].n_grams == 2 and out[1].n_contaminated == 1
+    assert abs(out[1].contaminated_frac - 0.5) < 1e-9
+    assert out[2].n_grams == 2 and out[2].n_contaminated == 0
+    assert out[3].n_grams == 1 and out[3].n_contaminated == 0
+
+
+def test_contamination_empty_doc_reports_zero_not_dropped(spark):
+    corpus = spark.createDataFrame(
+        [(1, "   "), (2, "a b c d e")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(9, "a b c d e")], "doc_id long, text string")
+    out = {r.id: r for r in contamination_report(corpus, bench, "text", "doc_id", n=5).collect()}
+    assert out[1].n_grams == 0 and out[1].n_contaminated == 0
+    assert out[1].contaminated_frac is None
+    assert out[2].n_contaminated == 1
+
+
+def test_repetition_profile_by_hand(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "go go go go"),   # bigrams: "go go" x3 -> dup 2/3
+            (2, "a b c"),          # bigrams: "a b", "b c" -> dup 0
+            (3, "solo"),           # short fallback: 1 gram, dup 0
+            (4, "  "),             # empty: 0 grams, NULL frac
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in repetition_profile(df, "text", "doc_id", n=2).collect()}
+    assert out[1].n_grams_total == 3 and out[1].n_grams_distinct == 1
+    assert abs(out[1].dup_frac - 2 / 3) < 1e-9
+    assert out[2].dup_frac == 0.0
+    assert out[3].n_grams_total == 1 and out[3].dup_frac == 0.0
+    assert out[4].n_grams_total == 0 and out[4].dup_frac is None
+
+
+def test_wnp_prune_local_means_by_hand(spark):
+    # node 1: edges 3,1 (mean 2)  -> (1,2,cbs=3) kept via node 1
+    # edge (1,3,cbs=1): node1 mean 2 (drop), node3 edges 1,1 (mean 1) -> kept
+    # edge (2,4,cbs=1): node2 edges 3,1 (mean 2 -> drop), node4 edge 1
+    #   (mean 1) -> kept via node 4
+    edges = spark.createDataFrame(
+        [(1, 2, 3), (1, 3, 1), (2, 4, 1), (3, 5, 1)],
+        "id_l long, id_r long, cbs long",
+    )
+    kept = {(r.id_l, r.id_r) for r in wnp_prune(edges).collect()}
+    assert kept == {(1, 2), (1, 3), (2, 4), (3, 5)}
+
+
+def test_wnp_keeps_sparse_region_wep_starves(spark):
+    # a dense clique of weight-5 edges inflates the global mean past the
+    # sparse region's weight-1 edge: WEP drops it, WNP keeps it (it is the
+    # sparse nodes' only — hence locally average — evidence)
+    rows = [(f"d{i}", f"d{j}", 5) for i in range(4) for j in range(i + 1, 4)]
+    rows.append(("s1", "s2", 1))
+    edges = spark.createDataFrame(rows, "id_l string, id_r string, cbs long")
+    wnp_kept = {(r.id_l, r.id_r) for r in wnp_prune(edges).collect()}
+    assert ("s1", "s2") in wnp_kept
+    # global WEP on the same frame: mean = (30+1)/7 > 1 -> the sparse edge dies
+    stats = edges.agg(F.sum("cbs").alias("s"), F.count(F.lit(1)).alias("n"))
+    wep_kept = {
+        (r.id_l, r.id_r)
+        for r in edges.crossJoin(F.broadcast(stats))
+        .filter(F.col("cbs") * F.col("n") >= F.col("s"))
+        .collect()
+    }
+    assert ("s1", "s2") not in wep_kept
+
+
+def test_wnp_pairs_subset_of_raw_edges(spark):
+    df = spark.createDataFrame(
+        [(i, f"v{i % 7}", f"w{i % 11}") for i in range(120)],
+        "id long, a string, b string",
+    )
+    keys = {"ka": "a", "kb": "b"}
+    raw = {(r.id_l, r.id_r) for r in cbs_edges(df, "id", keys).collect()}
+    wnp = {(r.id_l, r.id_r) for r in wnp_pairs(df, "id", keys).collect()}
+    wep = {(r.id_l, r.id_r) for r in meta_block_pairs(df, "id", keys).collect()}
+    assert wnp <= raw and wep <= raw
+    assert wnp  # something survives
