@@ -414,6 +414,22 @@ def main() -> None:
 
     counters["value_canon_rows"] = timed("value_canon", q_value_canon)
 
+    # round-5 fifth-session keys: benchmark-contamination n-gram overlap
+    # and weighted-node-pruning meta-blocking over documents
+    def q_contamination():
+        import __spark_entry__ as entrymod
+
+        return entrymod.queries()["bc_contamination"](spark, SF_DIR).count()
+
+    counters["contamination_docs"] = timed("contamination", q_contamination)
+
+    def q_wnp():
+        import __spark_entry__ as entrymod
+
+        return entrymod.queries()["wp_wnp_meta_blocking"](spark, SF_DIR).count()
+
+    counters["wnp_pairs"] = timed("wnp", q_wnp)
+
     # throughput denominator: candidate pairs actually entering the
     # comparator stage (BASELINE's candidate-pairs/sec unit), counted on
     # the same plans after the timed runs so the count jobs don't pollute
