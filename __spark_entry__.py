@@ -2327,6 +2327,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["wp_wnp_meta_blocking"] = wp
 
+    # ---- DQ1: near-dedup with quality-priority survivor election ------------
+    def dqk(spark, sf):
+        from bigmatch_utilities_spark.operators.dedup import near_dedup_keep_by
+        from bigmatch_utilities_spark.operators.textanalysis import quality_score
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id", "text", quality_score(F.col("text")).alias("q")
+        )
+        kept = near_dedup_keep_by(
+            d, "text", "doc_id", "q",
+            shingle_k=3, bands=4, rows_per_band=1,
+            threshold=0.5, max_bucket=None,
+        )
+        return kept.select("doc_id")
+
+    q["dd_quality_keep"] = dqk
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -4172,6 +4189,58 @@ def oracle_sql() -> dict[str, str]:
 
     o["wp_wnp_meta_blocking"] = wnp_pairs_sql(
         "documents", "doc_id", _MB_KEYS, max_block_rows=256
+    )
+
+    # dqk: the dd_near_dedup_keep chain with QUALITY-priority survivor
+    # election (row_number over q DESC, id ASC replaces the min-id keep);
+    # quality_score_sql comes from the module-level import
+    o["dd_quality_keep"] = (
+        lsh_shingles.replace("WITH toks", "WITH RECURSIVE toks", 1)
+        + f""", sig AS (
+            SELECT doc_id, {band_keys} FROM h GROUP BY doc_id
+        ), bands AS (
+            SELECT doc_id, 0 AS band, s0 AS band_key FROM sig
+            UNION ALL SELECT doc_id, 1, s1 FROM sig
+            UNION ALL SELECT doc_id, 2, s2 FROM sig
+            UNION ALL SELECT doc_id, 3, s3 FROM sig
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ), ver AS (
+            SELECT c.id_l, c.id_r
+            FROM cand c JOIN sh x ON x.doc_id = c.id_l
+                        JOIN sh y ON y.doc_id = c.id_r
+            WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                  / len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.5
+        ), und AS (
+            SELECT id_l AS s, id_r AS d FROM ver
+            UNION SELECT id_r, id_l FROM ver
+        ), nodes AS (SELECT DISTINCT s AS n FROM und),
+        reach(n, m) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT u.d, r.m FROM reach r JOIN und u ON u.s = r.n
+        ), comp AS (
+            SELECT n AS id, min(m) AS cluster_id FROM reach GROUP BY n
+        ), pr AS (
+            SELECT doc_id AS id, {quality_score_sql('text')} AS q FROM documents
+        ), elected AS (
+            SELECT id FROM (
+                SELECT c.id,
+                       row_number() OVER (PARTITION BY c.cluster_id
+                                          ORDER BY p.q DESC, c.id ASC) AS rk
+                FROM comp c JOIN pr p ON p.id = c.id
+            ) WHERE rk = 1
+        ), drop_ids AS (
+            SELECT c.id FROM comp c LEFT JOIN elected e ON e.id = c.id
+            WHERE e.id IS NULL
+        )
+        SELECT d.doc_id FROM documents d
+        LEFT JOIN drop_ids x ON d.doc_id = x.id
+        WHERE x.id IS NULL
+    """
     )
 
     return o

@@ -462,3 +462,63 @@ def simhash_candidates(
         allb = allb.persist()
         cache_handle.append(allb)
     return _bucket_pairs(allb, max_bucket=max_bucket, shard_rows=shard_rows)
+
+
+def near_dedup_keep_by(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    priority_col: str,
+    *,
+    shingle_k: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.7,
+    max_bucket: int | None = 1000,
+    shard_rows: int | None = None,
+    cache_handle: list | None = None,
+) -> DataFrame:
+    """:func:`near_dedup_keep` with PRIORITY-based survivor election: per
+    near-dup cluster keep the member maximizing `priority_col` (a numeric
+    column of `df` — e.g. textanalysis.quality_score), ties broken by
+    smallest id.  min-id keep is the right default for determinism, but a
+    training pipeline usually wants the BEST copy of a near-dup family —
+    the longest/cleanest page, not the lexically-first crawl.
+
+    The election is a map-side-combined ``groupBy(cluster).agg(min(
+    struct(-priority, id)))`` — one extra shuffle on the O(clustered)
+    frame, never a window over the full table.  Unclustered documents
+    (no verified near-dup edge) are kept unconditionally, exactly as in
+    near_dedup_keep.
+    """
+    from bigmatch_utilities_spark.operators.closure import connected_components
+
+    cands = minhash_candidates(
+        df,
+        text_col,
+        id_col,
+        shingle_k=shingle_k,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        max_bucket=max_bucket,
+        shard_rows=shard_rows,
+        cache_handle=cache_handle,
+    )
+    verified = jaccard_pairs(
+        df, cands, text_col, id_col, shingle_k=shingle_k, threshold=threshold
+    )
+    comps = connected_components(verified, src="id_l", dst="id_r")
+    prio = df.select(
+        F.col(id_col).alias("id"), F.col(priority_col).alias("_prio")
+    )
+    elected = (
+        comps.join(prio, "id")
+        .groupBy("cluster_id")
+        .agg(F.min(F.struct((-F.col("_prio")).alias("np"), F.col("id").alias("id"))).alias("_e"))
+        .select(F.col("_e.id").alias("id"))
+    )
+    # drop = clustered members that were NOT elected
+    drop = comps.select("id").join(elected, "id", "left_anti").select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

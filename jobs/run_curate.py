@@ -1,0 +1,192 @@
+"""spark-submit entrypoint: end-to-end training-corpus curation.
+
+    spark-submit --py-files bigmatch_utilities_spark.zip jobs/run_curate.py \
+        --input <parquet-or-table> --output <dir> \
+        [--text-col text] [--id-col doc_id] \
+        [--min-quality 0.0] [--max-dup-frac 1.0] [--rep-ngram 2] \
+        [--threshold 0.7] [--bands 8] [--rows-per-band 2] [--shingle-k 3] \
+        [--max-bucket 1000] [--shard-rows 0] [--keep-by quality|min-id] \
+        [--benchmark <parquet>] [--max-contamination 1.0] [--contam-ngram 5] \
+        [--train-pct 80] [--val-pct 10]
+
+The post-linkage corpus pipeline (operators/corpus_ops.py +
+operators/dedup.py + operators/textanalysis.py), chained in the order a
+production run wants — cheap map-only filters BEFORE the shuffling
+stages, so the expensive LSH/join work only sees survivors:
+
+  1. profile   quality score + repetition dup_frac (map-only projections)
+  2. filter    drop rows under --min-quality or over --max-dup-frac
+  3. dedup     MinHash-LSH -> shingle-Jaccard -> connected components;
+               per near-dup cluster keep the --keep-by representative
+               (quality = best copy survives; min-id = deterministic
+               legacy election)
+  4. decontam  (with --benchmark) distinct word n-gram overlap against
+               the benchmark corpus; drop rows whose contaminated
+               fraction exceeds --max-contamination
+  5. split     leakage-safe train/val/test at near-dup-CLUSTER
+               granularity — the split bucket is a pure function of the
+               cluster id, so near-duplicates can never straddle splits
+
+Outputs under --output:
+  curated/     kept rows + (quality, dup_frac[, contaminated_frac],
+               cluster_id, split)
+  stats.json   per-stage row counts (input, after_filter, after_dedup,
+               after_decontam, per-split) — the audit trail
+
+Every count in stats.json is a Spark aggregate (single-row collects);
+nothing row-level ever reaches the driver.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def _read(spark: SparkSession, path: str):
+    return (
+        spark.read.table(path)
+        if "." in path and "/" not in path
+        else spark.read.parquet(path)
+    )
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--min-quality", type=float, default=0.0)
+    p.add_argument("--max-dup-frac", type=float, default=1.0)
+    p.add_argument("--rep-ngram", type=int, default=2)
+    p.add_argument("--threshold", type=float, default=0.7)
+    p.add_argument("--shingle-k", type=int, default=3)
+    p.add_argument("--bands", type=int, default=8)
+    p.add_argument("--rows-per-band", type=int, default=2)
+    p.add_argument("--max-bucket", type=int, default=1000)
+    p.add_argument("--shard-rows", type=int, default=0)
+    p.add_argument("--keep-by", choices=("quality", "min-id"), default="quality")
+    p.add_argument("--benchmark", default=None)
+    p.add_argument("--max-contamination", type=float, default=1.0)
+    p.add_argument("--contam-ngram", type=int, default=5)
+    p.add_argument("--train-pct", type=int, default=80)
+    p.add_argument("--val-pct", type=int, default=10)
+    args = p.parse_args()
+    out = args.output.rstrip("/")
+    idc, txt = args.id_col, args.text_col
+
+    from bigmatch_utilities_spark.operators.closure import connected_components
+    from bigmatch_utilities_spark.operators.corpus_ops import (
+        contamination_report,
+        leakage_safe_split,
+        repetition_profile,
+    )
+    from bigmatch_utilities_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_candidates,
+    )
+    from bigmatch_utilities_spark.operators.textanalysis import quality_score
+
+    spark = SparkSession.builder.appName("bigmatch-run-curate").getOrCreate()
+    df = _read(spark, args.input)
+    stats: dict[str, int] = {"input": df.count()}
+
+    # 1-2. map-only profile + filter (runs BEFORE any shuffle)
+    rep = repetition_profile(df, txt, idc, n=args.rep_ngram).select(
+        F.col("id").alias(idc), "dup_frac"
+    )
+    profiled = (
+        df.withColumn("quality", quality_score(F.col(txt)))
+        .join(rep, idc)
+        .filter(F.col("quality") >= args.min_quality)
+        .filter(
+            F.col("dup_frac").isNull() | (F.col("dup_frac") <= args.max_dup_frac)
+        )
+    )
+    stats["after_filter"] = profiled.count()
+
+    # 3. near-dedup with survivor election (closure computed ONCE — the
+    # same comps frame later drives the leakage-safe split)
+    caches: list = []
+    cands = minhash_candidates(
+        profiled,
+        txt,
+        idc,
+        shingle_k=args.shingle_k,
+        bands=args.bands,
+        rows_per_band=args.rows_per_band,
+        max_bucket=args.max_bucket or None,
+        shard_rows=args.shard_rows or None,
+        cache_handle=caches,
+    )
+    verified = jaccard_pairs(
+        profiled, cands, txt, idc, shingle_k=args.shingle_k, threshold=args.threshold
+    )
+    comps = connected_components(verified, src="id_l", dst="id_r")
+    comps.write.mode("overwrite").parquet(f"{out}/clusters")
+    comps = spark.read.parquet(f"{out}/clusters")
+
+    if args.keep_by == "quality":
+        prio = profiled.select(F.col(idc).alias("id"), F.col("quality").alias("_p"))
+        elected = (
+            comps.join(prio, "id")
+            .groupBy("cluster_id")
+            .agg(F.min(F.struct((-F.col("_p")).alias("np"), F.col("id").alias("id"))).alias("_e"))
+            .select(F.col("_e.id").alias("id"))
+        )
+        drop = comps.select("id").join(elected, "id", "left_anti")
+    else:
+        drop = comps.filter(F.col("id") != F.col("cluster_id")).select("id")
+    deduped = profiled.join(
+        drop.select(F.col("id").alias(idc)), idc, "left_anti"
+    )
+    stats["after_dedup"] = deduped.count()
+
+    # 4. optional benchmark decontamination
+    if args.benchmark:
+        bench = _read(spark, args.benchmark)
+        contam = contamination_report(
+            deduped, bench, txt, idc, n=args.contam_ngram
+        ).select(F.col("id").alias(idc), "contaminated_frac")
+        deduped = deduped.join(contam, idc, "left").filter(
+            F.col("contaminated_frac").isNull()
+            | (F.col("contaminated_frac") <= args.max_contamination)
+        )
+    stats["after_decontam"] = deduped.count()
+
+    # 5. leakage-safe split at cluster granularity (survivors of a cluster
+    # inherit the CLUSTER's bucket; never-clustered rows bucket on own id)
+    asg = (
+        deduped.select(F.col(idc).alias("id"))
+        .join(comps, "id", "left")
+        .select("id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id"))
+    )
+    split = leakage_safe_split(
+        asg, train_pct=args.train_pct, val_pct=args.val_pct
+    )
+    curated = deduped.join(
+        split.select(F.col("id").alias(idc), "cluster_id", "split"), idc
+    )
+    curated.write.mode("overwrite").parquet(f"{out}/curated")
+    curated = spark.read.parquet(f"{out}/curated")
+    for r in curated.groupBy("split").count().collect():
+        stats[f"split_{r['split']}"] = r["count"]
+
+    with open(f"{out}/stats.json", "w") as fh:
+        json.dump(stats, fh, indent=2, sort_keys=True)
+    print(json.dumps(stats, sort_keys=True))
+
+    for c in caches:
+        c.unpersist()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

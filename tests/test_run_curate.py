@@ -1,0 +1,128 @@
+"""run_curate CLI end-to-end, plus near_dedup_keep_by survivor election."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+from bigmatch_utilities_spark.operators.dedup import (
+    near_dedup_keep,
+    near_dedup_keep_by,
+)
+
+
+def _run(monkeypatch, spark, argv: list[str]) -> None:
+    monkeypatch.setattr(sys, "argv", ["run_curate.py"] + argv)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    spec = importlib.util.spec_from_file_location(
+        "run_curate",
+        os.path.join(
+            os.path.dirname(os.path.dirname(__file__)), "jobs", "run_curate.py"
+        ),
+    )
+    rc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rc)
+    rc.main()
+
+
+_NEAR_A = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+_NEAR_B = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+
+
+def test_keep_by_elects_highest_priority(spark):
+    # docs 10/11 are near-dups; 11 has the higher priority so min-id keep
+    # and priority keep disagree on purpose
+    df = spark.createDataFrame(
+        [(10, _NEAR_A, 0.1), (11, _NEAR_B, 0.9), (12, "totally different words here now", 0.5)],
+        "doc_id long, text string, prio double",
+    )
+    kept_min = {
+        r.doc_id
+        for r in near_dedup_keep(
+            df, "text", "doc_id", shingle_k=3, bands=4, rows_per_band=1,
+            threshold=0.5, max_bucket=None,
+        ).collect()
+    }
+    kept_prio = {
+        r.doc_id
+        for r in near_dedup_keep_by(
+            df, "text", "doc_id", "prio", shingle_k=3, bands=4, rows_per_band=1,
+            threshold=0.5, max_bucket=None,
+        ).collect()
+    }
+    assert kept_min == {10, 12}
+    assert kept_prio == {11, 12}
+
+
+def test_keep_by_tie_breaks_min_id(spark):
+    df = spark.createDataFrame(
+        [(20, _NEAR_A, 0.7), (21, _NEAR_B, 0.7)],
+        "doc_id long, text string, prio double",
+    )
+    kept = {
+        r.doc_id
+        for r in near_dedup_keep_by(
+            df, "text", "doc_id", "prio", shingle_k=3, bands=4, rows_per_band=1,
+            threshold=0.5, max_bucket=None,
+        ).collect()
+    }
+    assert kept == {20}
+
+
+def test_run_curate_end_to_end(spark, tmp_path, monkeypatch):
+    # corpus: a near-dup pair (one longer/cleaner), a repetitive junk doc,
+    # a benchmark-contaminated doc, and clean singles
+    bench_text = "the secret benchmark question about ancient rivers and their deltas"
+    rows = [
+        (1, _NEAR_B),
+        (2, _NEAR_A + " zulu yankee"),  # longer near-dup => higher quality
+        (3, "spam spam spam spam spam spam spam spam"),          # repetitive
+        (4, bench_text + " padded with some surrounding context words"),
+        (5, "a perfectly ordinary clean document about compilers and planners"),
+        (6, "another ordinary document mentioning query engines and storage"),
+    ]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(inp)
+    bpath = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(100, bench_text)], "doc_id long, text string"
+    ).write.parquet(bpath)
+    out = str(tmp_path / "out")
+
+    _run(
+        monkeypatch,
+        spark,
+        [
+            "--input", inp, "--output", out,
+            "--max-dup-frac", "0.5",
+            "--threshold", "0.5", "--bands", "8", "--rows-per-band", "1",
+            "--max-bucket", "0", "--shard-rows", "0",
+            "--keep-by", "quality",
+            "--benchmark", bpath, "--max-contamination", "0.3",
+            "--contam-ngram", "5",
+        ],
+    )
+
+    curated = spark.read.parquet(f"{out}/curated")
+    kept = {r.doc_id for r in curated.select("doc_id").collect()}
+    # 3 dies to the repetition rule; 1 loses the near-dup election to 2
+    # (2 is longer => higher quality — min-id keep would have chosen 1);
+    # 4 dies to contamination
+    assert 3 not in kept and 1 not in kept and 4 not in kept
+    assert {2, 5, 6} <= kept
+    # split column present and cluster-granular (one split per cluster)
+    for r in curated.groupBy("cluster_id").agg(
+        F.countDistinct("split").alias("ns")
+    ).collect():
+        assert r.ns == 1
+    with open(f"{out}/stats.json") as fh:
+        stats = json.load(fh)
+    assert stats["input"] == 6
+    assert stats["after_filter"] == 5          # repetition filter killed doc 3
+    assert stats["after_dedup"] == 4           # near-dup election killed doc 1
+    assert stats["after_decontam"] == 3        # contamination killed doc 4
+    assert sum(v for k, v in stats.items() if k.startswith("split_")) == 3
