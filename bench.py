@@ -425,8 +425,16 @@ def main() -> None:
 
     def q_wnp():
         import __spark_entry__ as entrymod
+        from bigmatch_utilities_spark.operators.meta_blocking import wnp_pairs
 
-        return entrymod.queries()["wp_wnp_meta_blocking"](spark, SF_DIR).count()
+        caches: list = []
+        n = wnp_pairs(
+            docs, "doc_id", entrymod._MB_KEYS, max_block_rows=256,
+            cache_handle=caches,
+        ).count()
+        for c in caches:
+            c.unpersist()
+        return n
 
     counters["wnp_pairs"] = timed("wnp", q_wnp)
 

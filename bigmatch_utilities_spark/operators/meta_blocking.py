@@ -489,7 +489,7 @@ def meta_block_pairs_sql(
     """
 
 
-def wnp_prune(edges: DataFrame) -> DataFrame:
+def wnp_prune(edges: DataFrame, *, cache_handle: list | None = None) -> DataFrame:
     """Weighted Node Pruning (Papadakis et al., TKDE 2014) over a CBS
     edge frame (id_l, id_r, cbs): keep an edge iff its weight is at or
     above the LOCAL mean edge weight of at least one endpoint.
@@ -509,7 +509,13 @@ def wnp_prune(edges: DataFrame) -> DataFrame:
     (node, cbs) — 2 rows per edge — one groupBy(node), then two joins of
     the edge frame against the tiny per-node stats frame (AQE broadcasts
     it when small).  Linear in edge count; no global scalar, no window.
+    The edge frame feeds BOTH the stats aggregation and the final join —
+    pass ``cache_handle`` to persist it across the two uses (same
+    contract as :func:`meta_block_pairs`); caller unpersists.
     """
+    if cache_handle is not None:
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+        cache_handle.append(edges)
     incident = edges.select(
         F.explode(F.array("id_l", "id_r")).alias("node"), "cbs"
     )
@@ -614,9 +620,11 @@ def wnp_pairs(
     key_exprs: dict[str, str],
     *,
     max_block_rows: int = 2_000,
+    cache_handle: list | None = None,
 ) -> DataFrame:
     """Meta-blocking with Weighted NODE Pruning: CBS edges kept when at or
     above the local mean of either endpoint (see :func:`wnp_prune`)."""
     return wnp_prune(
-        cbs_edges(df, id_col, key_exprs, max_block_rows=max_block_rows)
+        cbs_edges(df, id_col, key_exprs, max_block_rows=max_block_rows),
+        cache_handle=cache_handle,
     )
