@@ -302,6 +302,47 @@ def _snm_mix_config():
     )
 
 
+def _mp_mix_config():
+    """Pass 0: reference-style blocked equi-join on (lang, bucket).
+    Pass 1: meta-blocking mop-up — the CBS-weighted multi-key block graph
+    over _MB_KEYS with the LOCAL (WNP) prune — one declarative pass in
+    place of the several loose equi passes the reference hand-tunes."""
+    from bigmatch_utilities_spark.config import (
+        BlockField,
+        BlockingPassSpec,
+        CutoffSpec,
+        FieldRef,
+        MatchConfig,
+    )
+
+    cut = CutoffSpec(hi=_SNM_MIX_CUT[0], lo=_SNM_MIX_CUT[1])
+    return MatchConfig(
+        passes=(
+            BlockingPassSpec(
+                block_fields=(
+                    BlockField(name="lang"),
+                    BlockField(name="bucket", blank_flag=0),
+                ),
+                match_fields=_SNM_MIX_FIELDS,
+                cutoff=cut,
+                print_cutoff=cut,
+            ),
+            BlockingPassSpec(
+                block_fields=(),
+                match_fields=_SNM_MIX_FIELDS,
+                cutoff=cut,
+                print_cutoff=cut,
+                kind="meta",
+                meta_keys=tuple(_MB_KEYS.items()),
+                meta_prune="wnp",
+                meta_max_block_rows=256,
+            ),
+        ),
+        id_field=FieldRef(name="doc_id"),
+        dedupe_single_file=True,
+    )
+
+
 def _fp_sides(spark: SparkSession, sf_dir: str):
     """rec = documents with (tok1, tok2) = first two whitespace tokens;
     mem = the SAME documents with the two tokens swapped — every (x, x)
@@ -2344,6 +2385,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dd_quality_keep"] = dqk
 
+    # ---- MP1: mixed equi + meta-blocking (WNP) passes ------------------------
+    def mp(spark, sf):
+        from bigmatch_utilities_spark.operators.pipeline import run_match
+
+        res = run_match(
+            _docs_keyed(spark, sf), None, _mp_mix_config(), id_col="doc_id",
+            persist=False,
+        )
+        return res.pairs.select(
+            F.col("id_rec").alias("id_l"),
+            F.col("id_mem").alias("id_r"),
+            "pass_id",
+            F.round("weight", 6).alias("weight"),
+            "is_exact",
+            "decision",
+        )
+
+    q["mp_meta_pass_mix"] = mp
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -4242,5 +4302,40 @@ def oracle_sql() -> dict[str, str]:
         WHERE x.id IS NULL
     """
     )
+
+    # mp: mixed equi + meta-blocking (WNP) passes — the sp/qs mix pattern
+    # with the pass-1 candidates from the WNP-pruned multi-key block graph
+    _MP_MC = wnp_pairs_sql("d", "doc_id", _MB_KEYS, max_block_rows=256)
+    o["mp_meta_pass_mix"] = f"""
+        WITH d AS ({_DOCS_KEYED_SQL}),
+        mp_f0 AS (SELECT * FROM d WHERE trim(lang) <> ''),
+        mp_p0 AS (
+          SELECT a.doc_id AS id_l, b.doc_id AS id_r, 0 AS pass_id,
+                 {_SP_W} AS weight, {_SP_X} AS is_exact
+          FROM mp_f0 a JOIN mp_f0 b
+            ON a.lang = b.lang AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id
+        ),
+        mp_mc AS (SELECT id_l, id_r FROM ({_MP_MC})),
+        mp_p1 AS (
+          SELECT c.id_l, c.id_r, 1 AS pass_id,
+                 {_SP_W} AS weight, {_SP_X} AS is_exact
+          FROM mp_mc c
+          JOIN d a ON a.doc_id = c.id_l
+          JOIN d b ON b.doc_id = c.id_r
+        ),
+        mp_u AS (SELECT * FROM mp_p0 UNION ALL SELECT * FROM mp_p1),
+        mp_fpw AS (
+          SELECT id_l, id_r, min(pass_id) AS pass_id,
+                 arg_min(weight, pass_id) AS weight,
+                 arg_min(is_exact, pass_id) AS is_exact
+          FROM mp_u GROUP BY id_l, id_r
+        )
+        SELECT id_l, id_r, pass_id, round(weight, 6) AS weight, is_exact,
+               CASE WHEN weight >= {_sp_hi} THEN 'match'
+                    WHEN weight >= {_sp_lo} THEN 'possible'
+                    ELSE 'below' END AS decision
+        FROM mp_fpw
+    """
 
     return o

@@ -266,6 +266,19 @@ class BlockingPassSpec:
     interval_end: str | None = None
     interval_granule_s: int = 3600
     interval_max_granules: int = 64
+    #: Meta-blocking pass (kind="meta"): candidates come from the CBS-
+    #: weighted multi-key block graph over meta_keys — ((name, ANSI SQL
+    #: expression), ...) — pruned by meta_prune: "wep" (global-mean edge
+    #: prune, operators/meta_blocking.meta_block_pairs) or "wnp" (local
+    #: node-mean prune, wnp_pairs). One declarative pass replaces hand-
+    #: tuning several loose equi passes: a pair proposed by k independent
+    #: keys outranks single-key coincidences BEFORE any comparator runs.
+    #: Single-file (dedupe) passes only; block_fields are ignored (the
+    #: join comes from the key graph); the parmf grammar cannot express
+    #: it (write_parmf refuses, as for snm/lsh).
+    meta_keys: tuple[tuple[str, str], ...] = ()
+    meta_prune: str = "wep"
+    meta_max_block_rows: int = 2_000
     #: Transposition-tolerant field PAIRS scored via swapped_agreement
     #: (functions/comparators.py): each contributes ONE FS weight term
     #: computed on the better of the straight and crossed alignments.
@@ -273,9 +286,19 @@ class BlockingPassSpec:
 
     def __post_init__(self) -> None:
         if self.kind not in (
-            "equi", "snm", "lsh", "pprl", "qgram", "suffix", "interval"
+            "equi", "snm", "lsh", "pprl", "qgram", "suffix", "interval",
+            "meta",
         ):
             raise ValueError(f"unknown pass kind {self.kind!r}")
+        if self.kind == "meta":
+            if not self.meta_keys:
+                raise ValueError("kind='meta' requires meta_keys")
+            if self.meta_prune not in ("wep", "wnp"):
+                raise ValueError("meta_prune must be 'wep' or 'wnp'")
+            if self.star_block_rows:
+                raise ValueError("star_block_rows is an equi-pass option")
+            if self.meta_max_block_rows < 2:
+                raise ValueError("meta_max_block_rows must be >= 2")
         if self.kind == "snm":
             if self.snm_window < 2:
                 raise ValueError("snm_window must be >= 2")

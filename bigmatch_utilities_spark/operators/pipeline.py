@@ -193,6 +193,39 @@ def pass_candidates(
             .withColumnRenamed("id_l", "id_rec")
             .withColumnRenamed("id_r", "id_mem")
         )
+    elif spec.kind == "meta":
+        from bigmatch_utilities_spark.operators.meta_blocking import (
+            meta_block_pairs,
+            wnp_pairs,
+        )
+
+        if not dedupe or mem is not rec:
+            raise ValueError(
+                "kind='meta' is a single-file (dedupe) pass; merge two "
+                "files into one frame before a dedupe run"
+            )
+        # candidates come from the CBS-weighted multi-key block graph
+        # (id_l < id_r canonical, size-guarded, WEP/WNP pruned); carried
+        # match-field values join on from the source, same shape as the
+        # lsh/pprl/qgram canopy passes
+        prune_fn = meta_block_pairs if spec.meta_prune == "wep" else wnp_pairs
+        cands = prune_fn(
+            rec,
+            id_col,
+            dict(spec.meta_keys),
+            max_block_rows=spec.meta_max_block_rows,
+        ).select("id_l", "id_r")
+        side = rec.select(F.col(id_col), *carry_sup)
+        pairs = (
+            cands.join(
+                side.toDF(*(["id_l"] + [f"rec_{c}" for c in carry_sup])), "id_l"
+            )
+            .join(
+                side.toDF(*(["id_r"] + [f"mem_{c}" for c in carry_sup])), "id_r"
+            )
+            .withColumnRenamed("id_l", "id_rec")
+            .withColumnRenamed("id_r", "id_mem")
+        )
     elif spec.kind in ("qgram", "suffix"):
         from bigmatch_utilities_spark.operators.meta_blocking import (
             qgram_block_pairs,

@@ -415,3 +415,100 @@ def test_qgram_suffix_pass_validation_and_parmf_refusal():
     )
     with _pytest.raises(ValueError, match="cannot express"):
         write_parmf(cfg)
+
+
+def test_meta_pass_kind_through_run_match(spark):
+    """kind='meta' routes pass_candidates through the CBS multi-key block
+    graph (WEP or WNP prune) and feeds the standard FS scoring path — a
+    pair co-proposed by two independent keys outranks one-key noise."""
+    from bigmatch_utilities_spark.config import (
+        BlockingPassSpec,
+        CutoffSpec,
+        FieldRef,
+        MatchConfig,
+        MatchField,
+    )
+    from bigmatch_utilities_spark.operators.meta_blocking import (
+        meta_block_pairs,
+        wnp_pairs,
+    )
+    from bigmatch_utilities_spark.operators.pipeline import run_match
+
+    df = spark.createDataFrame(
+        [
+            (1, "ada", "x", "a"),
+            (2, "ada", "x", "a"),   # co-fires on BOTH keys with 1
+            (3, "ada", "y", "b"),   # co-fires only on k1 with 1/2
+            (4, "bob", "y", "b"),   # co-fires only on k2 with 3
+            (5, "eve", "z", "c"),   # singleton on every key
+        ],
+        "rid long, k1 string, k2 string, src string",
+    )
+    keys = (("k1", "k1"), ("k2", "k2"))
+    cut = CutoffSpec(hi=0.5, lo=-50.0)
+
+    def cfg(prune):
+        return MatchConfig(
+            passes=(
+                BlockingPassSpec(
+                    kind="meta",
+                    meta_keys=keys,
+                    meta_prune=prune,
+                    block_fields=(),
+                    match_fields=(
+                        MatchField(name="src", comparator="c", m=0.9, u=0.1),
+                    ),
+                    cutoff=cut,
+                    print_cutoff=cut,
+                ),
+            ),
+            id_field=FieldRef(name="rid"),
+            dedupe_single_file=True,
+        )
+
+    for prune, ref_fn in (("wep", meta_block_pairs), ("wnp", wnp_pairs)):
+        res = run_match(df, None, cfg(prune), id_col="rid", persist=False)
+        scored = {(r.id_rec, r.id_mem) for r in res.pairs.collect()}
+        expect = {
+            (r.id_l, r.id_r)
+            for r in ref_fn(df, "rid", dict(keys)).collect()
+        }
+        assert scored == expect and scored
+    # WEP (global mean 1.25) keeps only the cbs-2 edge; WNP keeps each
+    # node's locally-average evidence too
+    wep = {(r.id_l, r.id_r) for r in meta_block_pairs(df, "rid", dict(keys)).collect()}
+    wnp = {(r.id_l, r.id_r) for r in wnp_pairs(df, "rid", dict(keys)).collect()}
+    assert wep == {(1, 2)}
+    assert (3, 4) in wnp and (1, 2) in wnp
+
+
+def test_meta_pass_validation_and_parmf_refusal():
+    import pytest as _pytest
+
+    from bigmatch_utilities_spark.config import (
+        BlockingPassSpec,
+        FieldRef,
+        MatchConfig,
+        MatchField,
+        write_parmf,
+    )
+
+    with _pytest.raises(ValueError, match="meta_keys"):
+        BlockingPassSpec(block_fields=(), match_fields=(), kind="meta")
+    with _pytest.raises(ValueError, match="meta_prune"):
+        BlockingPassSpec(
+            block_fields=(), match_fields=(), kind="meta",
+            meta_keys=(("k", "k"),), meta_prune="nope",
+        )
+    cfg = MatchConfig(
+        passes=(
+            BlockingPassSpec(
+                block_fields=(), kind="meta", meta_keys=(("k", "name"),),
+                match_fields=(MatchField(name="name", comparator="c", m=0.9, u=0.1),),
+            ),
+        ),
+        id_field=FieldRef(name="rid"),
+        dedupe_single_file=True,
+    )
+    with _pytest.raises(ValueError, match="cannot express"):
+        write_parmf(cfg)
