@@ -2404,6 +2404,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mp_meta_pass_mix"] = mp
 
+    # ---- CS1: deterministic stratified downsample (data mixing) -------------
+    def cs(spark, sf):
+        from bigmatch_utilities_spark.operators.corpus_ops import stratified_sample
+
+        d = _t(spark, sf, "documents")
+        return stratified_sample(
+            d, "doc_id", "lang", {"en": 0.35, "de": 0.6}, default_rate=0.9
+        ).select("doc_id", "lang")
+
+    q["cs_corpus_sample"] = cs
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -4336,6 +4347,18 @@ def oracle_sql() -> dict[str, str]:
                     WHEN weight >= {_sp_lo} THEN 'possible'
                     ELSE 'below' END AS decision
         FROM mp_fpw
+    """
+
+    # cs: deterministic stratified downsample — identical md5 bucket + CASE
+    from bigmatch_utilities_spark.operators.corpus_ops import (
+        stratified_sample_sql,
+    )
+
+    _cs_pred = stratified_sample_sql(
+        "doc_id", "lang", {"en": 0.35, "de": 0.6}, default_rate=0.9
+    )
+    o["cs_corpus_sample"] = f"""
+        SELECT doc_id, lang FROM documents WHERE {_cs_pred}
     """
 
     return o

@@ -188,3 +188,58 @@ def repetition_profile(
         distinct.alias("n_grams_distinct"),
         ((total - distinct) / F.when(total > 0, total)).alias("dup_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 4. deterministic stratified sampling (data mixing)
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    *,
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsample — the data-mixing step that
+    rebalances over-represented strata (languages, sources) to target
+    proportions.  A row is kept iff its md5-prefix bucket (0..999999 over
+    the ID) falls under its stratum's rate; no RNG state, so the sample
+    is reproducible across runs, engines, and cluster sizes, and is
+    MONOTONE in the rate (raising a stratum's rate only ADDS rows — the
+    property that lets a pipeline re-cut mixtures without reshuffling
+    what was already selected).  Map-only: no shuffle, no sampleBy RNG.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 1_000_000
+    )
+    limit = F.lit(int(round(default_rate * 1_000_000)))
+    for k, v in rates.items():
+        limit = F.when(
+            F.col(strata_col) == k, F.lit(int(round(v * 1_000_000)))
+        ).otherwise(limit)
+    return df.filter(bucket < limit)
+
+
+def stratified_sample_sql(
+    id_expr: str,
+    strata_expr: str,
+    rates: dict[str, float],
+    *,
+    default_rate: float = 1.0,
+) -> str:
+    """The keep-predicate for the DuckDB oracle twin (WHERE clause body)."""
+    bucket = (
+        f"(CAST(('0x' || substring(md5(CAST({id_expr} AS VARCHAR)), 1, 6)) "
+        f"AS BIGINT) % 1000000)"
+    )
+    cases = " ".join(
+        f"WHEN {strata_expr} = '{k}' THEN {int(round(v * 1_000_000))}"
+        for k, v in rates.items()
+    )
+    limit = f"(CASE {cases} ELSE {int(round(default_rate * 1_000_000))} END)"
+    return f"{bucket} < {limit}"

@@ -138,3 +138,35 @@ def test_wnp_pairs_subset_of_raw_edges(spark):
     wep = {(r.id_l, r.id_r) for r in meta_block_pairs(df, "id", keys).collect()}
     assert wnp <= raw and wep <= raw
     assert wnp  # something survives
+
+
+def test_stratified_sample_deterministic_and_monotone(spark):
+    from bigmatch_utilities_spark.operators.corpus_ops import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(2000)],
+        "id long, lang string",
+    )
+    k1 = {r.id for r in stratified_sample(df, "id", "lang", {"en": 0.3}).collect()}
+    k2 = {r.id for r in stratified_sample(df, "id", "lang", {"en": 0.3}).collect()}
+    assert k1 == k2  # deterministic
+    # monotone: raising the rate only ADDS rows
+    k3 = {r.id for r in stratified_sample(df, "id", "lang", {"en": 0.6}).collect()}
+    assert k1 <= k3
+    # rates approximately honored per stratum; 'de' untouched (default 1.0)
+    en_kept = sum(1 for i in k1 if i % 2 == 0)
+    assert 0.2 * 1000 < en_kept < 0.4 * 1000
+    assert sum(1 for i in k1 if i % 2 == 1) == 1000
+
+
+def test_stratified_sample_rate_edges(spark):
+    from bigmatch_utilities_spark.operators.corpus_ops import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "en") for i in range(200)], "id long, lang string"
+    )
+    assert stratified_sample(df, "id", "lang", {"en": 0.0}).count() == 0
+    assert stratified_sample(df, "id", "lang", {"en": 1.0}).count() == 200
+    # default_rate applies to strata absent from the rates map
+    df2 = spark.createDataFrame([(i, "fr") for i in range(200)], "id long, lang string")
+    assert stratified_sample(df2, "id", "lang", {"en": 0.0}, default_rate=0.0).count() == 0
