@@ -7,6 +7,7 @@
         [--threshold 0.7] [--bands 8] [--rows-per-band 2] [--shingle-k 3] \
         [--max-bucket 1000] [--shard-rows 0] [--keep-by quality|min-id] \
         [--benchmark <parquet>] [--max-contamination 1.0] [--contam-ngram 5] \
+        [--sample-col lang --sample-rate en=0.35 --sample-default 1.0] \
         [--train-pct 80] [--val-pct 10]
 
 The post-linkage corpus pipeline (operators/corpus_ops.py +
@@ -23,6 +24,9 @@ stages, so the expensive LSH/join work only sees survivors:
   4. decontam  (with --benchmark) distinct word n-gram overlap against
                the benchmark corpus; drop rows whose contaminated
                fraction exceeds --max-contamination
+  4b. mix      (with --sample-col) deterministic per-stratum downsample
+               to target proportions (md5-bucket rate; monotone in the
+               rate, reproducible across engines and cluster sizes)
   5. split     leakage-safe train/val/test at near-dup-CLUSTER
                granularity — the split bucket is a pure function of the
                cluster id, so near-duplicates can never straddle splits
@@ -78,6 +82,19 @@ def main() -> None:
     p.add_argument("--contam-ngram", type=int, default=5)
     p.add_argument("--train-pct", type=int, default=80)
     p.add_argument("--val-pct", type=int, default=10)
+    p.add_argument(
+        "--sample-col",
+        default=None,
+        help="stratum column for the deterministic data-mixing downsample",
+    )
+    p.add_argument(
+        "--sample-rate",
+        action="append",
+        default=[],
+        metavar="VALUE=RATE",
+        help="per-stratum keep rate (repeatable), e.g. --sample-rate en=0.35",
+    )
+    p.add_argument("--sample-default", type=float, default=1.0)
     args = p.parse_args()
     out = args.output.rstrip("/")
     idc, txt = args.id_col, args.text_col
@@ -87,6 +104,7 @@ def main() -> None:
         contamination_report,
         leakage_safe_split,
         repetition_profile,
+        stratified_sample,
     )
     from bigmatch_utilities_spark.operators.dedup import (
         jaccard_pairs,
@@ -160,6 +178,19 @@ def main() -> None:
             | (F.col("contaminated_frac") <= args.max_contamination)
         )
     stats["after_decontam"] = deduped.count()
+
+    # 4b. optional deterministic data-mixing downsample (per-stratum md5
+    # rate; monotone in the rate, reproducible across engines/clusters)
+    if args.sample_col:
+        rates = {}
+        for spec in args.sample_rate:
+            k, _, v = spec.partition("=")
+            rates[k] = float(v)
+        deduped = stratified_sample(
+            deduped, idc, args.sample_col, rates,
+            default_rate=args.sample_default,
+        )
+    stats["after_mix"] = deduped.count()
 
     # 5. leakage-safe split at cluster granularity (survivors of a cluster
     # inherit the CLUSTER's bucket; never-clustered rows bucket on own id)

@@ -126,3 +126,26 @@ def test_run_curate_end_to_end(spark, tmp_path, monkeypatch):
     assert stats["after_dedup"] == 4           # near-dup election killed doc 1
     assert stats["after_decontam"] == 3        # contamination killed doc 4
     assert sum(v for k, v in stats.items() if k.startswith("split_")) == 3
+
+
+def test_run_curate_mixing_stage(spark, tmp_path, monkeypatch):
+    rows = [(i, f"unique document number {i} with fully distinct body text words", "en" if i % 2 == 0 else "de") for i in range(40)]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(inp)
+    out = str(tmp_path / "out")
+    _run(
+        monkeypatch,
+        spark,
+        [
+            "--input", inp, "--output", out,
+            "--bands", "4", "--rows-per-band", "1",
+            "--max-bucket", "0", "--shard-rows", "0",
+            "--sample-col", "lang", "--sample-rate", "en=0.0",
+        ],
+    )
+    with open(f"{out}/stats.json") as fh:
+        stats = json.load(fh)
+    curated = spark.read.parquet(f"{out}/curated")
+    langs = {r.lang for r in curated.select("lang").distinct().collect()}
+    assert langs == {"de"}                      # en sampled to zero
+    assert stats["after_mix"] == 20 and stats["after_dedup"] == 40

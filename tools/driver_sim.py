@@ -34,7 +34,11 @@ def value_hash(df: pd.DataFrame) -> str:
     return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
 
 
-def main(sf_dir: str, only: list[str] | None = None) -> int:
+def main(
+    sf_dir: str,
+    only: list[str] | None = None,
+    json_out: str | None = None,
+) -> int:
     spark = get_spark("driver-sim", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -44,6 +48,7 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    records: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -51,21 +56,40 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
             got = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error {e}")
+            records[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None, "oracle_rows": None,
+                "err": str(e)[:300],
+            }
             failures += 1
             continue
         if name not in oracles:
             print(f"rows-only {name}: {len(got)} rows")
+            records[name] = {
+                "rows_match": True, "schema_match": None, "hash_match": None,
+                "spark_rows": len(got), "oracle_rows": None, "err": None,
+            }
             continue
         try:
             want = con.sql(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: oracle error {str(e)[:200]}")
+            records[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(got),
+                "oracle_rows": None, "err": str(e)[:300],
+            }
             failures += 1
             continue
         ok_rows = len(got) == len(want)
         ok_cols = sorted(got.columns) == sorted(want.columns)
         ok_hash = ok_cols and value_hash(got) == value_hash(want)
         status = "OK  " if (ok_rows and ok_cols and ok_hash) else "FAIL"
+        records[name] = {
+            "rows_match": ok_rows, "schema_match": ok_cols,
+            "hash_match": ok_hash, "spark_rows": len(got),
+            "oracle_rows": len(want), "err": None,
+        }
         if status == "FAIL":
             failures += 1
         print(
@@ -87,10 +111,17 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
             print(f"   spark-only: {list(gs - ws)[:3]}")
             print(f"   duck-only:  {list(ws - gs)[:3]}")
     spark.stop()
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(records, fh, indent=2, sort_keys=True)
+        print(f"wrote {len(records)} records to {json_out}")
     return failures
 
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
-    raise SystemExit(main(sf, only))
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 and sys.argv[2] != "-" else None
+    json_out = sys.argv[3] if len(sys.argv) > 3 else None
+    raise SystemExit(main(sf, only, json_out))
