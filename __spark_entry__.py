@@ -2415,6 +2415,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cs_corpus_sample"] = cs
 
+    # ---- direct u estimation from deterministic random pairing -----------
+    def ur(spark, sf):
+        from bigmatch_utilities_spark.operators.em import estimate_u_random
+
+        return estimate_u_random(_docs_keyed(spark, sf), "doc_id", _FS_FIELDS)
+
+    q["ur_u_random"] = ur
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -4360,5 +4368,13 @@ def oracle_sql() -> dict[str, str]:
     o["cs_corpus_sample"] = f"""
         SELECT doc_id, lang FROM documents WHERE {_cs_pred}
     """
+
+    # ur: direct u from deterministic random pairing (md5-order consecutive
+    # disjoint pairs; identical rank order, blank/agree predicates, 6dp u)
+    from bigmatch_utilities_spark.operators.em import estimate_u_random_sql
+
+    o["ur_u_random"] = estimate_u_random_sql(
+        _DOCS_KEYED_SQL, "doc_id", _FS_FIELDS
+    )
 
     return o

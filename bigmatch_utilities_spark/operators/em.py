@@ -445,3 +445,167 @@ SELECT {', '.join('p.' + e.split(' AS ')[-1].strip() for e in id_exprs)},
 FROM pp p CROSS JOIN {last} s
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Direct u estimation from deterministic random pairing
+# ---------------------------------------------------------------------------
+
+
+def estimate_u_random(
+    df: DataFrame,
+    id_col: str,
+    match_fields: Sequence[MatchField],
+    *,
+    max_pairs: int | None = None,
+    agree_threshold: float = PARTIAL_FLOOR,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-field u probabilities from DETERMINISTIC random pairing.
+
+    u_k = P(field k agrees | the pair is NOT a match). EM
+    (:func:`estimate_mu`) infers u jointly with m from *blocked* candidate
+    pairs; when true matches are rare (the usual census/linkage regime),
+    the standard direct estimate — Splink's
+    ``estimate_u_using_random_sampling``, Fellegi–Sunter's original
+    frequency argument — is the agreement RATE over random pairs: a
+    uniformly random pair is a non-match with probability ~1, so the raw
+    agreement rate estimates u with O(prevalence) bias and no latent-class
+    machinery. The reference takes u as a parmf given
+    (/root/reference/app/BigMatchParmFile.py:489-494) and never estimates
+    it; this supplies the estimator its users run elsewhere.
+
+    Determinism (the engine-parity contract): instead of RNG sampling, the
+    table is ranked in md5(id) order — a fixed pseudo-random total order —
+    and rank 2i-1 pairs with rank 2i (disjoint consecutive pairs in the
+    shuffled order, floor(N/2) pairs). Same input ⇒ the exact same pair
+    set on any engine, any partitioning, any cluster size.
+
+    Scale: the rank comes from :func:`with_global_rank` (range-partition +
+    O(P) offsets frame — no single-task sort); the pairing is ONE
+    integer-key equi-join; the per-field rates are a single
+    map-side-combined 1-row aggregate, melted driver-side. ``max_pairs``
+    bounds the join to the first 2·max_pairs ranks — a uniform random
+    sample, since md5 order is independent of every field. (For a cheaper
+    pre-cut at extreme scale, compose with
+    ``corpus_ops.stratified_sample`` to thin rows BEFORE ranking.)
+
+    Blank semantics: a pair contributes to field k's denominator only when
+    BOTH sides are non-blank (``n_obs``); ``u`` = n_agree / n_obs, rounded
+    to 6dp. Returns one row per match field:
+    (field, n_pairs, n_obs, n_agree, u).
+    """
+    from bigmatch_utilities_spark.operators.sorted_neighborhood import (
+        with_global_rank,
+    )
+
+    cols = [mf.name for mf in match_fields]
+    keyed = df.select(
+        F.col(id_col).alias("_ur_id"),
+        F.md5(F.col(id_col).cast("string")).alias("_ur_key"),
+        *[F.col(c) for c in cols],
+    )
+    ranked = with_global_rank(
+        keyed, ["_ur_key", "_ur_id"], out_col="_ur_rank",
+        num_partitions=num_partitions,
+    )
+    left = ranked.filter(F.col("_ur_rank") % 2 == 1)
+    if max_pairs is not None:
+        left = left.filter(F.col("_ur_rank") <= 2 * max_pairs - 1)
+    l = left.select(
+        F.col("_ur_rank").alias("_ur_lrank"),
+        *[F.col(c).alias(f"rec_{c}") for c in cols],
+    )
+    r = ranked.select(
+        (F.col("_ur_rank") - 1).alias("_ur_lrank"),
+        *[F.col(c).alias(f"mem_{c}") for c in cols],
+    )
+    pairs = l.join(r, "_ur_lrank")
+
+    aggs = [F.count(F.lit(1)).alias("n_pairs")]
+    for mf in match_fields:
+        lc, rc = F.col(f"rec_{mf.name}"), F.col(f"mem_{mf.name}")
+        obs = ~(
+            lc.isNull() | (F.trim(lc) == "") | rc.isNull() | (F.trim(rc) == "")
+        )
+        agree = obs & (
+            similarity(mf.comparator, lc, rc) >= F.lit(agree_threshold)
+        )
+        aggs.append(F.sum(obs.cast("long")).alias(f"obs_{mf.name}"))
+        aggs.append(F.sum(agree.cast("long")).alias(f"agr_{mf.name}"))
+    one = pairs.agg(*aggs)
+
+    # melt the 1-row frame to one row per field: stack() keeps it in-plan
+    # (no collect), and the frame is K rows total regardless of data size
+    stack_args: list[str] = []
+    for mf in match_fields:
+        stack_args.append(f"'{mf.name}'")
+        stack_args.append(f"obs_{mf.name}")
+        stack_args.append(f"agr_{mf.name}")
+    melted = one.selectExpr(
+        "n_pairs",
+        f"stack({len(match_fields)}, {', '.join(stack_args)}) "
+        "AS (field, n_obs, n_agree)",
+    )
+    return melted.select(
+        "field",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.col("n_agree").cast("long").alias("n_agree"),
+        F.round(
+            F.col("n_agree") / F.greatest(F.col("n_obs"), F.lit(1)), 6
+        ).alias("u"),
+    )
+
+
+def estimate_u_random_sql(
+    source_sql: str,
+    id_col: str,
+    match_fields: Sequence[MatchField],
+    *,
+    max_pairs: int | None = None,
+    agree_threshold: float = PARTIAL_FLOOR,
+) -> str:
+    """Oracle twin of :func:`estimate_u_random`: row_number() over the
+    identical (md5(id), id) order, the identical odd-rank consecutive
+    pairing, the identical blank/agree predicates, melted via UNION ALL.
+    Integer counts end-to-end; the only float is the final 6dp-rounded
+    division — bit-stable cross-engine."""
+    cap = (
+        f"AND l._ur_rank <= {2 * max_pairs - 1} " if max_pairs is not None else ""
+    )
+    per_field = []
+    for mf in match_fields:
+        lc, rc = mf.name, f"_mem_{mf.name}"
+        obs = (
+            f"NOT ({lc} IS NULL OR trim({lc}) = '' "
+            f"OR {rc} IS NULL OR trim({rc}) = '')"
+        )
+        sim = similarity_sql(mf.comparator, lc, rc)
+        agree = f"({obs}) AND {sim} >= {agree_threshold!r}"
+        per_field.append(
+            f"SELECT '{mf.name}' AS field, count(*) AS n_pairs, "
+            f"sum(CASE WHEN {obs} THEN 1 ELSE 0 END) AS n_obs, "
+            f"sum(CASE WHEN {agree} THEN 1 ELSE 0 END) AS n_agree "
+            f"FROM pairs_cte"
+        )
+    unions = " UNION ALL ".join(per_field)
+    return f"""
+WITH ranked AS (
+    SELECT *, row_number() OVER (
+        ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}
+    ) AS _ur_rank
+    FROM ({source_sql})
+),
+pairs_cte AS (
+    SELECT l.*, {', '.join(f'r.{mf.name} AS _mem_{mf.name}' for mf in match_fields)}
+    FROM ranked l JOIN ranked r ON r._ur_rank = l._ur_rank + 1
+    WHERE l._ur_rank % 2 = 1 {cap}
+)
+SELECT field,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(n_obs AS BIGINT) AS n_obs,
+       CAST(n_agree AS BIGINT) AS n_agree,
+       round(n_agree / greatest(n_obs, 1), 6) AS u
+FROM ({unions})
+"""

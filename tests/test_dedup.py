@@ -182,8 +182,15 @@ def test_bare_lsh_calls_leave_no_cache_residue(spark):
     from bigmatch_utilities_spark.operators.similarity import embedding_neardup
 
     jsc = spark.sparkContext._jsc
-    before = jsc.getPersistentRDDs().size()  # shared session: other
-    # fixtures may legitimately hold caches; assert no NEW residue.
+
+    def _ids() -> set[int]:
+        return {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+
+    # shared session: other fixtures may legitimately hold caches, and the
+    # ContextCleaner unpersists GC'd entries ASYNCHRONOUSLY — raw counts
+    # can shrink mid-test. Assert on id-set DIFFERENCES instead: the
+    # cleaner only removes ids, so "no NEW ids" is race-free.
+    before = _ids()
     docs = _docs(spark)
     assert minhash_candidates(docs, "text", "doc_id", shingle_k=2).count() >= 0
     assert simhash_candidates(docs, "text", "doc_id", bits=32, block_bits=4).count() >= 0
@@ -191,15 +198,16 @@ def test_bare_lsh_calls_leave_no_cache_residue(spark):
         [(i, [float(i)] * 8) for i in range(6)], ["vec_id", "embedding"]
     )
     assert embedding_neardup(emb, n_bands=2, bits_per_band=4, dim=8).count() >= 0
-    assert jsc.getPersistentRDDs().size() == before
+    assert _ids() - before == set()
 
     with lsh_cache() as caches:
         n = minhash_candidates(
             docs, "text", "doc_id", shingle_k=2, cache_handle=caches
         ).count()
         assert n >= 0 and len(caches) == 1
-        assert jsc.getPersistentRDDs().size() == before + 1
-    assert jsc.getPersistentRDDs().size() == before
+        added = _ids() - before
+        assert len(added) == 1
+    assert _ids() & added == set()
 
 
 def test_near_dedup_keep_end_to_end(spark):

@@ -269,3 +269,108 @@ def test_posterior_plan_is_map_only(spark):
     assert "Join" not in plan
     for marker in ("ArrowEval", "BatchEvalPython", "PythonUDF"):
         assert marker not in plan
+
+
+# ---------------------------------------------------------------------------
+# direct u estimation from deterministic random pairing
+# ---------------------------------------------------------------------------
+
+
+def _people_df(spark, n=400, seed=11):
+    rng = random.Random(seed)
+    cities = ["ny", "la", "sf", "dc", "chi"]
+    rows = [
+        {
+            "pid": i,
+            "city": rng.choice(cities),
+            "yob": str(rng.randint(1950, 1999)),
+            "zip": "" if i % 37 == 0 else f"{rng.randint(10, 99)}",
+        }
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows)
+
+
+U_FIELDS = (
+    MatchField(name="city", comparator="c", m=0.9, u=0.2),
+    MatchField(name="yob", comparator="c", m=0.9, u=0.02),
+    MatchField(name="zip", comparator="c", m=0.9, u=0.01),
+)
+
+
+def test_estimate_u_random_matches_duckdb_oracle(spark, tmp_path):
+    from bigmatch_utilities_spark.operators.em import (
+        estimate_u_random,
+        estimate_u_random_sql,
+    )
+
+    df = _people_df(spark)
+    path = str(tmp_path / "people.parquet")
+    df.write.mode("overwrite").parquet(path)
+
+    got = sorted(
+        (r.field, r.n_pairs, r.n_obs, r.n_agree, float(r.u))
+        for r in estimate_u_random(df, "pid", U_FIELDS).collect()
+    )
+    sql = estimate_u_random_sql(
+        f"SELECT * FROM read_parquet('{path}/*.parquet')", "pid", U_FIELDS
+    )
+    exp = sorted(
+        (f, int(p), int(o), int(a), float(u))
+        for f, p, o, a, u in duckdb.sql(sql).fetchall()
+    )
+    assert got == exp
+    # disjoint consecutive pairing: exactly floor(N/2) pairs everywhere
+    assert all(p == 200 for _, p, *_ in got)
+
+
+def test_estimate_u_random_rate_recovers_collision_probability(spark):
+    """On uniform categorical fields the u estimate must approach the
+    analytic collision probability (1/#values), the quantity the FS
+    u-probability measures."""
+    from bigmatch_utilities_spark.operators.em import estimate_u_random
+
+    df = _people_df(spark, n=2000)
+    u = {r.field: r.u for r in estimate_u_random(df, "pid", U_FIELDS).collect()}
+    assert u["city"] == pytest.approx(1 / 5, abs=0.05)
+    assert u["yob"] == pytest.approx(1 / 50, abs=0.015)
+
+
+def test_estimate_u_random_blank_excluded_from_denominator(spark):
+    """Blank-on-either-side pairs leave the field's n_obs, never count as
+    agreement, and never crash the division (all-blank field -> u = 0)."""
+    from bigmatch_utilities_spark.operators.em import estimate_u_random
+
+    df = _people_df(spark, n=100).withColumn("zip", F.lit(""))
+    rows = {r.field: r for r in estimate_u_random(df, "pid", U_FIELDS).collect()}
+    z = rows["zip"]
+    assert z.n_obs == 0 and z.n_agree == 0 and z.u == 0.0
+    assert rows["city"].n_obs == rows["city"].n_pairs
+
+
+def test_estimate_u_random_max_pairs_is_a_uniform_prefix(spark):
+    """max_pairs caps the join to the first 2k ranks of the md5 order: the
+    capped pair set is a SUBSET of the uncapped one and exactly k pairs."""
+    from bigmatch_utilities_spark.operators.em import estimate_u_random
+
+    df = _people_df(spark, n=300)
+    capped = estimate_u_random(df, "pid", U_FIELDS, max_pairs=40).collect()
+    assert all(r.n_pairs == 40 for r in capped)
+
+
+def test_estimate_u_random_partitioning_invariant(spark):
+    """Deterministic contract: identical output at 1 and 16 partitions."""
+    from bigmatch_utilities_spark.operators.em import estimate_u_random
+
+    df = _people_df(spark, n=500)
+    a = sorted(
+        (r.field, r.n_agree, float(r.u))
+        for r in estimate_u_random(df.coalesce(1), "pid", U_FIELDS).collect()
+    )
+    b = sorted(
+        (r.field, r.n_agree, float(r.u))
+        for r in estimate_u_random(
+            df.repartition(16), "pid", U_FIELDS
+        ).collect()
+    )
+    assert a == b
