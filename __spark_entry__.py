@@ -2423,6 +2423,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ur_u_random"] = ur
 
+    # ---- PII scrub: counts + redacted text (engine-identical regexes) ----
+    def ps(spark, sf):
+        from bigmatch_utilities_spark.operators.corpus_ops import pii_scrub
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40),
+                F.lit(" user"),
+                (F.col("doc_id") % 50).cast("string"),
+                F.lit("@ex.org ip 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                (F.col("n_chars") % 256).cast("string"),
+                F.lit(" tel "),
+                F.when(
+                    F.col("doc_id") % 3 == 0, F.lit("415-555-0199")
+                ).otherwise(F.lit("none")),
+            ).alias("pii_text"),
+        )
+        s = pii_scrub(d, "pii_text")
+        return s.select(
+            "doc_id",
+            "n_email",
+            "n_ip",
+            "n_ssn",
+            "n_phone",
+            F.md5("text_scrubbed").alias("scrub_md5"),
+            F.length("text_scrubbed").cast("long").alias("scrub_len"),
+        )
+
+    q["ps_pii_scrub"] = ps
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -4375,6 +4408,28 @@ def oracle_sql() -> dict[str, str]:
 
     o["ur_u_random"] = estimate_u_random_sql(
         _DOCS_KEYED_SQL, "doc_id", _FS_FIELDS
+    )
+
+    # ps: PII scrub — identical pattern chain on RE2; md5/length of the
+    # scrubbed text pins byte equality of every replacement
+    from bigmatch_utilities_spark.operators.corpus_ops import pii_scrub_sql
+
+    _ps_src = """
+        SELECT doc_id,
+               concat(substring(coalesce(text, ''), 1, 40), ' user',
+                      CAST(doc_id % 50 AS VARCHAR), '@ex.org ip 10.0.',
+                      CAST(doc_id % 256 AS VARCHAR), '.',
+                      CAST(n_chars % 256 AS VARCHAR), ' tel ',
+                      CASE WHEN doc_id % 3 = 0 THEN '415-555-0199'
+                           ELSE 'none' END) AS pii_text
+        FROM documents
+    """
+    o["ps_pii_scrub"] = (
+        "SELECT doc_id, n_email, n_ip, n_ssn, n_phone, "
+        "md5(text_scrubbed) AS scrub_md5, "
+        "CAST(length(text_scrubbed) AS BIGINT) AS scrub_len FROM ("
+        + pii_scrub_sql(_ps_src, "pii_text")
+        + ")"
     )
 
     return o

@@ -243,3 +243,86 @@ def stratified_sample_sql(
     )
     limit = f"(CASE {cases} ELSE {int(round(default_rate * 1_000_000))} END)"
     return f"{bucket} < {limit}"
+
+
+# ---------------------------------------------------------------------------
+# 5. PII detection + redaction
+# ---------------------------------------------------------------------------
+
+#: (name, pattern, replacement-token). Patterns are restricted to the
+#: regex subset Java (Spark) and RE2 (DuckDB) evaluate IDENTICALLY — no
+#: lookaround, no backreferences, no possessive quantifiers; \b/\d/{m,n}
+#: and greedy quantifiers have the same leftmost-first semantics in both
+#: engines for these patterns. ORDER MATTERS and is part of the contract:
+#: each category counts/replaces on the text as scrubbed by the previous
+#: ones (email first so its digits never double-count as phones; the
+#: digit-run phone pattern last as the catch-all).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str,
+    *,
+    out_col: str = "text_scrubbed",
+    count_prefix: str = "n_",
+) -> DataFrame:
+    """Redact PII spans and count them, in one map-only projection.
+
+    The standard pre-release curation stage (emails / IPv4 / SSN-shaped
+    ids / phone-shaped digit runs → fixed tokens). Every category adds a
+    ``n_<name>`` count column (matches found in the progressively
+    scrubbed text) and the final ``out_col`` holds the fully scrubbed
+    text. Pure codegen ``regexp_count``/``regexp_replace`` chain: no
+    shuffle, no UDF, whole-stage-codegen end to end — at 100 TB this is
+    scan-bound like every other map-only stage.
+
+    Precision/recall of the patterns is the usual regex-PII tradeoff
+    (phone-shaped catches year lists too); the point here is the
+    deterministic, engine-portable plumbing — swap patterns per policy.
+    The reference has no PII surface at all (its review GUI shows raw
+    fields: /root/reference/app/MatchReview.py); this is a
+    beyond-reference addition for the training-data pipeline.
+    """
+    d = df
+    cur = F.col(text_col)
+    for name, pat, tok in PII_PATTERNS:
+        d = d.withColumn(f"{count_prefix}{name}", F.regexp_count(cur, F.lit(pat)))
+        d = d.withColumn(f"_pii_{name}", F.regexp_replace(cur, pat, tok))
+        cur = F.col(f"_pii_{name}")
+    d = d.withColumn(out_col, cur)
+    return d.drop(*[f"_pii_{name}" for name, _, _ in PII_PATTERNS])
+
+
+def pii_scrub_sql(
+    source_sql: str,
+    text_col: str,
+    *,
+    out_col: str = "text_scrubbed",
+    count_prefix: str = "n_",
+) -> str:
+    """Oracle twin of :func:`pii_scrub` (DuckDB RE2): the identical
+    pattern chain via len(regexp_extract_all(...)) counts and global
+    regexp_replace. Nested CTEs mirror the sequential-scrub semantics."""
+    ctes = [f"pii0 AS (SELECT *, {text_col} AS _pii_t0 FROM ({source_sql}))"]
+    prev = "_pii_t0"
+    for i, (name, pat, tok) in enumerate(PII_PATTERNS):
+        nxt = f"_pii_t{i + 1}"
+        ctes.append(
+            f"pii{i + 1} AS (SELECT *, "
+            f"len(regexp_extract_all({prev}, '{pat}')) AS {count_prefix}{name}, "
+            f"regexp_replace({prev}, '{pat}', '{tok}', 'g') AS {nxt} "
+            f"FROM pii{i})"
+        )
+        prev = nxt
+    n = len(PII_PATTERNS)
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT * EXCLUDE ("
+        + ", ".join(f"_pii_t{i}" for i in range(n + 1))
+        + f"), {prev} AS {out_col} FROM pii{n}"
+    )

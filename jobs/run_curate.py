@@ -95,6 +95,13 @@ def main() -> None:
         help="per-stratum keep rate (repeatable), e.g. --sample-rate en=0.35",
     )
     p.add_argument("--sample-default", type=float, default=1.0)
+    p.add_argument(
+        "--scrub-pii",
+        action="store_true",
+        help="redact emails/IPv4/SSN/phone-shaped spans from the text "
+        "column before any other stage; per-category totals go to "
+        "stats.json",
+    )
     args = p.parse_args()
     out = args.output.rstrip("/")
     idc, txt = args.id_col, args.text_col
@@ -114,7 +121,28 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("bigmatch-run-curate").getOrCreate()
     df = _read(spark, args.input)
-    stats: dict[str, int] = {"input": df.count()}
+    stats: dict[str, int] = {}
+
+    # 0. optional PII scrub — map-only, so it fuses into the first scan;
+    # the input count and the per-category totals come from ONE aggregate
+    if args.scrub_pii:
+        from bigmatch_utilities_spark.operators.corpus_ops import (
+            PII_PATTERNS,
+            pii_scrub,
+        )
+
+        df = pii_scrub(df, txt, out_col="_pii_scrubbed")
+        agg = df.agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[F.sum(f"n_{name}").alias(name) for name, _, _ in PII_PATTERNS],
+        ).collect()[0]
+        stats["input"] = int(agg["_n"])
+        for name, _, _ in PII_PATTERNS:
+            stats[f"pii_{name}"] = int(agg[name] or 0)
+        df = df.drop(txt, *[f"n_{name}" for name, _, _ in PII_PATTERNS])
+        df = df.withColumnRenamed("_pii_scrubbed", txt)
+    else:
+        stats["input"] = df.count()
 
     # 1-2. map-only profile + filter (runs BEFORE any shuffle)
     rep = repetition_profile(df, txt, idc, n=args.rep_ngram).select(

@@ -3,6 +3,7 @@ and WNP meta-blocking."""
 
 from __future__ import annotations
 
+import duckdb
 from pyspark.sql import functions as F
 
 from bigmatch_utilities_spark.operators.corpus_ops import (
@@ -170,3 +171,62 @@ def test_stratified_sample_rate_edges(spark):
     # default_rate applies to strata absent from the rates map
     df2 = spark.createDataFrame([(i, "fr") for i in range(200)], "id long, lang string")
     assert stratified_sample(df2, "id", "lang", {"en": 0.0}, default_rate=0.0).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+
+
+def test_pii_scrub_matches_duckdb_oracle(spark, tmp_path):
+    from bigmatch_utilities_spark.operators.corpus_ops import (
+        pii_scrub,
+        pii_scrub_sql,
+    )
+
+    rows = [
+        (1, "mail me at jo.doe+x@ex-ample.co.uk or 10.0.0.255 now"),
+        (2, "ssn 123-45-6789 phone +1 415-555-0199 and 999.999.999.999"),
+        (3, "no pii here, just words and the year 2024"),
+        (4, "call 08 123 4567 89 or email a@b.io c@d.org"),
+        (5, "edge: 1.2.3.4.5 and v1.2.3 and x@y.z"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "pii.parquet")
+    df.write.mode("overwrite").parquet(path)
+    got = sorted(
+        tuple(r) for r in pii_scrub(df, "text").collect()
+    )
+    sql = pii_scrub_sql(
+        f"SELECT * FROM read_parquet('{path}/*.parquet')", "text"
+    )
+    exp = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    assert got == exp
+
+
+def test_pii_scrub_sequential_category_semantics(spark):
+    """Each category operates on the PREVIOUSLY scrubbed text: an email's
+    digits never double-count as a phone, and an SSN inside a longer
+    digit run is taken by the earlier SSN pass."""
+    from bigmatch_utilities_spark.operators.corpus_ops import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "reach 123-45-6789 at user123456789@host.org")],
+        "doc_id long, text string",
+    )
+    r = pii_scrub(df, "text").collect()[0]
+    assert (r.n_email, r.n_ssn, r.n_phone) == (1, 1, 0)
+    assert r.text_scrubbed == "reach <SSN> at <EMAIL>"
+
+
+def test_pii_scrub_is_map_only(spark):
+    from bigmatch_utilities_spark.operators.corpus_ops import pii_scrub
+
+    df = spark.createDataFrame([(1, "x@y.zz")], "doc_id long, text string")
+    plan = (
+        pii_scrub(df, "text")._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "Join" not in plan and "Exchange" not in plan
+    for marker in ("ArrowEval", "BatchEvalPython", "PythonUDF"):
+        assert marker not in plan

@@ -149,3 +149,37 @@ def test_run_curate_mixing_stage(spark, tmp_path, monkeypatch):
     langs = {r.lang for r in curated.select("lang").distinct().collect()}
     assert langs == {"de"}                      # en sampled to zero
     assert stats["after_mix"] == 20 and stats["after_dedup"] == 40
+
+
+def test_run_curate_scrub_pii_stage(spark, tmp_path, monkeypatch):
+    rows = [
+        (1, "write to alice@example.com or bob@corp.io for details"),
+        (2, "server at 192.168.0.1 answered; ssn 123-45-6789 leaked"),
+        (3, "a perfectly ordinary clean document about compilers"),
+    ]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(inp)
+    out = str(tmp_path / "out")
+
+    _run(
+        monkeypatch,
+        spark,
+        [
+            "--input", inp, "--output", out,
+            "--threshold", "0.5", "--bands", "4", "--rows-per-band", "1",
+            "--max-bucket", "0", "--shard-rows", "0",
+            "--scrub-pii",
+        ],
+    )
+
+    curated = spark.read.parquet(f"{out}/curated")
+    texts = {r.doc_id: r.text for r in curated.collect()}
+    assert "<EMAIL>" in texts[1] and "alice@example.com" not in texts[1]
+    assert "<IP>" in texts[2] and "<SSN>" in texts[2]
+    assert texts[3] == rows[2][1]  # untouched
+    with open(f"{out}/stats.json") as fh:
+        stats = json.load(fh)
+    assert stats["pii_email"] == 2
+    assert stats["pii_ip"] == 1
+    assert stats["pii_ssn"] == 1
+    assert stats["input"] == 3
