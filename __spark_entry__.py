@@ -2456,6 +2456,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ps_pii_scrub"] = ps
 
+    # ---- Otsu unsupervised cutoff over the FS weight histogram ----------
+    def oc(spark, sf):
+        from bigmatch_utilities_spark.operators.cutoffs import otsu_cutoff
+
+        return otsu_cutoff(_scored_pairs(spark, sf), "weight", bin_width=0.5)
+
+    q["oc_otsu_cutoff"] = oc
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -4430,6 +4438,13 @@ def oracle_sql() -> dict[str, str]:
         "CAST(length(text_scrubbed) AS BIGINT) AS scrub_len FROM ("
         + pii_scrub_sql(_ps_src, "pii_text")
         + ")"
+    )
+
+    # oc: Otsu threshold — integer cumulative sums, identical double tree
+    from bigmatch_utilities_spark.operators.cutoffs import otsu_cutoff_sql
+
+    o["oc_otsu_cutoff"] = otsu_cutoff_sql(
+        _SCORED_PAIRS_SQL, "weight", bin_width=0.5
     )
 
     return o

@@ -62,3 +62,62 @@ def test_histogram_bins_and_duckdb_parity(spark, tmp_path):
     )
     duck = duckdb.connect().execute(sql).fetchall()
     assert sorted(tuple(r) for r in out.collect()) == sorted(tuple(r) for r in duck)
+
+
+# ---------------------------------------------------------------------------
+# Otsu unsupervised cutoff
+# ---------------------------------------------------------------------------
+
+
+def _bimodal_df(spark):
+    """Two clean weight modes: non-matches around -8..-4, matches 6..10."""
+    rows = [(i, -8.0 + (i % 9) * 0.5) for i in range(300)] + [
+        (1000 + i, 6.0 + (i % 9) * 0.5) for i in range(60)
+    ]
+    return spark.createDataFrame(rows, "pair_id long, weight double")
+
+
+def test_otsu_splits_the_bimodal_valley(spark):
+    from bigmatch_utilities_spark.operators.cutoffs import otsu_cutoff
+
+    r = otsu_cutoff(_bimodal_df(spark), "weight", bin_width=0.5).collect()
+    assert len(r) == 1
+    row = r[0]
+    # the threshold must land strictly between the modes
+    assert -4.0 < row.cutoff_weight < 6.5
+    assert row.n_below == 300 and row.n_above == 60
+
+
+def test_otsu_matches_duckdb_oracle(spark, tmp_path):
+    from bigmatch_utilities_spark.operators.cutoffs import (
+        otsu_cutoff,
+        otsu_cutoff_sql,
+    )
+
+    df = _bimodal_df(spark)
+    path = str(tmp_path / "w.parquet")
+    df.write.mode("overwrite").parquet(path)
+    got = [tuple(r) for r in otsu_cutoff(df, "weight", bin_width=0.5).collect()]
+    sql = otsu_cutoff_sql(
+        f"SELECT * FROM read_parquet('{path}/*.parquet')", "weight", 0.5
+    )
+    exp = [tuple(r) for r in duckdb.sql(sql).fetchall()]
+    assert got == exp
+
+
+def test_otsu_single_bin_yields_no_split(spark):
+    from bigmatch_utilities_spark.operators.cutoffs import otsu_cutoff
+
+    df = spark.createDataFrame(
+        [(i, 1.1) for i in range(10)], "pair_id long, weight double"
+    )
+    assert otsu_cutoff(df, "weight", bin_width=0.5).count() == 0
+
+
+def test_otsu_partitioning_invariant(spark):
+    from bigmatch_utilities_spark.operators.cutoffs import otsu_cutoff
+
+    df = _bimodal_df(spark)
+    a = [tuple(r) for r in otsu_cutoff(df.coalesce(1), "weight").collect()]
+    b = [tuple(r) for r in otsu_cutoff(df.repartition(16), "weight").collect()]
+    assert a == b and len(a) == 1
