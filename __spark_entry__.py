@@ -2464,6 +2464,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["oc_otsu_cutoff"] = oc
 
+    # ---- embedding-ANN blocking as a declarable pass kind -----------------
+    def ap(spark, sf):
+        from bigmatch_utilities_spark.config import (
+            BlockField,
+            BlockingPassSpec,
+            CutoffSpec,
+            FieldRef,
+            MatchConfig,
+        )
+        from bigmatch_utilities_spark.operators.pipeline import run_match
+
+        cut = CutoffSpec(hi=2.0, lo=-50.0)
+        cfg = MatchConfig(
+            passes=(
+                BlockingPassSpec(  # pass 0: strict equi
+                    block_fields=(
+                        BlockField(name="lang"),
+                        BlockField(name="bucket", blank_flag=0),
+                    ),
+                    match_fields=_SNM_MIX_FIELDS,
+                    cutoff=cut,
+                    print_cutoff=cut,
+                ),
+                BlockingPassSpec(  # pass 1: dense-vector canopy, in config
+                    kind="ann",
+                    ann_field="embedding",
+                    ann_dim=64,
+                    ann_bands=2,
+                    ann_bits=8,
+                    ann_threshold=0.2,
+                    block_fields=(),
+                    match_fields=_SNM_MIX_FIELDS,
+                    cutoff=cut,
+                    print_cutoff=cut,
+                ),
+            ),
+            id_field=FieldRef(name="doc_id"),
+            dedupe_single_file=True,
+        )
+        emb = _t(spark, sf, "embeddings").select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        )
+        d = _docs_keyed(spark, sf).join(emb, "doc_id")
+        res = run_match(d, None, cfg, id_col="doc_id", persist=False)
+        return res.pairs.select(
+            F.col("id_rec").alias("id_l"),
+            F.col("id_mem").alias("id_r"),
+            "pass_id",
+            F.round("weight", 6).alias("weight"),
+            "is_exact",
+            "decision",
+        )
+
+    q["ap_ann_pass_mix"] = ap
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -4446,5 +4501,90 @@ def oracle_sql() -> dict[str, str]:
     o["oc_otsu_cutoff"] = otsu_cutoff_sql(
         _SCORED_PAIRS_SQL, "weight", bin_width=0.5
     )
+
+    # ap: mixed equi + embedding-ANN passes — identical hyperplane signs
+    # (rh_bucket_sql), identical singleton-drop/cap chain and 6dp-rounded
+    # cosine verify as ne_embedding_neardup, same FS weights and
+    # first-pass-wins as the other pass-mix oracles
+    from bigmatch_utilities_spark.operators.similarity import (
+        rh_bucket_sql as _ap_rh,
+    )
+
+    _AP_W = pair_weight_sql(_SNM_MIX_FIELDS, rec_prefix="a.", mem_prefix="b.")
+    _AP_X = (
+        "(coalesce(a.text_32, '') = coalesce(b.text_32, '') AND "
+        "coalesce(a.source, '') = coalesce(b.source, ''))"
+    )
+    _ap_cos = (
+        "CASE WHEN list_dot_product(x.emb, x.emb) > 0 "
+        "AND list_dot_product(y.emb, y.emb) > 0 "
+        "THEN list_dot_product(x.emb, y.emb) / "
+        "(sqrt(list_dot_product(x.emb, x.emb)) "
+        "* sqrt(list_dot_product(y.emb, y.emb))) ELSE 0.0 END"
+    )
+    _ap_hi, _ap_lo = _SNM_MIX_CUT
+    o["ap_ann_pass_mix"] = f"""
+        WITH d0 AS ({_DOCS_KEYED_SQL}),
+        v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                   {_ap_rh('embedding', 8, 64, offset=0)} AS bkt0,
+                   {_ap_rh('embedding', 8, 64, offset=8)} AS bkt1
+            FROM embeddings
+        ),
+        d AS (
+            SELECT d0.*, v.emb, v.bkt0, v.bkt1
+            FROM d0 JOIN v ON d0.doc_id = v.vec_id
+        ),
+        ap_f0 AS (SELECT * FROM d WHERE trim(lang) <> ''),
+        ap_p0 AS (
+          SELECT a.doc_id AS id_l, b.doc_id AS id_r, 0 AS pass_id,
+                 {_AP_W} AS weight, {_AP_X} AS is_exact
+          FROM ap_f0 a JOIN ap_f0 b
+            ON a.lang = b.lang AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id
+        ),
+        ap_bands AS (
+            SELECT doc_id, 0 AS band, bkt0 AS band_key FROM d
+            UNION ALL SELECT doc_id, 1, bkt1 FROM d
+        ),
+        ap_kept AS (
+            SELECT band, band_key FROM ap_bands
+            GROUP BY band, band_key HAVING count(*) > 1 AND count(*) <= 10000
+        ),
+        ap_cand AS (
+            SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r
+            FROM ap_bands a
+            JOIN ap_kept k ON a.band = k.band AND a.band_key = k.band_key
+            JOIN ap_bands b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ),
+        ap_ver AS (
+            SELECT c.id_l, c.id_r
+            FROM ap_cand c
+            JOIN d x ON x.doc_id = c.id_l
+            JOIN d y ON y.doc_id = c.id_r
+            WHERE round({_ap_cos}, 6) >= 0.2
+        ),
+        ap_p1 AS (
+          SELECT c.id_l, c.id_r, 1 AS pass_id,
+                 {_AP_W} AS weight, {_AP_X} AS is_exact
+          FROM ap_ver c
+          JOIN d a ON a.doc_id = c.id_l
+          JOIN d b ON b.doc_id = c.id_r
+        ),
+        ap_u AS (SELECT * FROM ap_p0 UNION ALL SELECT * FROM ap_p1),
+        ap_fpw AS (
+          SELECT id_l, id_r, min(pass_id) AS pass_id,
+                 arg_min(weight, pass_id) AS weight,
+                 arg_min(is_exact, pass_id) AS is_exact
+          FROM ap_u GROUP BY id_l, id_r
+        )
+        SELECT id_l, id_r, pass_id, round(weight, 6) AS weight, is_exact,
+               CASE WHEN weight >= {_ap_hi!r} THEN 'match'
+                    WHEN weight >= {_ap_lo!r} THEN 'possible'
+                    ELSE 'below' END AS decision
+        FROM ap_fpw
+    """
 
     return o

@@ -279,6 +279,24 @@ class BlockingPassSpec:
     meta_keys: tuple[tuple[str, str], ...] = ()
     meta_prune: str = "wep"
     meta_max_block_rows: int = 2_000
+    #: Embedding-ANN pass (kind="ann"): candidates come from random-
+    #: hyperplane sign-LSH over the ann_field embedding column
+    #: (array<float/double>, ann_dim wide) — ann_bands independent bands
+    #: of ann_bits hyperplane signs each, any-band collision ⇒ candidate,
+    #: exact cosine >= ann_threshold verifies. "Pass N blocks in dense
+    #: vector space" in config — the modern-ER complement to the token
+    #: kinds (qgram/suffix/lsh): semantically-near records co-block even
+    #: with zero lexical overlap. Backed by similarity.embedding_neardup
+    #: (singleton drop + ann_max_bucket cap + shard salting, the shared
+    #: LSH-family guardrails). Single-file (dedupe) passes only; no
+    #: parmf rendering (the reference grammar has no vector types).
+    ann_field: str | None = None
+    ann_dim: int = 64
+    ann_bands: int = 2
+    ann_bits: int = 8
+    ann_threshold: float = 0.0
+    ann_seed: int = 7
+    ann_max_bucket: int | None = 10_000
     #: Transposition-tolerant field PAIRS scored via swapped_agreement
     #: (functions/comparators.py): each contributes ONE FS weight term
     #: computed on the better of the straight and crossed alignments.
@@ -287,9 +305,16 @@ class BlockingPassSpec:
     def __post_init__(self) -> None:
         if self.kind not in (
             "equi", "snm", "lsh", "pprl", "qgram", "suffix", "interval",
-            "meta",
+            "meta", "ann",
         ):
             raise ValueError(f"unknown pass kind {self.kind!r}")
+        if self.kind == "ann":
+            if not self.ann_field:
+                raise ValueError("kind='ann' requires ann_field")
+            if self.ann_dim < 1 or self.ann_bands < 1 or self.ann_bits < 1:
+                raise ValueError("ann_dim/ann_bands/ann_bits must be >= 1")
+            if self.star_block_rows:
+                raise ValueError("star_block_rows is an equi-pass option")
         if self.kind == "meta":
             if not self.meta_keys:
                 raise ValueError("kind='meta' requires meta_keys")

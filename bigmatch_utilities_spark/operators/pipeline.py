@@ -163,6 +163,43 @@ def pass_candidates(
             .withColumnRenamed("id_l", "id_rec")
             .withColumnRenamed("id_r", "id_mem")
         )
+    elif spec.kind == "ann":
+        from bigmatch_utilities_spark.operators.similarity import (
+            embedding_neardup,
+        )
+
+        if not dedupe or mem is not rec:
+            raise ValueError(
+                "kind='ann' is a single-file (dedupe) pass; merge two "
+                "embedded files into one frame before a dedupe run"
+            )
+        # candidates come from random-hyperplane band collisions verified
+        # by exact cosine (already id_l < id_r canonical, singleton-
+        # dropped, bucket-capped); carried match-field values join on
+        # from the source, same shape as the lsh/pprl kinds
+        cands = embedding_neardup(
+            rec,
+            id_col=id_col,
+            vec_col=spec.ann_field,
+            threshold=spec.ann_threshold,
+            n_bands=spec.ann_bands,
+            bits_per_band=spec.ann_bits,
+            dim=spec.ann_dim,
+            seed=spec.ann_seed,
+            max_bucket=spec.ann_max_bucket,
+            shard_rows=shard_rows,
+        ).select("id_l", "id_r")
+        side = rec.select(F.col(id_col), *carry_sup)
+        pairs = (
+            cands.join(
+                side.toDF(*(["id_l"] + [f"rec_{c}" for c in carry_sup])), "id_l"
+            )
+            .join(
+                side.toDF(*(["id_r"] + [f"mem_{c}" for c in carry_sup])), "id_r"
+            )
+            .withColumnRenamed("id_l", "id_rec")
+            .withColumnRenamed("id_r", "id_mem")
+        )
     elif spec.kind == "interval":
         from bigmatch_utilities_spark.operators.temporal import (
             interval_overlap_pairs,

@@ -256,3 +256,89 @@ def test_sign_bucket_deterministic(spark):
     b = df.select("vec_id", sign_bucket(F.col("embedding")).alias("b")).collect()
     assert sorted(a) == sorted(b)
     assert all(0 <= r["b"] < 256 for r in a)
+
+
+# ---------------------------------------------------------------------------
+# kind="ann" declarable pass
+# ---------------------------------------------------------------------------
+
+
+def _ann_cfg(**ann_kw):
+    from bigmatch_utilities_spark.config import (
+        BlockingPassSpec,
+        CutoffSpec,
+        FieldRef,
+        MatchConfig,
+        MatchField,
+    )
+
+    cut = CutoffSpec(hi=1.0, lo=-50.0)
+    return MatchConfig(
+        passes=(
+            BlockingPassSpec(
+                kind="ann",
+                block_fields=(),
+                match_fields=(
+                    MatchField(name="name", comparator="c", m=0.9, u=0.1),
+                ),
+                cutoff=cut,
+                print_cutoff=cut,
+                **ann_kw,
+            ),
+        ),
+        id_field=FieldRef(name="rid"),
+        dedupe_single_file=True,
+    )
+
+
+def test_ann_pass_kind_validation():
+    import pytest as _pt
+
+    from bigmatch_utilities_spark.config import BlockingPassSpec
+
+    with _pt.raises(ValueError, match="ann_field"):
+        _ann_cfg(ann_field=None)
+    with _pt.raises(ValueError, match=">= 1"):
+        _ann_cfg(ann_field="embedding", ann_bands=0)
+    with _pt.raises(ValueError, match="unknown pass kind"):
+        BlockingPassSpec(kind="vector", block_fields=(), match_fields=())
+
+
+def test_ann_pass_blocks_semantic_neighbors_without_lexical_overlap(spark):
+    """Two records with DISJOINT text but near-identical embeddings must
+    co-block in an ann pass (no equi key could propose them), and the
+    standard FS scoring still runs on the carried match fields."""
+    from bigmatch_utilities_spark.operators.pipeline import run_match
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=8)
+    far = rng.normal(size=8)
+    rows = [
+        (1, "alpha", (base + 0.01 * rng.normal(size=8)).tolist()),
+        (2, "alpha", (base + 0.01 * rng.normal(size=8)).tolist()),
+        (3, "gamma", (far * -1).tolist()),
+    ]
+    df = spark.createDataFrame(
+        [(i, n, [float(x) for x in v]) for i, n, v in rows],
+        "rid long, name string, embedding array<double>",
+    )
+    cfg = _ann_cfg(
+        ann_field="embedding", ann_dim=8, ann_bands=4, ann_bits=2,
+        ann_threshold=0.9, ann_max_bucket=None,
+    )
+    res = run_match(df, None, cfg, id_col="rid", persist=False)
+    got = {(r.id_rec, r.id_mem): r.decision for r in res.pairs.collect()}
+    assert (1, 2) in got and got[(1, 2)] == "match"
+    assert all(3 not in k for k in got)
+
+
+def test_ann_pass_requires_dedupe_mode(spark):
+    from bigmatch_utilities_spark.operators.pipeline import pass_candidates
+
+    df = spark.createDataFrame(
+        [(1, "a", [1.0, 0.0])], "rid long, name string, embedding array<double>"
+    )
+    other = df.withColumn("rid", F.col("rid") + 10)
+    spec = _ann_cfg(ann_field="embedding", ann_dim=2).passes[0]
+    with pytest.raises(ValueError, match="single-file"):
+        pass_candidates(df, other, spec, "rid", dedupe=False)
