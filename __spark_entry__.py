@@ -2519,6 +2519,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ap_ann_pass_mix"] = ap
 
+    # ---- greedy weight-descending 1:1 assignment (dominant peeling) ------
+    def ga(spark, sf):
+        from bigmatch_utilities_spark.operators.assignment import (
+            greedy_one_to_one,
+        )
+
+        return greedy_one_to_one(
+            _scored_pairs(spark, sf).select("id_l", "id_r", "weight"),
+            rec_col="id_l",
+            mem_col="id_r",
+            rounds=4,
+            shared_ids=True,
+        ).select("id_l", "id_r", F.round("weight", 6).alias("weight"), "round")
+
+    q["ga_greedy_assignment"] = ga
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -4586,5 +4602,22 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'below' END AS decision
         FROM ap_fpw
     """
+
+    # ga: greedy 1:1 — identical unrolled dominant-peel rounds
+    from bigmatch_utilities_spark.operators.assignment import (
+        greedy_one_to_one_sql,
+    )
+
+    o["ga_greedy_assignment"] = (
+        "SELECT id_l, id_r, round(weight, 6) AS weight, round FROM ("
+        + greedy_one_to_one_sql(
+            f"SELECT id_l, id_r, weight FROM ({_SCORED_PAIRS_SQL})",
+            rec_col="id_l",
+            mem_col="id_r",
+            rounds=4,
+            shared_ids=True,
+        )
+        + ")"
+    )
 
     return o

@@ -115,3 +115,178 @@ def one_to_one_sql(
         )
         WHERE rk_r = 1 AND rk_m = 1
     """
+
+
+def greedy_one_to_one(
+    pairs: DataFrame,
+    rec_col: str = "id_rec",
+    mem_col: str = "id_mem",
+    weight_col: str = "weight",
+    rounds: int = 4,
+    assume_distinct: bool = False,
+    shared_ids: bool = False,
+) -> DataFrame:
+    """Greedy weight-descending 1:1 matching by locally-dominant peeling.
+
+    :func:`one_to_one` keeps only MUTUAL best pairs — a chain
+    a-(9)-b-(8)-c assigns a-b and leaves c unmatched even though b is
+    taken and c's best remaining partner might be free. The classic
+    sequential semantics (sort all pairs by weight desc, accept a pair
+    iff both ids are still free — what a clerical reviewer paging down
+    MatchReview's weight-sorted list reproduces by hand,
+    /root/reference/app/MatchReview.py:26,69) is recovered in parallel by
+    the standard locally-dominant-edge device (Preis 1999; Manne-
+    Bisseling): every mutual-best pair of the REMAINING graph is exactly
+    a pair sequential greedy would accept, so accept them all at once,
+    drop the matched ids, repeat. Under the strict total order
+    (round(weight,6) DESC, partner-id ASC) each round's acceptance set is
+    deterministic, and ``rounds`` rounds reproduce the greedy prefix —
+    chains of length 2^rounds resolve fully; real weight graphs converge
+    in a handful of rounds.
+
+    Runs EXACTLY ``rounds`` rounds (converged rounds are no-ops) so the
+    unrolled-CTE oracle (:func:`greedy_one_to_one_sql`) computes the
+    identical result on any engine — the same fixed-iteration discipline
+    as em.estimate_mu. Each round costs the two map-side argmax
+    aggregates + two anti-joins; nothing global, no windows over the pair
+    table. ``shared_ids=True`` treats rec/mem as ONE undirected id space
+    (dedupe self-join pairs, which must be canonical ``id_l < id_r`` so no
+    edge appears twice): a node's best partner then ranges over BOTH
+    columns — column-wise mutual-best would double-assign the middle of a
+    triangle — and a matched id leaves both columns.
+
+    Output: (rec_col, mem_col, weight_col, round) — round = the peel
+    round that accepted the pair (0-based).
+    """
+    cols = [F.col(rec_col), F.col(mem_col), F.col(weight_col)]
+    if assume_distinct:
+        remaining = pairs.select(*cols)
+    else:
+        remaining = pairs.groupBy(rec_col, mem_col).agg(
+            F.max(F.col(weight_col)).alias(weight_col)
+        )
+    out: DataFrame | None = None
+    for k in range(rounds):
+        # truncate lineage per round (the closure.py discipline): the
+        # remaining-graph recurrence would otherwise double the plan each
+        # round and blow up Catalyst canonicalization
+        if k > 0:
+            from bigmatch_utilities_spark.operators.closure import _truncate
+
+            remaining = _truncate(remaining)
+        if shared_ids:
+            # node-level dominance: a node's best partner ranges over BOTH
+            # columns (one undirected id space; pairs must be canonical
+            # id_l < id_r so an edge never appears twice). Column-wise
+            # mutual-best would double-assign a node whose two edges each
+            # look dominant from one column (triangle 1-2-3).
+            w6 = F.round(F.col(weight_col), 6)
+            nodes = remaining.select(
+                F.col(rec_col).alias("_n"), F.col(mem_col).alias("_p"), w6.alias("_w")
+            ).unionByName(
+                remaining.select(
+                    F.col(mem_col).alias("_n"),
+                    F.col(rec_col).alias("_p"),
+                    w6.alias("_w"),
+                )
+            )
+            best = nodes.groupBy("_n").agg(
+                F.min(
+                    F.struct((-F.col("_w")).alias("nw"), F.col("_p").alias("p"))
+                ).alias("b")
+            ).select("_n", F.col("b.p").alias("_bp"))
+            dom = (
+                remaining.join(
+                    best,
+                    (remaining[rec_col] == best["_n"])
+                    & (remaining[mem_col] == best["_bp"]),
+                    "left_semi",
+                )
+                .join(
+                    best,
+                    (remaining[mem_col] == best["_n"])
+                    & (remaining[rec_col] == best["_bp"]),
+                    "left_semi",
+                )
+                .withColumn("round", F.lit(k))
+            )
+        else:
+            dom = one_to_one(
+                remaining, rec_col, mem_col, weight_col, assume_distinct=True
+            ).withColumn("round", F.lit(k))
+        out = dom if out is None else out.unionByName(dom)
+        m_rec = dom.select(F.col(rec_col).alias("_m"))
+        m_mem = dom.select(F.col(mem_col).alias("_m"))
+        if shared_ids:
+            matched = m_rec.unionByName(m_mem)
+            remaining = remaining.join(
+                matched, remaining[rec_col] == matched["_m"], "left_anti"
+            )
+            matched2 = m_rec.unionByName(m_mem)
+            remaining = remaining.join(
+                matched2, remaining[mem_col] == matched2["_m"], "left_anti"
+            )
+        else:
+            remaining = remaining.join(
+                m_rec, remaining[rec_col] == m_rec["_m"], "left_anti"
+            ).join(m_mem, remaining[mem_col] == m_mem["_m"], "left_anti")
+    return out
+
+
+def greedy_one_to_one_sql(
+    pairs_sql: str,
+    rec_col: str = "id_rec",
+    mem_col: str = "id_mem",
+    weight_col: str = "weight",
+    rounds: int = 4,
+    shared_ids: bool = False,
+) -> str:
+    """Oracle twin of :func:`greedy_one_to_one`: the identical rounds
+    unrolled as CTEs — per-round mutual best via the row_number argmax of
+    :func:`one_to_one_sql`, matched ids removed with NOT EXISTS."""
+    r, m, w = rec_col, mem_col, weight_col
+    ctes = [
+        f"g0 AS (SELECT {r}, {m}, max({w}) AS {w} "
+        f"FROM ({pairs_sql}) p GROUP BY {r}, {m})"
+    ]
+    sels = []
+    for k in range(rounds):
+        ctes.append(
+            f"dom{k} AS (SELECT {r}, {m}, {w} FROM ("
+            f"SELECT d.*, "
+            f"row_number() OVER (PARTITION BY {r} "
+            f"ORDER BY round({w}, 6) DESC, {m} ASC) AS rk_r, "
+            f"row_number() OVER (PARTITION BY {m} "
+            f"ORDER BY round({w}, 6) DESC, {r} ASC) AS rk_m "
+            f"FROM g{k} d) WHERE rk_r = 1 AND rk_m = 1)"
+        )
+        if shared_ids:
+            # node-level best over both columns (see greedy_one_to_one)
+            ctes[-1] = (
+                f"n{k} AS (SELECT {r} AS node, {m} AS partner, {w} FROM g{k} "
+                f"UNION ALL SELECT {m}, {r}, {w} FROM g{k}), "
+                f"b{k} AS (SELECT node, partner FROM ("
+                f"SELECT node, partner, row_number() OVER (PARTITION BY node "
+                f"ORDER BY round({w}, 6) DESC, partner ASC) AS rn FROM n{k}) "
+                f"WHERE rn = 1), "
+                f"dom{k} AS (SELECT g.{r}, g.{m}, g.{w} FROM g{k} g "
+                f"JOIN b{k} x ON x.node = g.{r} AND x.partner = g.{m} "
+                f"JOIN b{k} y ON y.node = g.{m} AND y.partner = g.{r})"
+            )
+        sels.append(f"SELECT *, {k} AS round FROM dom{k}")
+        if k + 1 < rounds:
+            if shared_ids:
+                cond = (
+                    f"NOT EXISTS (SELECT 1 FROM dom{k} x WHERE "
+                    f"x.{r} = g{k}.{r} OR x.{m} = g{k}.{r} "
+                    f"OR x.{r} = g{k}.{m} OR x.{m} = g{k}.{m})"
+                )
+            else:
+                cond = (
+                    f"NOT EXISTS (SELECT 1 FROM dom{k} x WHERE x.{r} = g{k}.{r}) "
+                    f"AND NOT EXISTS (SELECT 1 FROM dom{k} y WHERE y.{m} = g{k}.{m})"
+                )
+            ctes.append(
+                f"g{k + 1} AS (SELECT * FROM g{k} WHERE {cond})"
+            )
+    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(sels)

@@ -86,3 +86,135 @@ def test_parity_with_duckdb(pairs, tmp_path):
     sql = one_to_one_sql(f"SELECT * FROM read_parquet('{pq}/*.parquet')")
     want = sorted((a, b, round(w, 6)) for a, b, w in con.execute(sql).fetchall())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# greedy 1:1 (locally-dominant peeling)
+# ---------------------------------------------------------------------------
+
+
+def _chain_df(spark):
+    """rec-side chain 1-(9)-11, 2-(8)-11, 2-(7)-12: mutual-best keeps only
+    (1,11) — rec 2's best partner 11 prefers 1 — and strands 2 and 12;
+    greedy must also assign (2,12) in round 1."""
+    return spark.createDataFrame(
+        [(1, 11, 9.0), (2, 11, 8.0), (2, 12, 7.0)],
+        "id_rec long, id_mem long, weight double",
+    )
+
+
+def test_greedy_assigns_the_chain_mutual_best_leaves(spark):
+    from bigmatch_utilities_spark.operators.assignment import (
+        greedy_one_to_one,
+        one_to_one,
+    )
+
+    df = _chain_df(spark)
+    mutual = {(r.id_rec, r.id_mem) for r in one_to_one(df).collect()}
+    assert mutual == {(1, 11)}
+    got = {
+        (r.id_rec, r.id_mem): r.round
+        for r in greedy_one_to_one(df, rounds=3).collect()
+    }
+    assert got == {(1, 11): 0, (2, 12): 1}
+
+
+def test_greedy_shared_ids_triangle_respects_node_budget(spark, tmp_path):
+    """Triangle 1-2(9), 2-3(8), 3-1(7) in ONE id space: node 2's best is
+    the (1,2) edge, so (2,3) must NOT be accepted in the same round —
+    column-wise mutual-best would take both. Oracle agrees."""
+    import duckdb as _dd
+
+    from bigmatch_utilities_spark.operators.assignment import (
+        greedy_one_to_one,
+        greedy_one_to_one_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2, 9.0), (2, 3, 8.0), (1, 3, 7.0)],
+        "id_rec long, id_mem long, weight double",
+    )
+    got = {
+        (r.id_rec, r.id_mem)
+        for r in greedy_one_to_one(df, rounds=4, shared_ids=True).collect()
+    }
+    assert got == {(1, 2)}
+    path = str(tmp_path / "tri.parquet")
+    df.write.mode("overwrite").parquet(path)
+    exp = {
+        (r, m)
+        for r, m, *_ in _dd.sql(
+            greedy_one_to_one_sql(
+                f"SELECT * FROM read_parquet('{path}/*.parquet')",
+                rounds=4,
+                shared_ids=True,
+            )
+        ).fetchall()
+    }
+    assert exp == got
+
+
+def test_greedy_matches_sequential_greedy_and_duckdb(spark, tmp_path):
+    import random
+
+    from bigmatch_utilities_spark.operators.assignment import (
+        greedy_one_to_one,
+        greedy_one_to_one_sql,
+    )
+
+    rng = random.Random(17)
+    pairs = [
+        (rng.randint(0, 30), 100 + rng.randint(0, 30), round(rng.uniform(-5, 15), 3))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(pairs, "id_rec long, id_mem long, weight double")
+    path = str(tmp_path / "p.parquet")
+    df.write.mode("overwrite").parquet(path)
+    got = sorted(tuple(r) for r in greedy_one_to_one(df, rounds=6).collect())
+    exp = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            greedy_one_to_one_sql(
+                f"SELECT * FROM read_parquet('{path}/*.parquet')", rounds=6
+            )
+        ).fetchall()
+    )
+    assert got == exp
+
+    # equivalence with SEQUENTIAL greedy (weight desc, ties (mem, rec) asc
+    # per the per-side tie-breaks)
+    best = {}
+    for r, m, w in pairs:
+        best[(r, m)] = max(w, best.get((r, m), float("-inf")))
+    order = sorted(best.items(), key=lambda kv: (-round(kv[1], 6), kv[0][1], kv[0][0]))
+    used_r, used_m, acc = set(), set(), set()
+    for (r, m), _ in order:
+        if r not in used_r and m not in used_m:
+            used_r.add(r)
+            used_m.add(m)
+            acc.add((r, m))
+    assert {(g[0], g[1]) for g in got} == acc
+    # 1:1 property
+    recs = [g[0] for g in got]
+    mems = [g[1] for g in got]
+    assert len(recs) == len(set(recs)) and len(mems) == len(set(mems))
+
+
+def test_greedy_shared_ids_excludes_matched_from_both_columns(spark):
+    from bigmatch_utilities_spark.operators.assignment import greedy_one_to_one
+
+    # canonical-pair chain: (1,2) strong, (2,3), (3,4) — shared-id mode
+    # consumes 2 entirely in round 0, then 3-4 pairs in round 1
+    df = spark.createDataFrame(
+        [(1, 2, 9.0), (2, 3, 8.0), (3, 4, 7.0)],
+        "id_rec long, id_mem long, weight double",
+    )
+    got = {
+        (r.id_rec, r.id_mem): r.round
+        for r in greedy_one_to_one(df, rounds=4, shared_ids=True).collect()
+    }
+    assert got == {(1, 2): 0, (3, 4): 1}
+    # two-file reading of the same rows: rec-2 and mem-2 are DIFFERENT
+    # entities, so all three pairs are assignable
+    two_file = {(r.id_rec, r.id_mem) for r in greedy_one_to_one(df, rounds=4).collect()}
+    assert two_file == {(1, 2), (2, 3), (3, 4)}
