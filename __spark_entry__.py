@@ -2535,6 +2535,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ga_greedy_assignment"] = ga
 
+    # ---- uncertainty-sampling review batch (active learning) -------------
+    def ub(spark, sf):
+        from bigmatch_utilities_spark.operators.review_sample import (
+            uncertainty_batch,
+        )
+
+        pairs = _blocked_pairs(spark, sf).select(
+            "id_l",
+            "id_r",
+            "lang",
+            F.round(pair_weight(_FS_FIELDS), 6).alias("weight"),
+        )
+        return uncertainty_batch(
+            pairs, "weight", target=2.0, k=60, block_col="lang", per_block=25
+        )
+
+    q["ub_uncertainty_batch"] = ub
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -4602,6 +4620,21 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'below' END AS decision
         FROM ap_fpw
     """
+
+    # ub: uncertainty batch — identical distance, md5 tiebreak, block quota
+    from bigmatch_utilities_spark.operators.review_sample import (
+        uncertainty_batch_sql,
+    )
+
+    o["ub_uncertainty_batch"] = uncertainty_batch_sql(
+        f"""SELECT id_l, id_r, lang, round({_WEIGHT_SQL}, 6) AS weight
+            FROM ({_BLOCKED_PAIRS_SQL})""",
+        "weight",
+        target=2.0,
+        k=60,
+        block_col="lang",
+        per_block=25,
+    )
 
     # ga: greedy 1:1 — identical unrolled dominant-peel rounds
     from bigmatch_utilities_spark.operators.assignment import (

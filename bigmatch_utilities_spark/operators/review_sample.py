@@ -119,3 +119,116 @@ def review_sample_sql(
         )
         WHERE rk <= {per_stratum}
     """
+
+
+def uncertainty_batch(
+    pairs: DataFrame,
+    weight_col: str = "weight",
+    target: float = 0.0,
+    k: int = 100,
+    block_col: str | None = None,
+    per_block: int = 5,
+    id_cols: tuple[str, str] = ("id_l", "id_r"),
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Active-learning review batch: the k pairs NEAREST the decision
+    boundary, optionally diversity-capped per block.
+
+    :func:`review_sample` covers the whole clerical band evenly; when the
+    reviewer's labels feed back into calibration (EM re-fit, cutoff
+    re-pick), the information-optimal batch is instead the pairs the
+    current model is least sure about — uncertainty sampling (Lewis-Gale
+    1994), the selection rule interactive linkage tools built on this
+    literature use for their labeling loops. ``target`` is the weight at
+    the posterior-0.5 point (e.g. ``cutoffs.weight_cutoff_for(0.5, lam)``);
+    distance is ``abs(round(w,6) - target)`` rounded to 6dp so the rank
+    order is engine-exact. With ``block_col`` set, at most ``per_block``
+    pairs survive per block first — one partitioned window — so a single
+    pathological block cannot monopolize the batch (the diversity device
+    of batch-mode active learning).
+
+    Scale: the global top-k never funnels through one reducer — phase 1
+    keeps k per (xxhash64 salt) partition, phase 2 re-ranks the
+    <= k * salt_buckets survivors (same two-phase discipline as
+    :func:`review_sample`; the salt is Spark-internal and invisible in
+    the result). Output: id cols [, block_col], weight, dist,
+    rk (1..k in (dist, md5, ids) order).
+    """
+    w6 = F.round(F.col(weight_col), 6)
+    dist = F.round(F.abs(w6 - F.lit(target)), 6)
+    tie = F.md5(F.concat_ws("|", *[F.col(c) for c in id_cols]))
+    keep = [*id_cols] + ([block_col] if block_col else []) + [weight_col]
+    d = (
+        pairs.select(*keep)
+        .withColumn("dist", dist)
+        .withColumn("_tie", tie)
+    )
+    order = [F.col("dist").asc(), F.col("_tie")] + [F.col(c) for c in id_cols]
+    if block_col:
+        d = (
+            d.withColumn(
+                "_bq",
+                F.row_number().over(Window.partitionBy(block_col).orderBy(*order)),
+            )
+            .filter(F.col("_bq") <= per_block)
+            .drop("_bq")
+        )
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in id_cols]), F.lit(salt_buckets))
+    phase1 = (
+        d.withColumn("_salt", salt)
+        .withColumn(
+            "rk", F.row_number().over(Window.partitionBy("_salt").orderBy(*order))
+        )
+        .filter(F.col("rk") <= k)
+        .drop("rk", "_salt")
+    )
+    return (
+        phase1.withColumn("rk", F.row_number().over(Window.orderBy(*order)))
+        .filter(F.col("rk") <= k)
+        .drop("_tie")
+    )
+
+
+def uncertainty_batch_sql(
+    pairs_sql: str,
+    weight_col: str = "weight",
+    target: float = 0.0,
+    k: int = 100,
+    block_col: str | None = None,
+    per_block: int = 5,
+    id_cols: tuple[str, str] = ("id_l", "id_r"),
+) -> str:
+    """DuckDB twin of :func:`uncertainty_batch` (salt phases are
+    Spark-internal; the selected set is salt-invariant)."""
+    ids = ", ".join(id_cols)
+    cat = ", ".join(id_cols)
+    blk = f", {block_col}" if block_col else ""
+    dist = (
+        f"round(abs(round({weight_col}, 6) "
+        f"- CAST({target!r} AS DOUBLE)), 6)"
+    )
+    base = f"""
+        SELECT {ids}{blk}, {weight_col}, {dist} AS dist,
+               md5(concat_ws('|', {cat})) AS _tie
+        FROM ({pairs_sql})
+    """
+    if block_col:
+        base = f"""
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY {block_col}
+                ORDER BY dist ASC, _tie, {ids}
+            ) AS _bq
+            FROM ({base})
+        ) WHERE _bq <= {per_block}
+        """
+    return f"""
+        SELECT {ids}{blk}, {weight_col}, dist, rk
+        FROM (
+            SELECT *, row_number() OVER (
+                ORDER BY dist ASC, _tie, {ids}
+            ) AS rk
+            FROM ({base})
+        )
+        WHERE rk <= {k}
+    """
