@@ -2553,6 +2553,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ub_uncertainty_batch"] = ub
 
+    # ---- cannot-link enforcement (one record per source per entity) ------
+    def se(spark, sf):
+        from bigmatch_utilities_spark.operators.cluster_audit import (
+            enforce_source_exclusivity,
+        )
+
+        # hash-block dedupe pairs (J3's edge set — hundreds of multi-member
+        # clusters) with a deterministic weight, so the peel rounds do
+        # real constraint work at sf0.01
+        d = _docs_keyed(spark, sf)
+        l = d.select(F.col("doc_id").alias("id_l"), "hkey")
+        r = d.select(F.col("doc_id").alias("id_r"), F.col("hkey").alias("hk2"))
+        pairs = l.join(
+            r, (F.col("hkey") == F.col("hk2")) & (F.col("id_l") < F.col("id_r"))
+        ).select(
+            "id_l",
+            "id_r",
+            ((F.col("id_l") + F.col("id_r")) % 10).cast("double").alias("weight"),
+        )
+        recs = _t(spark, sf, "documents").select(
+            F.col("doc_id").alias("id"), "source"
+        )
+        return enforce_source_exclusivity(pairs, recs, rounds=3)
+
+    q["se_source_exclusivity"] = se
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -4620,6 +4646,21 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'below' END AS decision
         FROM ap_fpw
     """
+
+    # se: cannot-link enforcement — identical unrolled peel rounds, each
+    # with a recursive-CTE closure (the cc device)
+    from bigmatch_utilities_spark.operators.cluster_audit import (
+        enforce_source_exclusivity_sql,
+    )
+
+    o["se_source_exclusivity"] = enforce_source_exclusivity_sql(
+        f"""SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+                   CAST((a.doc_id + b.doc_id) % 10 AS DOUBLE) AS weight
+            FROM ({_DOCS_KEYED_SQL}) a JOIN ({_DOCS_KEYED_SQL}) b
+              ON a.hkey = b.hkey AND a.doc_id < b.doc_id""",
+        "SELECT doc_id AS id, source FROM documents",
+        rounds=3,
+    )
 
     # ub: uncertainty batch — identical distance, md5 tiebreak, block quota
     from bigmatch_utilities_spark.operators.review_sample import (

@@ -401,3 +401,171 @@ def source_conflicts(
         )
         .filter(F.col("n_records") >= 2)
     )
+
+
+def enforce_source_exclusivity(
+    pairs: DataFrame,
+    records: DataFrame,
+    source_col: str = "source",
+    id_col: str = "id",
+    id_l: str = "id_l",
+    id_r: str = "id_r",
+    weight_col: str = "weight",
+    rounds: int = 3,
+) -> DataFrame:
+    """Cannot-link enforcement: peel weakest edges until no cluster holds
+    two records from the same source (bounded by ``rounds``).
+
+    :func:`source_conflicts` is the audit; this is the repair. The
+    constraint — one record per trusted source per entity (restricted
+    linkage / the master-patient-index rule) — cannot be enforced by
+    dropping only DIRECT same-source edges: transitivity re-merges the
+    pair through intermediates. The standard greedy device is weakest-
+    edge peeling: every violating cluster drops its single weakest
+    intra-cluster edge (ties to smallest (id_l, id_r)), closure re-runs,
+    repeat. Each peel severs the least-evidence link first, so the split
+    keeps the strongest sub-entities intact — the same rationale as
+    :func:`repair_clusters`, with the trigger a CONSTRAINT instead of a
+    weight threshold.
+
+    Runs EXACTLY ``rounds`` rounds (clean rounds are no-ops) so the
+    recursive-CTE oracle (:func:`enforce_source_exclusivity_sql`) is
+    value-identical. A cluster with c conflicting records may need ~c
+    rounds; report residual violations by composing
+    ``source_conflicts(result, records)`` — a non-empty residual means
+    raise ``rounds``.
+
+    Scale: each round re-closes ONLY the violating clusters' subgraph
+    (the anomaly tail, same contraction discipline as repair_clusters);
+    the standing edge set is touched by one anti-join per round; lineage
+    is truncated per round. Returns (id, cluster_id) for every record,
+    singletons included.
+    """
+    from .closure import _truncate
+
+    edges = (
+        pairs.select(
+            F.least(F.col(id_l), F.col(id_r)).alias("_l"),
+            F.greatest(F.col(id_l), F.col(id_r)).alias("_r"),
+            F.col(weight_col).alias("_w"),
+        )
+        .filter(F.col("_l") != F.col("_r"))
+        .groupBy("_l", "_r")
+        .agg(F.max("_w").alias("_w"))
+    )
+    recs = records.select(
+        F.col(id_col).alias("_id"), F.col(source_col).alias("_src")
+    )
+    for k in range(rounds):
+        if k > 0:
+            edges = _truncate(edges)
+        comp = connected_components(
+            edges.select(F.col("_l").alias("src"), F.col("_r").alias("dst"))
+        )
+        viol = (
+            comp.join(recs, comp["id"] == recs["_id"])
+            .groupBy("cluster_id", "_src")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") >= 2)
+            .select("cluster_id")
+            .distinct()
+        )
+        # intra-cluster edges of violating clusters (every surviving edge
+        # is intra-cluster after closure, so one endpoint join suffices)
+        tagged = edges.join(
+            comp.select(F.col("id").alias("_l"), "cluster_id"), "_l"
+        ).join(viol, "cluster_id", "left_semi")
+        weakest = tagged.groupBy("cluster_id").agg(
+            F.min(
+                F.struct(
+                    F.col("_w").alias("w"),
+                    F.col("_l").alias("l"),
+                    F.col("_r").alias("r"),
+                )
+            ).alias("b")
+        ).select(F.col("b.l").alias("_l"), F.col("b.r").alias("_r"))
+        edges = edges.join(weakest, ["_l", "_r"], "left_anti")
+    comp = connected_components(
+        edges.select(F.col("_l").alias("src"), F.col("_r").alias("dst"))
+    )
+    return (
+        recs.join(comp, recs["_id"] == comp["id"], "left")
+        .select(
+            F.col("_id").alias("id"),
+            F.coalesce("cluster_id", F.col("_id")).alias("cluster_id"),
+        )
+    )
+
+
+def enforce_source_exclusivity_sql(
+    pairs_sql: str,
+    records_sql: str,
+    source_col: str = "source",
+    id_col: str = "id",
+    id_l: str = "id_l",
+    id_r: str = "id_r",
+    weight_col: str = "weight",
+    rounds: int = 3,
+) -> str:
+    """Oracle twin of :func:`enforce_source_exclusivity`: the identical
+    rounds unrolled, each with a recursive-CTE closure (the
+    cc_connected_components device), the identical min-label clusters,
+    violating-cluster detection, and (w, l, r) weakest-edge argmin."""
+    ctes = [
+        f"""e0 AS MATERIALIZED (
+            SELECT least({id_l}, {id_r}) AS l, greatest({id_l}, {id_r}) AS r,
+                   max({weight_col}) AS w
+            FROM ({pairs_sql}) WHERE {id_l} <> {id_r}
+            GROUP BY 1, 2
+        )""",
+        f"rrec AS MATERIALIZED (SELECT {id_col} AS rid, {source_col} AS rsrc "
+        f"FROM ({records_sql}))",
+    ]
+    for k in range(rounds):
+        ctes.append(
+            f"""und{k} AS (
+            SELECT l AS s, r AS d FROM e{k} UNION SELECT r, l FROM e{k}
+        ), reach{k}(n, m) AS (
+            SELECT s, s FROM (SELECT DISTINCT s FROM und{k})
+            UNION
+            SELECT u.d, x.m FROM reach{k} x JOIN und{k} u ON u.s = x.n
+        ), comp{k} AS MATERIALIZED (
+            SELECT n AS id, min(m) AS cluster_id FROM reach{k} GROUP BY n
+        ), viol{k} AS (
+            SELECT DISTINCT cluster_id FROM comp{k} c
+            JOIN rrec ON rrec.rid = c.id
+            GROUP BY cluster_id, rsrc HAVING count(*) >= 2
+        ), weak{k} AS (
+            SELECT l, r FROM (
+                SELECT e.l, e.r, row_number() OVER (
+                    PARTITION BY c.cluster_id ORDER BY e.w ASC, e.l, e.r
+                ) AS rn
+                FROM e{k} e
+                JOIN comp{k} c ON c.id = e.l
+                JOIN viol{k} v ON v.cluster_id = c.cluster_id
+            ) WHERE rn = 1
+        ), e{k + 1} AS MATERIALIZED (
+            SELECT e.* FROM e{k} e
+            WHERE NOT EXISTS (
+                SELECT 1 FROM weak{k} x WHERE x.l = e.l AND x.r = e.r
+            )
+        )"""
+        )
+    K = rounds
+    ctes.append(
+        f"""undF AS (
+            SELECT l AS s, r AS d FROM e{K} UNION SELECT r, l FROM e{K}
+        ), reachF(n, m) AS (
+            SELECT s, s FROM (SELECT DISTINCT s FROM undF)
+            UNION
+            SELECT u.d, x.m FROM reachF x JOIN undF u ON u.s = x.n
+        ), compF AS (
+            SELECT n AS id, min(m) AS cluster_id FROM reachF GROUP BY n
+        )"""
+    )
+    return (
+        "WITH RECURSIVE " + ",\n".join(ctes) + """
+SELECT rid AS id, coalesce(cluster_id, rid) AS cluster_id
+FROM rrec LEFT JOIN compF ON compF.id = rrec.rid
+"""
+    )

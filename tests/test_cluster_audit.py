@@ -235,3 +235,104 @@ def test_source_conflicts_plan_shape(spark):
     assert plan.count("Join") == 1
     for marker in ("ArrowEval", "BatchEvalPython", "PythonUDF"):
         assert marker not in plan
+
+
+# ---------------------------------------------------------------------------
+# cannot-link enforcement (one record per source per entity)
+# ---------------------------------------------------------------------------
+
+
+def _conflict_fixture(spark):
+    # chain 1-2-3-4: ids 1 and 3 share source A (violation only via
+    # TRANSITIVITY — no direct same-source edge exists, so direct-edge
+    # pruning could never fix it); triangle 20-21-22 with 21/22 same
+    # source needs TWO peel rounds; 10-11 clean; 30 singleton.
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, 9.0), (2, 3, 3.0), (3, 4, 8.0),
+            (10, 11, 5.0),
+            (20, 21, 7.0), (21, 22, 6.0), (20, 22, 2.0),
+        ],
+        "id_l long, id_r long, weight double",
+    )
+    recs = spark.createDataFrame(
+        [
+            (1, "A"), (2, "B"), (3, "A"), (4, "C"),
+            (10, "A"), (11, "B"),
+            (20, "X"), (21, "Y"), (22, "Y"), (30, "Z"),
+        ],
+        "id long, source string",
+    )
+    return pairs, recs
+
+
+def test_enforce_source_exclusivity_semantics(spark):
+    from bigmatch_utilities_spark.operators.cluster_audit import (
+        enforce_source_exclusivity,
+        source_conflicts,
+    )
+
+    pairs, recs = _conflict_fixture(spark)
+    res = enforce_source_exclusivity(pairs, recs, rounds=3)
+    got = {r.id: r.cluster_id for r in res.collect()}
+    # chain split at its weakest edge (2-3): {1,2} and {3,4}
+    assert got[1] == got[2] and got[3] == got[4] and got[1] != got[3]
+    # triangle: round 0 peels 20-22 (w=2, still connected & violating),
+    # round 1 peels 21-22 -> {20,21} + {22}
+    assert got[20] == got[21] and got[22] == 22
+    # clean pair and singleton untouched
+    assert got[10] == got[11] and got[30] == 30
+    # the constraint holds
+    assert source_conflicts(res, recs).count() == 0
+
+
+def test_enforce_source_exclusivity_matches_duckdb(spark, tmp_path):
+    from bigmatch_utilities_spark.operators.cluster_audit import (
+        enforce_source_exclusivity,
+        enforce_source_exclusivity_sql,
+    )
+
+    pairs, recs = _conflict_fixture(spark)
+    pairs.write.parquet(str(tmp_path / "p"))
+    recs.write.parquet(str(tmp_path / "r"))
+    got = sorted(
+        (r.id, r.cluster_id)
+        for r in enforce_source_exclusivity(pairs, recs, rounds=3).collect()
+    )
+    sql = enforce_source_exclusivity_sql(
+        f"SELECT * FROM read_parquet('{tmp_path}/p/*.parquet')",
+        f"SELECT * FROM read_parquet('{tmp_path}/r/*.parquet')",
+        rounds=3,
+    )
+    exp = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    assert got == exp
+
+
+def test_enforce_source_exclusivity_clean_input_is_identity(spark):
+    from bigmatch_utilities_spark.operators.cluster_audit import (
+        enforce_source_exclusivity,
+    )
+    from bigmatch_utilities_spark.operators.closure import (
+        cluster_accepted_pairs,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 5.0), (3, 4, 4.0)], "id_l long, id_r long, weight double"
+    )
+    recs = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "A"), (4, "B")], "id long, source string"
+    )
+    got = sorted(
+        (r.id, r.cluster_id)
+        for r in enforce_source_exclusivity(pairs, recs, rounds=2).collect()
+    )
+    base = sorted(
+        (r.id, r.cluster_id)
+        for r in cluster_accepted_pairs(
+            pairs.withColumnRenamed("id_l", "id_rec").withColumnRenamed(
+                "id_r", "id_mem"
+            ),
+            recs.select("id"),
+        ).collect()
+    )
+    assert got == base
