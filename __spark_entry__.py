@@ -2579,6 +2579,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["se_source_exclusivity"] = se
 
+    # ---- SI: stable entity-id crosswalk across runs -----------------------
+    def si(spark, sf):
+        from bigmatch_utilities_spark.operators.entity_ids import (
+            stable_entity_ids,
+        )
+
+        d = _docs_keyed(spark, sf)
+        # "previous run": entities = (source, lang) groups, 'e:'||min doc_id
+        pg = d.groupBy("source", "lang").agg(F.min("doc_id").alias("_pe"))
+        prev = d.join(pg, ["source", "lang"]).select(
+            F.col("doc_id").alias("id"),
+            F.concat(F.lit("e:"), F.col("_pe").cast("string")).alias(
+                "entity_id"
+            ),
+        )
+        # "this run": clusters = (lang, bucket) groups — crosscuts the prior
+        # key, so splits, merges, contention, and minting all occur
+        cg = d.groupBy("lang", "bucket").agg(F.min("doc_id").alias("_c"))
+        curr = d.join(cg, ["lang", "bucket"]).select(
+            F.col("doc_id").alias("id"), F.col("_c").alias("cluster")
+        )
+        return stable_entity_ids(curr, prev)
+
+    q["si_stable_ids"] = si
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -4692,6 +4717,24 @@ def oracle_sql() -> dict[str, str]:
             shared_ids=True,
         )
         + ")"
+    )
+
+    # si: stable entity-id crosswalk — identical claim/award argmaxes
+    from bigmatch_utilities_spark.operators.entity_ids import (
+        stable_entity_ids_sql,
+    )
+
+    o["si_stable_ids"] = stable_entity_ids_sql(
+        f"""SELECT d.doc_id AS id, g._c AS cluster
+            FROM ({_DOCS_KEYED_SQL}) d JOIN (
+                SELECT lang, bucket, min(doc_id) AS _c
+                FROM ({_DOCS_KEYED_SQL}) GROUP BY lang, bucket
+            ) g USING (lang, bucket)""",
+        f"""SELECT d.doc_id AS id, 'e:' || CAST(g._pe AS VARCHAR) AS entity_id
+            FROM ({_DOCS_KEYED_SQL}) d JOIN (
+                SELECT source, lang, min(doc_id) AS _pe
+                FROM ({_DOCS_KEYED_SQL}) GROUP BY source, lang
+            ) g USING (source, lang)""",
     )
 
     return o

@@ -1,0 +1,110 @@
+"""Stable entity-ID crosswalk: split/merge/mint semantics, deterministic
+contention, Spark<->DuckDB parity, no window over record-scale data."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from bigmatch_utilities_spark.operators.entity_ids import (
+    stable_entity_ids,
+    stable_entity_ids_sql,
+)
+
+CURR_SCHEMA = "id long, cluster long"
+PREV_SCHEMA = "id long, entity_id string"
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    # previous run: entity A = {1,2,3}, entity B = {4,5}, entity C = {6}
+    prev = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "A"), (4, "B"), (5, "B"), (6, "C")],
+        PREV_SCHEMA,
+    )
+    # new run:
+    #   cluster 10 = {1,2}    — larger fragment of A's split -> keeps A
+    #   cluster 20 = {3}      — smaller fragment of A -> loses contention,
+    #                            mints new:3
+    #   cluster 30 = {4,5,6}  — merge of B and C -> keeps B (overlap 2>1)
+    #   cluster 40 = {7,8}    — all-new records -> mints new:7
+    curr = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 30), (5, 30), (6, 30), (7, 40), (8, 40)],
+        CURR_SCHEMA,
+    )
+    return curr, prev
+
+
+def test_split_merge_mint(frames):
+    curr, prev = frames
+    got = {
+        r["cluster"]: (r["entity_id"], r["carried"], r["overlap"])
+        for r in stable_entity_ids(curr, prev).collect()
+    }
+    assert got == {
+        10: ("A", True, 2),
+        20: ("new:3", False, 0),
+        30: ("B", True, 2),
+        40: ("new:7", False, 0),
+    }
+
+
+def test_contention_tiebreak_prefers_smaller_cluster(spark):
+    # both clusters overlap entity X equally (1 record each): the award
+    # tie-breaks to the SMALLEST cluster id; the loser mints
+    prev = spark.createDataFrame([(1, "X"), (2, "X")], PREV_SCHEMA)
+    curr = spark.createDataFrame([(1, 7), (2, 5)], CURR_SCHEMA)
+    got = {
+        r["cluster"]: r["entity_id"]
+        for r in stable_entity_ids(curr, prev).collect()
+    }
+    assert got == {5: "X", 7: "new:1"}
+
+
+def test_claim_tiebreak_prefers_smaller_entity(spark):
+    # one cluster overlaps two prior entities equally: claims the
+    # lexicographically smallest entity id
+    prev = spark.createDataFrame([(1, "P"), (2, "Q")], PREV_SCHEMA)
+    curr = spark.createDataFrame([(1, 1), (2, 1)], CURR_SCHEMA)
+    [row] = stable_entity_ids(curr, prev).collect()
+    assert (row["cluster"], row["entity_id"], row["overlap"]) == (1, "P", 1)
+
+
+def test_every_cluster_exactly_once(frames):
+    curr, prev = frames
+    out = stable_entity_ids(curr, prev).collect()
+    clusters = [r["cluster"] for r in out]
+    assert sorted(clusters) == sorted({r["cluster"] for r in curr.collect()})
+    # carried ids are unique (an entity id never lands on two clusters)
+    carried = [r["entity_id"] for r in out if r["carried"]]
+    assert len(carried) == len(set(carried))
+
+
+def test_duckdb_parity(frames):
+    curr, prev = frames
+    spark_rows = {
+        tuple(r)
+        for r in stable_entity_ids(curr, prev)
+        .select("cluster", "entity_id", "carried", "overlap")
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE c AS SELECT * FROM (VALUES "
+        + ", ".join(f"({r['id']}, {r['cluster']})" for r in curr.collect())
+        + ") t(id, cluster)"
+    )
+    con.execute(
+        "CREATE TABLE p AS SELECT * FROM (VALUES "
+        + ", ".join(f"({r['id']}, '{r['entity_id']}')" for r in prev.collect())
+        + ") t(id, entity_id)"
+    )
+    sql = stable_entity_ids_sql("SELECT * FROM c", "SELECT * FROM p")
+    duck_rows = {tuple(r) for r in con.execute(sql).fetchall()}
+    assert spark_rows == duck_rows
+
+
+def test_no_window_in_plan(frames):
+    curr, prev = frames
+    plan = stable_entity_ids(curr, prev)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
