@@ -2604,6 +2604,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["si_stable_ids"] = si
 
+    # ---- PL: posterior calibration (reliability diagram + Brier) ----------
+    def pl(spark, sf):
+        from bigmatch_utilities_spark.operators.em import estimate_posterior
+        from bigmatch_utilities_spark.operators.evaluate import (
+            posterior_calibration,
+        )
+
+        post = estimate_posterior(_blocked_pairs(spark, sf), _FS_FIELDS)
+        truth = (
+            _scored_pairs(spark, sf)
+            .filter(F.col("is_exact"))
+            .select("id_l", "id_r")
+        )
+        return posterior_calibration(post, truth, n_bins=10)
+
+    q["pl_posterior_calibration"] = pl
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -4735,6 +4752,18 @@ def oracle_sql() -> dict[str, str]:
                 SELECT source, lang, min(doc_id) AS _pe
                 FROM ({_DOCS_KEYED_SQL}) GROUP BY source, lang
             ) g USING (source, lang)""",
+    )
+
+    # pl: posterior calibration — same EM-unrolled posterior CTE, same
+    # integer quantization on both engines
+    from bigmatch_utilities_spark.operators.evaluate import (
+        posterior_calibration_sql,
+    )
+
+    o["pl_posterior_calibration"] = posterior_calibration_sql(
+        _po_sql(_BLOCKED_PAIRS_SQL, _FS_FIELDS),
+        f"SELECT id_l, id_r FROM ({_SCORED_PAIRS_SQL}) WHERE is_exact",
+        n_bins=10,
     )
 
     return o

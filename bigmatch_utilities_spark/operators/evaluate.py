@@ -527,3 +527,133 @@ def cutoff_sweep_sql(
                      6) AS f1
         FROM sweep
     """
+
+
+def posterior_calibration(
+    posteriors: DataFrame,
+    truth: DataFrame,
+    n_bins: int = 10,
+    id_l: str = "id_l",
+    id_r: str = "id_r",
+    posterior_col: str = "posterior",
+) -> DataFrame:
+    """Reliability diagram + per-bin Brier score for EM-calibrated
+    posteriors: is P(M | gamma) = 0.8 actually right 80% of the time?
+
+    The reference never surfaces probabilities at all — the analyst
+    stares at sorted log2 weights (`/root/reference/app/MatchReview.py`
+    review pane) — so once :func:`em.match_posterior` exists, the natural
+    audit is calibration: bucket the scored pairs by predicted posterior
+    into ``n_bins`` equal-width bins and compare each bin's mean
+    prediction against its empirical match rate from a labeled truth
+    sample. Output: one row per non-empty bin with
+    (bin, n_pairs, n_match, mean_posterior, match_rate, brier), ordered
+    by bin. A calibrated model has match_rate tracking mean_posterior and
+    a small Brier score (mean squared error of the probability).
+
+    Scale design: the posteriors are canonicalized with one pair-key
+    groupBy, labeled with one join against the (distinct) truth pairs,
+    then reduced by a groupBy on <= n_bins integer keys with full
+    map-side partial aggregation — three shuffles total, the last one
+    carrying n_bins rows per task. No window, no collect.
+
+    Cross-engine exactness: the posterior is quantized to an integer
+    p6 = round(posterior * 1e6) BEFORE any arithmetic, so binning
+    (integer multiply + truncating DIV), the mean (exact BIGINT sum, one
+    double division), the match rate (int/int), and the Brier numerator
+    (sum of exact int squares at 3dp quantization) are all order-free and
+    bit-identical between Spark and the DuckDB twin.
+    """
+    s = (
+        posteriors.select(
+            F.least(F.col(id_l), F.col(id_r)).alias("a"),
+            F.greatest(F.col(id_l), F.col(id_r)).alias("b"),
+            F.col(posterior_col).alias("_p"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.max("_p").alias("_p"))
+    )
+    t = _canon_pairs(truth, id_l, id_r).withColumn("_t", F.lit(1))
+    labeled = s.join(t, on=["a", "b"], how="left").select(
+        F.expr("CAST(round(_p * 1000000) AS BIGINT)").alias("_p6"),
+        F.coalesce(F.col("_t"), F.lit(0)).cast("long").alias("_y"),
+    )
+    nb = int(n_bins)
+    binned = labeled.select(
+        F.expr(f"least((_p6 * {nb}) DIV 1000000, {nb - 1})")
+        .cast("int")
+        .alias("bin"),
+        "_p6",
+        "_y",
+        # 3dp-quantized squared error: d in [-1000, 1000], d*d exact
+        F.expr("(_p6 DIV 1000 - _y * 1000) * (_p6 DIV 1000 - _y * 1000)")
+        .alias("_d2"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("_y").alias("n_match"),
+        F.sum("_p6").alias("_sp6"),
+        F.sum("_d2").alias("_sd2"),
+    )
+    return agg.select(
+        "bin",
+        "n_pairs",
+        "n_match",
+        F.round(
+            F.col("_sp6").cast("double") / (F.col("n_pairs") * F.lit(1e6)), 6
+        ).alias("mean_posterior"),
+        F.round(
+            F.col("n_match").cast("double") / F.col("n_pairs"), 6
+        ).alias("match_rate"),
+        F.round(
+            F.col("_sd2").cast("double") / (F.col("n_pairs") * F.lit(1e6)), 6
+        ).alias("brier"),
+    ).orderBy("bin")
+
+
+def posterior_calibration_sql(
+    posteriors_sql: str,
+    truth_sql: str,
+    n_bins: int = 10,
+    id_l: str = "id_l",
+    id_r: str = "id_r",
+    posterior_col: str = "posterior",
+) -> str:
+    """DuckDB twin of :func:`posterior_calibration` — identical integer
+    quantization (p6, truncating // division on positives) so every
+    emitted double is the result of the same single float division."""
+    nb = int(n_bins)
+    return f"""
+        WITH s AS (
+            SELECT least({id_l}, {id_r}) AS a, greatest({id_l}, {id_r}) AS b,
+                   max({posterior_col}) AS _p
+            FROM ({posteriors_sql}) WHERE {id_l} <> {id_r}
+            GROUP BY 1, 2
+        ), t AS (
+            SELECT DISTINCT least({id_l}, {id_r}) AS a,
+                            greatest({id_l}, {id_r}) AS b, 1 AS _t
+            FROM ({truth_sql}) WHERE {id_l} <> {id_r}
+        ), lab AS (
+            SELECT CAST(round(s._p * 1000000) AS BIGINT) AS _p6,
+                   CAST(coalesce(t._t, 0) AS BIGINT) AS _y
+            FROM s LEFT JOIN t ON s.a = t.a AND s.b = t.b
+        ), binned AS (
+            SELECT CAST(least((_p6 * {nb}) // 1000000, {nb - 1}) AS INTEGER)
+                       AS bin,
+                   _p6, _y,
+                   (_p6 // 1000 - _y * 1000) * (_p6 // 1000 - _y * 1000)
+                       AS _d2
+            FROM lab
+        )
+        SELECT bin,
+               count(*) AS n_pairs,
+               CAST(sum(_y) AS BIGINT) AS n_match,
+               round(CAST(sum(_p6) AS DOUBLE) / (count(*) * 1e6), 6)
+                   AS mean_posterior,
+               round(CAST(sum(_y) AS DOUBLE) / count(*), 6) AS match_rate,
+               round(CAST(sum(_d2) AS DOUBLE) / (count(*) * 1e6), 6) AS brier
+        FROM binned
+        GROUP BY bin
+        ORDER BY bin
+    """

@@ -245,3 +245,90 @@ def test_cutoff_sweep_duckdb_parity(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+def test_posterior_calibration_bins_and_brier(spark):
+    from bigmatch_utilities_spark.operators.evaluate import (
+        posterior_calibration,
+    )
+
+    # 4 scored pairs: two confident matches (0.95, one true one false),
+    # one confident non-match (0.05, truly non-match), one mid (0.55, true)
+    post = spark.createDataFrame(
+        [
+            (1, 2, 0.95),
+            (3, 4, 0.95),
+            (5, 6, 0.05),
+            (7, 8, 0.55),
+        ],
+        "id_l long, id_r long, posterior double",
+    )
+    truth = spark.createDataFrame([(2, 1), (8, 7)], "id_l long, id_r long")
+    rows = {r.bin: r for r in posterior_calibration(post, truth, 10).collect()}
+    assert sorted(rows) == [0, 5, 9]
+    b9 = rows[9]  # the two 0.95 pairs, one of which is a true match
+    assert (b9.n_pairs, b9.n_match) == (2, 1)
+    assert b9.mean_posterior == pytest.approx(0.95, abs=1e-6)
+    assert b9.match_rate == pytest.approx(0.5, abs=1e-6)
+    # brier for bin 9: ((0.95-1)^2 + (0.95-0)^2) / 2 = (0.0025+0.9025)/2
+    assert b9.brier == pytest.approx(0.4525, abs=1e-6)
+    b0 = rows[0]
+    assert (b0.n_pairs, b0.n_match) == (1, 0)
+    assert b0.brier == pytest.approx(0.0025, abs=1e-6)
+    b5 = rows[5]
+    assert (b5.n_pairs, b5.n_match) == (1, 1)
+    assert b5.brier == pytest.approx(0.2025, abs=1e-6)
+
+
+def test_posterior_calibration_duckdb_parity(spark):
+    import random
+
+    from bigmatch_utilities_spark.operators.evaluate import (
+        posterior_calibration,
+        posterior_calibration_sql,
+    )
+
+    rng = random.Random(23)
+    post = [
+        (rng.randint(0, 60), rng.randint(0, 60), round(rng.random(), 6))
+        for _ in range(300)
+    ]
+    truth = [(rng.randint(0, 60), rng.randint(0, 60)) for _ in range(150)]
+    pdf = spark.createDataFrame(
+        post, "id_l long, id_r long, posterior double"
+    )
+    tdf = spark.createDataFrame(truth, "id_l long, id_r long")
+    got = (
+        posterior_calibration(pdf, tdf, n_bins=8)
+        .toPandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW p AS SELECT * FROM (VALUES "
+        + ", ".join(f"({a}, {b}, {w})" for a, b, w in post)
+        + ") t(id_l, id_r, posterior)"
+    )
+    con.sql(
+        "CREATE VIEW tr AS SELECT * FROM (VALUES "
+        + ", ".join(f"({a}, {b})" for a, b in truth)
+        + ") t(id_l, id_r)"
+    )
+    want = (
+        con.sql(
+            posterior_calibration_sql(
+                "SELECT * FROM p", "SELECT * FROM tr", n_bins=8
+            )
+        )
+        .df()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for c in ("bin", "n_pairs", "n_match"):
+        assert got[c].astype(int).tolist() == want[c].astype(int).tolist()
+    for c in ("mean_posterior", "match_rate", "brier"):
+        # bit-identical by construction (integer quantization, single div)
+        assert got[c].tolist() == want[c].tolist()
