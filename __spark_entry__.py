@@ -171,6 +171,18 @@ _SNM_MIX_FIELDS = (
 _SNM_MIX_CUT = (2.0, -50.0)  # (hi, lo); lo below any reachable weight
 
 
+#: ordinal comparison levels for the lv_* queries: text graded into
+#: exact / >=0.9 / >=0.7 / disagree by edit similarity, the other two
+#: binary — three fields so the latent-class mixture is identifiable
+from bigmatch_utilities_spark.operators.levels import ComparisonLevels
+
+_LEVEL_FIELDS = (
+    ComparisonLevels(name="text_32", comparator="e", thresholds=(0.9, 0.7)),
+    ComparisonLevels(name="n_chars_s", comparator="c", thresholds=()),
+    ComparisonLevels(name="source", comparator="c", thresholds=()),
+)
+
+
 def _qs_mix_config():
     """Pass 0: reference-style blocked equi-join on (lang, bucket).
     Pass 1: q-gram token-blocking mop-up on text_32 (typo-anywhere remedy).
@@ -2621,6 +2633,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pl_posterior_calibration"] = pl
 
+    # ---- LV: ordinal comparison levels (Splink-style graded gammas) -------
+    def lv_w(spark, sf):
+        from bigmatch_utilities_spark.operators.levels import (
+            level_index,
+            levels_pair_weight,
+        )
+
+        p = _blocked_pairs(spark, sf)
+        idx = [
+            level_index(
+                cl, F.col(f"rec_{cl.name}"), F.col(f"mem_{cl.name}")
+            ).alias(f"g_{cl.name}")
+            for cl in _LEVEL_FIELDS
+        ]
+        return p.select(
+            "id_l",
+            "id_r",
+            *idx,
+            F.round(levels_pair_weight(_LEVEL_FIELDS), 6).alias("weight"),
+        )
+
+    q["lv_level_weights"] = lv_w
+
+    def lv_em(spark, sf):
+        from bigmatch_utilities_spark.operators.levels import estimate_levels
+
+        return estimate_levels(_blocked_pairs(spark, sf), _LEVEL_FIELDS)
+
+    q["lv_em_levels"] = lv_em
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -4759,6 +4801,25 @@ def oracle_sql() -> dict[str, str]:
     from bigmatch_utilities_spark.operators.evaluate import (
         posterior_calibration_sql,
     )
+
+    # lv: ordinal comparison levels — identical CASE literals / unrolled EM
+    from bigmatch_utilities_spark.operators.levels import (
+        estimate_levels_sql,
+        level_index_sql,
+        levels_pair_weight_sql,
+    )
+
+    _lv_idx = ", ".join(
+        level_index_sql(cl, f"rec_{cl.name}", f"mem_{cl.name}")
+        + f" AS g_{cl.name}"
+        for cl in _LEVEL_FIELDS
+    )
+    o["lv_level_weights"] = f"""
+        SELECT id_l, id_r, {_lv_idx},
+               round({levels_pair_weight_sql(_LEVEL_FIELDS)}, 6) AS weight
+        FROM ({_BLOCKED_PAIRS_SQL})
+    """
+    o["lv_em_levels"] = estimate_levels_sql(_BLOCKED_PAIRS_SQL, _LEVEL_FIELDS)
 
     o["pl_posterior_calibration"] = posterior_calibration_sql(
         _po_sql(_BLOCKED_PAIRS_SQL, _FS_FIELDS),
