@@ -183,6 +183,45 @@ _LEVEL_FIELDS = (
 )
 
 
+#: cutoffs for the declarative level-fields pass (le_level_pass_mix):
+#: print lo below any reachable weight so every decision band is emitted
+_LE_CUT = (4.0, -1.0, -50.0)  # (hi, lo, print_lo)
+
+
+def _le_mix_config():
+    """One equi pass on (lang, bucket) scoring source as a binary 'c'
+    field PLUS text_32 as an ordinal comparison-level field — the
+    declarative Splink-style graded-gamma pass the binary parmf grammar
+    cannot express (write_parmf refuses level_fields)."""
+    from bigmatch_utilities_spark.config import (
+        BlockField,
+        BlockingPassSpec,
+        CutoffSpec,
+        FieldRef,
+        MatchConfig,
+        MatchField,
+    )
+
+    return MatchConfig(
+        passes=(
+            BlockingPassSpec(
+                block_fields=(
+                    BlockField(name="lang"),
+                    BlockField(name="bucket", blank_flag=0),
+                ),
+                match_fields=(
+                    MatchField(name="source", comparator="c", m=0.8, u=0.2),
+                ),
+                level_fields=(_LEVEL_FIELDS[0],),
+                cutoff=CutoffSpec(hi=_LE_CUT[0], lo=_LE_CUT[1]),
+                print_cutoff=CutoffSpec(hi=_LE_CUT[0], lo=_LE_CUT[2]),
+            ),
+        ),
+        id_field=FieldRef(name="doc_id"),
+        dedupe_single_file=True,
+    )
+
+
 def _qs_mix_config():
     """Pass 0: reference-style blocked equi-join on (lang, bucket).
     Pass 1: q-gram token-blocking mop-up on text_32 (typo-anywhere remedy).
@@ -2663,6 +2702,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lv_em_levels"] = lv_em
 
+    # ---- LE: declarative level-fields pass through run_match --------------
+    def le(spark, sf):
+        from bigmatch_utilities_spark.operators.pipeline import run_match
+
+        res = run_match(
+            _docs_keyed(spark, sf), None, _le_mix_config(), id_col="doc_id",
+            persist=False,
+        )
+        return res.pairs.select(
+            F.col("id_rec").alias("id_l"),
+            F.col("id_mem").alias("id_r"),
+            "pass_id",
+            F.round("weight", 6).alias("weight"),
+            "is_exact",
+            "decision",
+        )
+
+    q["le_level_pass_mix"] = le
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -4820,6 +4878,40 @@ def oracle_sql() -> dict[str, str]:
         FROM ({_BLOCKED_PAIRS_SQL})
     """
     o["lv_em_levels"] = estimate_levels_sql(_BLOCKED_PAIRS_SQL, _LEVEL_FIELDS)
+
+    # le: declarative level-fields pass — source 'c' field weight + the
+    # graded text_32 level weight, same literal set and fold order
+    from bigmatch_utilities_spark.config import MatchField as _MF
+    from bigmatch_utilities_spark.operators.scoring import (
+        pair_weight_sql as _pw_sql,
+    )
+
+    _le_w = (
+        "("
+        + _pw_sql((_MF(name="source", comparator="c", m=0.8, u=0.2),))
+        + " + "
+        + levels_pair_weight_sql((_LEVEL_FIELDS[0],))
+        + ")"
+    )
+    _le_x = (
+        "(coalesce(rec_source, '') = coalesce(mem_source, '') AND "
+        "coalesce(rec_text_32, '') = coalesce(mem_text_32, ''))"
+    )
+    _le_hi, _le_lo, _le_plo = _LE_CUT
+    o["le_level_pass_mix"] = f"""
+        WITH le_p AS (
+          SELECT id_l, id_r, 0 AS pass_id, {_le_w} AS weight,
+                 {_le_x} AS is_exact
+          FROM ({_BLOCKED_PAIRS_SQL})
+          WHERE trim(lang) <> ''
+        )
+        SELECT id_l, id_r, pass_id, round(weight, 6) AS weight, is_exact,
+               CASE WHEN weight >= {_le_hi} THEN 'match'
+                    WHEN weight >= {_le_lo} THEN 'possible'
+                    ELSE 'below' END AS decision
+        FROM le_p
+        WHERE weight >= {_le_plo}
+    """
 
     o["pl_posterior_calibration"] = posterior_calibration_sql(
         _po_sql(_BLOCKED_PAIRS_SQL, _FS_FIELDS),

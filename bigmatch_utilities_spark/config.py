@@ -301,6 +301,15 @@ class BlockingPassSpec:
     #: (functions/comparators.py): each contributes ONE FS weight term
     #: computed on the better of the straight and crossed alignments.
     match_field_pairs: tuple["MatchFieldPair", ...] = ()
+    #: Ordinal comparison-level fields (operators/levels.ComparisonLevels):
+    #: each contributes one GRADED FS weight term log2(m_l/u_l) at the
+    #: pair's level (exact / one band per similarity threshold / disagree)
+    #: — Splink-style comparison levels. The reference's strictly binary
+    #: agree/disagree rows (app/BigMatchParmFile.py:489-494) cannot express
+    #: them; write_parmf refuses. Summed into the same pair weight as
+    #: match_fields / match_field_pairs; exactness requires plain equality
+    #: on the level field like any scored field.
+    level_fields: tuple = ()
 
     def __post_init__(self) -> None:
         if self.kind not in (
@@ -394,7 +403,8 @@ class MatchConfig:
             for fp in p.match_field_pairs
             for n in (fp.name_a, fp.name_b)
         }
-        return sorted(singles | paired)
+        leveled = {cl.name for p in self.passes for cl in p.level_fields}
+        return sorted(singles | paired | leveled)
 
     def all_field_names(self) -> list[str]:
         return sorted(set(self.block_field_names()) | set(self.match_field_names()))
@@ -528,6 +538,8 @@ def write_parmf(cfg: MatchConfig) -> str:
             raise ValueError(f"parmf grammar cannot express a {p.kind!r} pass")
         if p.match_field_pairs:
             raise ValueError("parmf grammar cannot express match_field_pairs")
+        if p.level_fields:
+            raise ValueError("parmf grammar cannot express level_fields")
         if any(mf.tf_adjust for mf in p.match_fields):
             raise ValueError("parmf grammar cannot express tf_adjust fields")
     out: list[str] = []

@@ -75,6 +75,9 @@ def pass_candidates(
         for f in (fp.name_a, fp.name_b):
             if f not in carry:
                 carry.append(f)
+    for cl in spec.level_fields:
+        if cl.name not in carry:
+            carry.append(cl.name)
     for f in extra_carry or []:
         if f not in carry:
             carry.append(f)
@@ -405,12 +408,26 @@ def score_pass(
         for mf in tf_fields:
             w = w + F.col(f"_w_tf_{mf.name}")
     else:
-        w = pair_weight(spec.match_fields, field_pairs=spec.match_field_pairs)
+        w = (
+            pair_weight(spec.match_fields, field_pairs=spec.match_field_pairs)
+            if (spec.match_fields or spec.match_field_pairs)
+            else F.lit(0.0)
+        )
+    if spec.level_fields:
+        from bigmatch_utilities_spark.operators.levels import (
+            levels_pair_weight,
+        )
+
+        w = w + levels_pair_weight(spec.level_fields)
     scored = (
         pairs.withColumn("weight", w)
         .withColumn(
             "is_exact",
-            is_exact(spec.match_fields, field_pairs=spec.match_field_pairs),
+            is_exact(
+                spec.match_fields,
+                field_pairs=spec.match_field_pairs,
+                level_fields=spec.level_fields,
+            ),
         )
         .withColumn("pass_id", F.lit(pass_id))
         .drop(*[f"_w_tf_{mf.name}" for mf in tf_fields])

@@ -229,12 +229,15 @@ def pair_weight_sql(
 
 def is_exact(match_fields: tuple[MatchField, ...],
              rec_prefix: str = "rec_", mem_prefix: str = "mem_",
-             field_pairs: tuple[MatchFieldPair, ...] = ()) -> Column:
+             field_pairs: tuple[MatchFieldPair, ...] = (),
+             level_fields: tuple = ()) -> Column:
     """The reference's exact-match partition: rec match values == mem match
     values as concatenated strings (app/MatchReview.py:157-173). A
     swap-tolerant field pair is exact when EITHER alignment (straight or
     crossed) matches exactly — a pure transposition is still an exact
-    match under pair semantics."""
+    match under pair semantics. An ordinal level field is exact only on
+    plain equality (level 0 is defined by similarity >= 1.0, but the
+    exactness flag keeps the reference's string-equality reading)."""
     def eq(a: str, b: str) -> Column:
         return F.coalesce(F.col(a), F.lit("")) == F.coalesce(F.col(b), F.lit(""))
 
@@ -249,4 +252,8 @@ def is_exact(match_fields: tuple[MatchField, ...],
             rec_prefix + fp.name_b, mem_prefix + fp.name_a
         )
         conds.append(straight | crossed)
+    for cl in level_fields:
+        conds.append(eq(rec_prefix + cl.name, mem_prefix + cl.name))
+    if not conds:
+        raise ValueError("is_exact: pass scores no fields")
     return reduce(lambda a, b: a & b, conds)

@@ -201,3 +201,60 @@ def test_level_histogram_missing_state(spark):
         r.g_nm: r.n for r in level_histogram(df, (cl,)).collect()
     }
     assert hist == {-1: 2, 0: 1, 1: 1}
+
+
+def test_level_fields_declarative_pass(spark):
+    from bigmatch_utilities_spark.config import (
+        BlockField,
+        BlockingPassSpec,
+        CutoffSpec,
+        FieldRef,
+        MatchConfig,
+        MatchField,
+        write_parmf,
+    )
+    from bigmatch_utilities_spark.operators.pipeline import run_match
+
+    cl = ComparisonLevels(name="nm", comparator="e", thresholds=(0.8,))
+    cfg = MatchConfig(
+        passes=(
+            BlockingPassSpec(
+                block_fields=(BlockField(name="blk"),),
+                match_fields=(
+                    MatchField(name="src", comparator="c", m=0.8, u=0.2),
+                ),
+                level_fields=(cl,),
+                cutoff=CutoffSpec(hi=3.0, lo=-50.0),
+                print_cutoff=CutoffSpec(hi=3.0, lo=-50.0),
+            ),
+        ),
+        id_field=FieldRef(name="id"),
+        dedupe_single_file=True,
+    )
+    # level_fields are an engine extension: parmf must refuse
+    with pytest.raises(ValueError, match="level_fields"):
+        write_parmf(cfg)
+    assert "nm" in cfg.match_field_names()
+
+    df = spark.createDataFrame(
+        [
+            (1, "b1", "robert", "s1"),
+            (2, "b1", "robert", "s1"),   # exact on both -> level 0 + agree
+            (3, "b1", "roberto", "s2"),  # band 1 on nm, disagree src
+            (4, "b1", "xavier", "s1"),   # disagree nm, agree src
+        ],
+        "id long, blk string, nm string, src string",
+    )
+    rows = {
+        (r.id_rec, r.id_mem): r
+        for r in run_match(df, None, cfg, id_col="id", persist=False)
+        .pairs.collect()
+    }
+    ws = cl.weights()
+    src_agree = math.log2(0.8 / 0.2)
+    src_dis = math.log2(0.2 / 0.8)
+    assert rows[(1, 2)].weight == pytest.approx(src_agree + ws[0], abs=1e-6)
+    assert rows[(1, 2)].is_exact
+    assert rows[(1, 3)].weight == pytest.approx(src_dis + ws[1], abs=1e-6)
+    assert not rows[(1, 3)].is_exact
+    assert rows[(1, 4)].weight == pytest.approx(src_agree + ws[-1], abs=1e-6)
