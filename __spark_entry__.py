@@ -2721,6 +2721,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["le_level_pass_mix"] = le
 
+    # ---- FO: Fellegi-Sunter optimal error-bounded decision rule -----------
+    def fo(spark, sf):
+        from bigmatch_utilities_spark.operators.cutoffs import fs_optimal_rule
+
+        return fs_optimal_rule(
+            _blocked_pairs(spark, sf), _FS_FIELDS, mu=0.01, fnr_lambda=0.05
+        )
+
+    q["fo_fs_optimal_rule"] = fo
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -4912,6 +4922,16 @@ def oracle_sql() -> dict[str, str]:
         FROM le_p
         WHERE weight >= {_le_plo}
     """
+
+    # fo: FS optimal rule — shared unrolled-EM CTEs + 2^K lattice + ROWS
+    # window cumsums in the identical order
+    from bigmatch_utilities_spark.operators.cutoffs import (
+        fs_optimal_rule_sql,
+    )
+
+    o["fo_fs_optimal_rule"] = fs_optimal_rule_sql(
+        _BLOCKED_PAIRS_SQL, _FS_FIELDS, mu=0.01, fnr_lambda=0.05
+    )
 
     o["pl_posterior_calibration"] = posterior_calibration_sql(
         _po_sql(_BLOCKED_PAIRS_SQL, _FS_FIELDS),

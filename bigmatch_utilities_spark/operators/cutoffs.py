@@ -233,3 +233,188 @@ FROM ox
 ORDER BY score DESC, bin ASC
 LIMIT 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter optimal error-bounded decision rule
+# ---------------------------------------------------------------------------
+
+
+def fs_optimal_rule(
+    pairs: DataFrame,
+    match_fields,
+    mu: float = 0.001,
+    fnr_lambda: float = 0.05,
+    rec_prefix: str = "rec_",
+    mem_prefix: str = "mem_",
+    n_iter: int = None,  # type: ignore[assignment]
+) -> DataFrame:
+    """The ORIGINAL Fellegi-Sunter theorem (FS 1969, Theorem 1): the
+    optimal linkage rule at error bounds (mu, lambda) orders the gamma
+    patterns by likelihood ratio P(gamma|M)/P(gamma|U) and designates the
+    top patterns LINK until their cumulative U-mass reaches ``mu`` (the
+    false-match rate among true non-matches), the bottom patterns
+    NONLINK until their cumulative M-mass reaches ``fnr_lambda`` (the
+    false-nonmatch rate), and everything between CLERICAL — the smallest
+    possible clerical-review region at those error levels.
+
+    The reference leaves this to the analyst's eyeball on the sorted
+    weight file (`/root/reference/app/MatchReview.py:26,69`); with EM
+    calibration (:mod:`.em`) the rule is computable. Output: one row per
+    gamma pattern (the FULL 2^K space, observed or not) with the
+    class-conditional masses, the log2 weight, both cumulative error
+    rates, the observed pair count, and the designation.
+
+    Scale design: one map-side-combined histogram pass over the pairs
+    (the same sufficient statistic every EM estimator here uses); the
+    rule itself is O(2^K) driver-side arithmetic and the result is a
+    2^K-row literal frame. Nothing downstream of the single groupBy
+    touches the pair table.
+    """
+    from bigmatch_utilities_spark.operators.em import (
+        N_ITER,
+        em_fit,
+        pattern_histogram,
+    )
+
+    if n_iter is None:
+        n_iter = N_ITER
+    gcols = [f"g_{mf.name}" for mf in match_fields]
+    rows = pattern_histogram(pairs, match_fields, rec_prefix, mem_prefix).collect()
+    hist = {
+        tuple(int(r[c]) for c in gcols): float(r["n"]) for r in rows
+    }
+    if not hist:
+        raise ValueError("fs_optimal_rule: no candidate pairs")
+    lam, m, u = em_fit(list(hist.items()), len(match_fields), n_iter)
+
+    K = len(match_fields)
+    pats = []
+    for code in range(2 ** K):
+        g = tuple((code >> (K - 1 - k)) & 1 for k in range(K))
+        pm = 1.0
+        pu = 1.0
+        for k in range(K):
+            pm *= m[k] if g[k] else 1.0 - m[k]
+            pu *= u[k] if g[k] else 1.0 - u[k]
+        pats.append((g, pm, pu))
+    # likelihood-ratio order, desc; tiebreak on the pattern tuple asc —
+    # the identical ORDER BY the SQL twin uses
+    by_ratio = sorted(pats, key=lambda t: (-(t[1] / t[2]), t[0]))
+    cum_u = {}
+    acc = 0.0
+    for g, pm, pu in by_ratio:
+        acc += pu
+        cum_u[g] = acc
+    cum_m = {}
+    acc = 0.0
+    for g, pm, pu in reversed(by_ratio):
+        acc += pm
+        cum_m[g] = acc
+    out = []
+    for g, pm, pu in by_ratio:
+        if cum_u[g] <= mu:
+            desig = "link"
+        elif cum_m[g] <= fnr_lambda:
+            desig = "nonlink"
+        else:
+            desig = "clerical"
+        out.append(
+            (
+                *[int(x) for x in g],
+                round(math.log2(pm / pu), 6),
+                round(pm, 6),
+                round(pu, 6),
+                round(cum_u[g], 6),
+                round(cum_m[g], 6),
+                int(hist.get(g, 0.0)),
+                desig,
+            )
+        )
+    schema = (
+        ", ".join(f"{c} int" for c in gcols)
+        + ", weight double, p_m double, p_u double, cum_fmr double, "
+        "cum_fnr double, n_pairs long, designation string"
+    )
+    return pairs.sparkSession.createDataFrame(out, schema)
+
+
+def fs_optimal_rule_sql(
+    pairs_sql: str,
+    match_fields,
+    mu: float = 0.001,
+    fnr_lambda: float = 0.05,
+    rec_prefix: str = "rec_",
+    mem_prefix: str = "mem_",
+    n_iter: int = None,  # type: ignore[assignment]
+) -> str:
+    """DuckDB twin of :func:`fs_optimal_rule`: the shared unrolled-EM
+    state CTEs, the full 2^K pattern lattice via chained CROSS JOINs,
+    and ROWS-framed window cumsums over the identical (ratio DESC,
+    pattern ASC) order — same fold order, same 6dp rounding."""
+    from bigmatch_utilities_spark.operators.em import (
+        INIT_LAMBDA,
+        INIT_M,
+        INIT_U,
+        N_ITER,
+        _em_state_ctes,
+    )
+    from bigmatch_utilities_spark.operators.scoring import PARTIAL_FLOOR
+
+    if n_iter is None:
+        n_iter = N_ITER
+    K = len(match_fields)
+    ctes = _em_state_ctes(
+        pairs_sql, match_fields, rec_prefix, mem_prefix, PARTIAL_FLOOR,
+        n_iter, INIT_LAMBDA, INIT_M, INIT_U,
+    )
+    lattice = " CROSS JOIN ".join(
+        f"(SELECT * FROM (VALUES (0), (1)) t{k}(g{k}))" for k in range(K)
+    )
+    pm = " * ".join(
+        f"(CASE WHEN g{k} = 1 THEN s.m{k} ELSE 1.0 - s.m{k} END)"
+        for k in range(K)
+    )
+    pu = " * ".join(
+        f"(CASE WHEN g{k} = 1 THEN s.u{k} ELSE 1.0 - s.u{k} END)"
+        for k in range(K)
+    )
+    gl = ", ".join(f"g{k}" for k in range(K))
+    order_asc = ", ".join(f"g{k} ASC" for k in range(K))
+    ctes.append(f"lat AS (SELECT {gl} FROM {lattice})")
+    ctes.append(
+        f"pp AS (SELECT {gl}, {pm} AS pm, {pu} AS pu "
+        f"FROM lat CROSS JOIN s{n_iter} s)"
+    )
+    ctes.append(
+        f"""cw AS (
+          SELECT {gl}, pm, pu,
+                 SUM(pu) OVER (ORDER BY pm / pu DESC, {order_asc}
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum_u,
+                 SUM(pm) OVER (ORDER BY pm / pu ASC, {order_asc.replace(' ASC', ' DESC')}
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum_m
+          FROM pp)"""
+    )
+    gout = ", ".join(
+        f"cw.g{k} AS g_{mf.name}" for k, mf in enumerate(match_fields)
+    )
+    hjoin = " AND ".join(f"cw.g{k} = h.g{k}" for k in range(K))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT {gout},
+               round(log2(pm / pu), 6) AS weight,
+               round(pm, 6) AS p_m,
+               round(pu, 6) AS p_u,
+               round(cum_u, 6) AS cum_fmr,
+               round(cum_m, 6) AS cum_fnr,
+               CAST(coalesce(h.n, 0) AS BIGINT) AS n_pairs,
+               CASE WHEN cum_u <= {float(mu)!r} THEN 'link'
+                    WHEN cum_m <= {float(fnr_lambda)!r} THEN 'nonlink'
+                    ELSE 'clerical' END AS designation
+        FROM cw LEFT JOIN h ON {hjoin}
+    """
+    )

@@ -121,3 +121,72 @@ def test_otsu_partitioning_invariant(spark):
     a = [tuple(r) for r in otsu_cutoff(df.coalesce(1), "weight").collect()]
     b = [tuple(r) for r in otsu_cutoff(df.repartition(16), "weight").collect()]
     assert a == b and len(a) == 1
+
+
+def test_fs_optimal_rule_designations_and_parity(spark):
+    import random
+
+    import duckdb
+
+    from bigmatch_utilities_spark.config import MatchField
+    from bigmatch_utilities_spark.operators.cutoffs import (
+        fs_optimal_rule,
+        fs_optimal_rule_sql,
+    )
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(600):
+        dup = rng.random() < 0.2
+        a = f"n{rng.randint(0, 40)}"
+        b = a if dup or rng.random() < 0.1 else f"n{rng.randint(0, 40)}"
+        c1 = f"c{rng.randint(0, 5)}"
+        c2 = c1 if dup or rng.random() < 0.3 else f"c{rng.randint(0, 5)}"
+        s1 = f"s{rng.randint(0, 2)}"
+        s2 = s1 if dup or rng.random() < 0.4 else f"s{rng.randint(0, 2)}"
+        rows.append((i, i + 10_000, a, b, c1, c2, s1, s2))
+    df = spark.createDataFrame(
+        rows,
+        "id_l long, id_r long, rec_nm string, mem_nm string, "
+        "rec_ct string, mem_ct string, rec_src string, mem_src string",
+    )
+    fields = (
+        MatchField(name="nm", comparator="c", m=0.9, u=0.1),
+        MatchField(name="ct", comparator="c", m=0.9, u=0.3),
+        MatchField(name="src", comparator="c", m=0.9, u=0.4),
+    )
+    got = fs_optimal_rule(df, fields, mu=0.02, fnr_lambda=0.05).toPandas()
+    assert len(got) == 8  # full 2^3 lattice
+    # weights strictly order the designations: every link weight above
+    # every clerical weight, every clerical above every nonlink
+    by = {d: list(got[got.designation == d].weight) for d in set(got.designation)}
+    assert "link" in by and "nonlink" in by
+    if "clerical" in by:
+        assert min(by["link"]) > max(by["clerical"]) > min(by["clerical"]) >= max(
+            by["nonlink"]
+        ) or min(by["clerical"]) > max(by["nonlink"])
+    # the all-agree pattern must be the top-ranked link
+    top = got.sort_values("weight", ascending=False).iloc[0]
+    assert (top.g_nm, top.g_ct, top.g_src) == (1, 1, 1)
+    assert top.designation == "link"
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW p AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {j}, '{a}', '{b}', '{c}', '{d}', '{e}', '{f}')"
+            for i, j, a, b, c, d, e, f in rows
+        )
+        + ") t(id_l, id_r, rec_nm, mem_nm, rec_ct, mem_ct, rec_src, mem_src)"
+    )
+    want = con.sql(
+        fs_optimal_rule_sql("SELECT * FROM p", fields, mu=0.02, fnr_lambda=0.05)
+    ).df()
+    key = ["g_nm", "g_ct", "g_src"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert got.designation.tolist() == want.designation.tolist()
+    assert got.n_pairs.astype(int).tolist() == want.n_pairs.astype(int).tolist()
+    for c in ("weight", "p_m", "p_u", "cum_fmr", "cum_fnr"):
+        for g, w in zip(got[c], want[c]):
+            assert g == pytest.approx(w, abs=2e-6), (c, g, w)
