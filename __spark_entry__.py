@@ -2731,6 +2731,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fo_fs_optimal_rule"] = fo
 
+    # ---- DS: dual-system (capture-recapture) population estimate ----------
+    def ds(spark, sf):
+        from bigmatch_utilities_spark.operators.evaluate import (
+            dual_system_estimate,
+        )
+
+        d = _docs_keyed(spark, sf)
+        rec = d.filter(F.length("source") == 4)  # src0..src9
+        mem = d.filter(F.length("source") == 5)  # src10..src19
+        links = rec.select(F.col("doc_id").alias("id_l"), "hkey", "lang").join(
+            mem.select(F.col("doc_id").alias("id_r"),
+                       F.col("hkey").alias("hkey_r"),
+                       F.col("lang").alias("lang_r")),
+            (F.col("hkey") == F.col("hkey_r"))
+            & (F.col("lang") == F.col("lang_r")),
+        )
+        return dual_system_estimate(rec, mem, links)
+
+    q["ds_dual_system"] = ds
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -4931,6 +4951,21 @@ def oracle_sql() -> dict[str, str]:
 
     o["fo_fs_optimal_rule"] = fs_optimal_rule_sql(
         _BLOCKED_PAIRS_SQL, _FS_FIELDS, mu=0.01, fnr_lambda=0.05
+    )
+
+    # ds: dual-system estimate — same hkey+lang cross-file links
+    from bigmatch_utilities_spark.operators.evaluate import (
+        dual_system_estimate_sql,
+    )
+
+    _DS_REC = f"SELECT * FROM ({_DOCS_KEYED_SQL}) WHERE length(source) = 4"
+    _DS_MEM = f"SELECT * FROM ({_DOCS_KEYED_SQL}) WHERE length(source) = 5"
+    o["ds_dual_system"] = dual_system_estimate_sql(
+        _DS_REC,
+        _DS_MEM,
+        f"""SELECT r.doc_id AS id_l, m.doc_id AS id_r
+            FROM ({_DS_REC}) r JOIN ({_DS_MEM}) m
+              ON r.hkey = m.hkey AND r.lang = m.lang""",
     )
 
     o["pl_posterior_calibration"] = posterior_calibration_sql(

@@ -438,6 +438,25 @@ def main() -> None:
 
     counters["wnp_pairs"] = timed("wnp", q_wnp)
 
+    # round-5 seventh-session keys: the declarative comparison-level pass
+    # (graded gammas through run_match) and the posterior-calibration
+    # audit (EM + per-pair posterior + binned reliability/Brier)
+    def q_level_pass():
+        import __spark_entry__ as entrymod
+
+        return entrymod.queries()["le_level_pass_mix"](spark, SF_DIR).count()
+
+    counters["level_pass_pairs"] = timed("level_pass", q_level_pass)
+
+    def q_calibration():
+        import __spark_entry__ as entrymod
+
+        return entrymod.queries()["pl_posterior_calibration"](
+            spark, SF_DIR
+        ).count()
+
+    counters["calibration_bins"] = timed("calibration", q_calibration)
+
     # throughput denominator: candidate pairs actually entering the
     # comparator stage (BASELINE's candidate-pairs/sec unit), counted on
     # the same plans after the timed runs so the count jobs don't pollute

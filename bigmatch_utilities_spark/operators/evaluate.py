@@ -657,3 +657,88 @@ def posterior_calibration_sql(
         GROUP BY bin
         ORDER BY bin
     """
+
+
+def dual_system_estimate(
+    rec: DataFrame,
+    mem: DataFrame,
+    matches: DataFrame,
+    rec_id: str = "id_l",
+    mem_id: str = "id_r",
+) -> DataFrame:
+    """Chapman-corrected dual-system (capture-recapture) population
+    estimate from a two-file linkage — the Census use the reference's
+    BigMatch lineage exists to serve: match an enumeration file against a
+    coverage-survey file and estimate the total population
+    N = (n1+1)(n2+1)/(m+1) - 1 from the two list sizes and the matched
+    count (Lincoln-Petersen with Chapman's small-m correction), with the
+    standard error sqrt((n1+1)(n2+1)(n1-m)(n2-m) / ((m+1)^2 (m+2))).
+
+    ``matches`` carries one row per accepted (rec_id, mem_id) link —
+    duplicates and many-to-many edges are collapsed to distinct matched
+    REC records (m counts matched entities, bounded by both lists; a 1:1
+    assignment upstream, operators/assignment.py, makes rec- and
+    mem-side counts agree).
+
+    Scale design: three count aggregates (two map-only, one over a
+    distinct on the match file's rec key) joined as 1-row frames — no
+    pair-table shuffle beyond the distinct. Output: one row
+    (n1, n2, m, n_hat, se). Exactness: n1/n2/m are exact BIGINTs; n_hat
+    and se are a fixed expression tree over those ints, identical in
+    both engines, rounded to 6dp.
+    """
+    n1 = rec.agg(F.count(F.lit(1)).alias("n1"))
+    n2 = mem.agg(F.count(F.lit(1)).alias("n2"))
+    m = (
+        matches.select(F.col(rec_id).alias("_r"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    one = n1.crossJoin(n2).crossJoin(m)
+    n1c = F.col("n1").cast("double")
+    n2c = F.col("n2").cast("double")
+    mc = F.col("m").cast("double")
+    n_hat = (n1c + 1.0) * (n2c + 1.0) / (mc + 1.0) - 1.0
+    var = (
+        (n1c + 1.0)
+        * (n2c + 1.0)
+        * (n1c - mc)
+        * (n2c - mc)
+        / ((mc + 1.0) * (mc + 1.0) * (mc + 2.0))
+    )
+    return one.select(
+        "n1",
+        "n2",
+        "m",
+        F.round(n_hat, 6).alias("n_hat"),
+        F.round(F.sqrt(var), 6).alias("se"),
+    )
+
+
+def dual_system_estimate_sql(
+    rec_sql: str,
+    mem_sql: str,
+    matches_sql: str,
+    rec_id: str = "id_l",
+) -> str:
+    """DuckDB twin of :func:`dual_system_estimate` — the same expression
+    tree over the three exact counts."""
+    return f"""
+        WITH c1 AS (SELECT count(*) AS n1 FROM ({rec_sql})),
+        c2 AS (SELECT count(*) AS n2 FROM ({mem_sql})),
+        cm AS (
+            SELECT count(*) AS m
+            FROM (SELECT DISTINCT {rec_id} FROM ({matches_sql}))
+        )
+        SELECT n1, n2, m,
+               round((CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0)
+                     / (CAST(m AS DOUBLE) + 1.0) - 1.0, 6) AS n_hat,
+               round(sqrt((CAST(n1 AS DOUBLE) + 1.0)
+                          * (CAST(n2 AS DOUBLE) + 1.0)
+                          * (CAST(n1 AS DOUBLE) - CAST(m AS DOUBLE))
+                          * (CAST(n2 AS DOUBLE) - CAST(m AS DOUBLE))
+                          / ((CAST(m AS DOUBLE) + 1.0)
+                             * (CAST(m AS DOUBLE) + 1.0)
+                             * (CAST(m AS DOUBLE) + 2.0))), 6) AS se
+        FROM c1 CROSS JOIN c2 CROSS JOIN cm
+    """

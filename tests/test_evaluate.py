@@ -5,6 +5,8 @@ from __future__ import annotations
 import duckdb
 import pytest
 
+from pyspark.sql import functions as F
+
 from bigmatch_utilities_spark.operators.evaluate import (
     pairwise_metrics,
     pairwise_metrics_sql,
@@ -332,3 +334,24 @@ def test_posterior_calibration_duckdb_parity(spark):
     for c in ("mean_posterior", "match_rate", "brier"):
         # bit-identical by construction (integer quantization, single div)
         assert got[c].tolist() == want[c].tolist()
+
+
+def test_dual_system_estimate_chapman(spark):
+    from bigmatch_utilities_spark.operators.evaluate import (
+        dual_system_estimate,
+    )
+
+    rec = spark.range(100).select(F.col("id").alias("rid"))
+    mem = spark.range(80).select(F.col("id").alias("mid"))
+    # 40 matched entities; duplicate match rows must not inflate m
+    links = spark.createDataFrame(
+        [(i, i) for i in range(40)] + [(0, 0), (1, 1)],
+        "id_l long, id_r long",
+    )
+    r = dual_system_estimate(rec, mem, links).collect()[0]
+    assert (r.n1, r.n2, r.m) == (100, 80, 40)
+    n_hat = (101 * 81) / 41 - 1
+    assert r.n_hat == pytest.approx(round(n_hat, 6), abs=1e-6)
+    se = ((101 * 81 * 60 * 40) / (41 * 41 * 42)) ** 0.5
+    assert r.se == pytest.approx(round(se, 6), abs=1e-6)
+
