@@ -2751,6 +2751,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ds_dual_system"] = ds
 
+    # ---- SG: stratified (per-subgroup) pairwise metrics --------------------
+    def sg(spark, sf):
+        from bigmatch_utilities_spark.operators.evaluate import (
+            stratified_metrics,
+        )
+
+        p = _blocked_pairs(spark, sf)
+        # pred: the loose FS accept band; truth: exact length agreement —
+        # enough density at sf0.01 to populate per-source AND cross rows
+        s = _scored_pairs(spark, sf)
+        pred = s.filter(F.col("weight") >= -1.0).select("id_l", "id_r")
+        truth = p.filter(
+            F.col("rec_n_chars_s") == F.col("mem_n_chars_s")
+        ).select("id_l", "id_r")
+        strata = _docs_keyed(spark, sf).select(
+            F.col("doc_id").alias("id"), F.col("source").alias("stratum")
+        )
+        return stratified_metrics(pred, truth, strata)
+
+    q["sg_stratified_metrics"] = sg
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -4966,6 +4987,18 @@ def oracle_sql() -> dict[str, str]:
         f"""SELECT r.doc_id AS id_l, m.doc_id AS id_r
             FROM ({_DS_REC}) r JOIN ({_DS_MEM}) m
               ON r.hkey = m.hkey AND r.lang = m.lang""",
+    )
+
+    # sg: stratified metrics — same pred/truth CTEs, lang as stratum
+    from bigmatch_utilities_spark.operators.evaluate import (
+        stratified_metrics_sql,
+    )
+
+    o["sg_stratified_metrics"] = stratified_metrics_sql(
+        f"SELECT id_l, id_r FROM ({_SCORED_PAIRS_SQL}) WHERE weight >= -1.0",
+        f"SELECT id_l, id_r FROM ({_BLOCKED_PAIRS_SQL}) "
+        "WHERE rec_n_chars_s = mem_n_chars_s",
+        f"SELECT doc_id AS id, source AS stratum FROM ({_DOCS_KEYED_SQL})",
     )
 
     o["pl_posterior_calibration"] = posterior_calibration_sql(

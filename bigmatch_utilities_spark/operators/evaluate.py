@@ -742,3 +742,131 @@ def dual_system_estimate_sql(
                              * (CAST(m AS DOUBLE) + 2.0))), 6) AS se
         FROM c1 CROSS JOIN c2 CROSS JOIN cm
     """
+
+
+def stratified_metrics(
+    predicted: DataFrame,
+    truth: DataFrame,
+    strata: DataFrame,
+    id_l: str = "id_l",
+    id_r: str = "id_r",
+    id_col: str = "id",
+    stratum_col: str = "stratum",
+) -> DataFrame:
+    """Per-subgroup pairwise metrics: :func:`pairwise_metrics` sliced by a
+    record-level stratum (language, region, data source, ...) — the
+    linkage-equity audit. Aggregate F1 can hide a subgroup whose records
+    systematically fail to link (shorter names, different scripts,
+    sparser fields); stratifying the SAME tp/fp/fn counters exposes it.
+    The reference has no evaluation tooling at all (decisions are
+    eyeballed in MatchReview, /root/reference/app/MatchReview.py:26).
+
+    A pair belongs to a stratum when BOTH endpoints carry it; mixed pairs
+    report under '(cross)', records missing from ``strata`` under
+    '(unknown)' — every pair is counted exactly once, so the stratum rows
+    sum to the global :func:`pairwise_metrics` counters.
+
+    Scale design: one full-outer join on the canonical pair key (the
+    same single shuffle as pairwise_metrics), two joins against the
+    (id -> stratum) map — broadcast-sized in practice, it carries one row
+    per RECORD, not per pair — then a map-side-combined groupBy on the
+    stratum. Output: one row per stratum, ordered.
+    """
+    p = _canon_pairs(predicted, id_l, id_r)
+    t = _canon_pairs(truth, id_l, id_r)
+    merged = p.withColumn("_p", F.lit(1)).join(
+        t.withColumn("_t", F.lit(1)), on=["a", "b"], how="full_outer"
+    )
+    sa = strata.select(
+        F.col(id_col).alias("_ida"), F.col(stratum_col).alias("_sa")
+    )
+    sb = strata.select(
+        F.col(id_col).alias("_idb"), F.col(stratum_col).alias("_sb")
+    )
+    labeled = (
+        merged.join(sa, F.col("a") == F.col("_ida"), "left")
+        .drop("_ida")
+        .join(sb, F.col("b") == F.col("_idb"), "left")
+        .drop("_idb")
+        .select(
+            F.when(F.col("_sa").isNull() | F.col("_sb").isNull(),
+                   F.lit("(unknown)"))
+            .when(F.col("_sa") == F.col("_sb"), F.col("_sa"))
+            .otherwise(F.lit("(cross)"))
+            .alias(stratum_col),
+            "_p",
+            "_t",
+        )
+    )
+    agg = labeled.groupBy(stratum_col).agg(
+        F.sum(F.coalesce("_p", F.lit(0))).cast("long").alias("n_pred"),
+        F.sum(F.coalesce("_t", F.lit(0))).cast("long").alias("n_truth"),
+        F.sum(F.coalesce("_p", F.lit(0)) * F.coalesce("_t", F.lit(0)))
+        .cast("long")
+        .alias("tp"),
+    )
+    tp = F.col("tp").cast("double")
+    return agg.select(
+        stratum_col,
+        "n_pred",
+        "n_truth",
+        "tp",
+        (F.col("n_pred") - F.col("tp")).alias("fp"),
+        (F.col("n_truth") - F.col("tp")).alias("fn"),
+        F.round(F.try_divide(tp, F.col("n_pred")), 6).alias("precision"),
+        F.round(F.try_divide(tp, F.col("n_truth")), 6).alias("recall"),
+        F.round(
+            F.try_divide(2.0 * tp, F.col("n_pred") + F.col("n_truth")), 6
+        ).alias("f1"),
+    ).orderBy(stratum_col)
+
+
+def stratified_metrics_sql(
+    predicted_sql: str,
+    truth_sql: str,
+    strata_sql: str,
+    id_l: str = "id_l",
+    id_r: str = "id_r",
+    id_col: str = "id",
+    stratum_col: str = "stratum",
+) -> str:
+    """DuckDB twin of :func:`stratified_metrics`."""
+    return f"""
+        WITH p AS (
+            SELECT DISTINCT least({id_l}, {id_r}) AS a,
+                            greatest({id_l}, {id_r}) AS b, 1 AS _p
+            FROM ({predicted_sql}) WHERE {id_l} <> {id_r}
+        ), t AS (
+            SELECT DISTINCT least({id_l}, {id_r}) AS a,
+                            greatest({id_l}, {id_r}) AS b, 1 AS _t
+            FROM ({truth_sql}) WHERE {id_l} <> {id_r}
+        ), m AS (
+            SELECT coalesce(p.a, t.a) AS a, coalesce(p.b, t.b) AS b,
+                   p._p, t._t
+            FROM p FULL OUTER JOIN t ON p.a = t.a AND p.b = t.b
+        ), s AS (
+            SELECT {id_col} AS _sid, {stratum_col} AS _s FROM ({strata_sql})
+        ), lab AS (
+            SELECT CASE WHEN sa._s IS NULL OR sb._s IS NULL THEN '(unknown)'
+                        WHEN sa._s = sb._s THEN sa._s
+                        ELSE '(cross)' END AS {stratum_col},
+                   m._p, m._t
+            FROM m LEFT JOIN s sa ON m.a = sa._sid
+                   LEFT JOIN s sb ON m.b = sb._sid
+        ), agg AS (
+            SELECT {stratum_col},
+                   CAST(sum(coalesce(_p, 0)) AS BIGINT) AS n_pred,
+                   CAST(sum(coalesce(_t, 0)) AS BIGINT) AS n_truth,
+                   CAST(sum(coalesce(_p, 0) * coalesce(_t, 0)) AS BIGINT)
+                       AS tp
+            FROM lab GROUP BY {stratum_col}
+        )
+        SELECT {stratum_col}, n_pred, n_truth, tp,
+               n_pred - tp AS fp,
+               n_truth - tp AS fn,
+               round(CAST(tp AS DOUBLE) / NULLIF(n_pred, 0), 6) AS precision,
+               round(CAST(tp AS DOUBLE) / NULLIF(n_truth, 0), 6) AS recall,
+               round(2.0 * CAST(tp AS DOUBLE) / NULLIF(n_pred + n_truth, 0),
+                     6) AS f1
+        FROM agg ORDER BY {stratum_col}
+    """

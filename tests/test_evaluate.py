@@ -355,3 +355,34 @@ def test_dual_system_estimate_chapman(spark):
     se = ((101 * 81 * 60 * 40) / (41 * 41 * 42)) ** 0.5
     assert r.se == pytest.approx(round(se, 6), abs=1e-6)
 
+
+
+def test_stratified_metrics_partition_of_global(spark):
+    from bigmatch_utilities_spark.operators.evaluate import (
+        pairwise_metrics,
+        stratified_metrics,
+    )
+
+    pred = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6), (1, 5), (7, 9)], SCHEMA
+    )
+    truth = spark.createDataFrame([(2, 1), (3, 4), (1, 5), (8, 9)], SCHEMA)
+    # strata: 1-4 in 'a', 5-6 in 'b', 7-8 unknown (missing), 9 in 'b'
+    strata = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "a"), (5, "b"), (6, "b"), (9, "b")],
+        "id long, stratum string",
+    )
+    rows = {r.stratum: r for r in stratified_metrics(pred, truth, strata).collect()}
+    assert set(rows) == {"a", "b", "(cross)", "(unknown)"}
+    a = rows["a"]
+    assert (a.n_pred, a.n_truth, a.tp) == (2, 2, 2)
+    assert a.f1 == 1.0
+    c = rows["(cross)"]   # pair (1,5) spans a/b
+    assert (c.n_pred, c.n_truth, c.tp) == (1, 1, 1)
+    u = rows["(unknown)"]  # (7,9) pred-only, (8,9) truth-only
+    assert (u.n_pred, u.n_truth, u.tp) == (1, 1, 0)
+    # strata rows partition the global counters exactly
+    g = pairwise_metrics(pred, truth).collect()[0]
+    assert sum(r.n_pred for r in rows.values()) == g.n_pred
+    assert sum(r.n_truth for r in rows.values()) == g.n_truth
+    assert sum(r.tp for r in rows.values()) == g.tp
