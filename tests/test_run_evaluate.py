@@ -1,0 +1,116 @@
+"""run_evaluate CLI: every evaluation surface from one spark-submit step.
+Runs main() in-process (getOrCreate reuses the test session)."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+
+import duckdb
+
+
+def _run(monkeypatch, argv):
+    monkeypatch.setattr(sys, "argv", argv)
+    spec = importlib.util.spec_from_file_location(
+        "run_evaluate",
+        os.path.join(
+            os.path.dirname(os.path.dirname(__file__)), "jobs", "run_evaluate.py"
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main()
+
+
+def test_run_evaluate_cli_all_surfaces(spark, tmp_path, monkeypatch):
+    # scored pairs with a posterior column; truth = the 3 true pairs
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, 5.0, 0.99),
+            (3, 4, 4.0, 0.95),
+            (5, 6, -1.0, 0.30),   # true pair the cutoff misses
+            (7, 8, 3.0, 0.90),    # false positive
+        ],
+        "id_rec long, id_mem long, weight double, posterior double",
+    )
+    truth = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], "id_l long, id_r long"
+    )
+    strata = spark.createDataFrame(
+        [(i, "g1" if i <= 4 else "g2") for i in range(1, 9)],
+        "id long, stratum string",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 11), (4, 11), (5, 12), (6, 13)],
+        "id long, cluster_id long",
+    )
+    labels = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B"), (4, "B"), (5, "C"), (6, "C")],
+        "id long, label string",
+    )
+    pin = str(tmp_path / "pairs")
+    tin = str(tmp_path / "truth")
+    sin = str(tmp_path / "strata")
+    cin = str(tmp_path / "clusters")
+    lin = str(tmp_path / "labels")
+    pairs.write.parquet(pin)
+    truth.write.parquet(tin)
+    strata.write.parquet(sin)
+    clusters.write.parquet(cin)
+    labels.write.parquet(lin)
+    out = str(tmp_path / "eval")
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    _run(
+        monkeypatch,
+        [
+            "run_evaluate.py",
+            "--pairs", pin,
+            "--truth", tin,
+            "--output", out,
+            "--threshold", "0.0",
+            "--strata", sin,
+            "--clusters", cin,
+            "--labels", lin,
+            "--sweep=-2.0,0.0,4.5",
+            "--posterior-col", "posterior",
+        ],
+    )
+
+    stats = json.load(open(os.path.join(out, "stats.json")))
+    pw = stats["pairwise"]
+    # threshold 0.0: pred = {12, 34, 78}; truth = {12, 34, 56}
+    assert (int(pw["n_pred"]), int(pw["n_truth"]), int(pw["tp"])) == (3, 3, 2)
+    assert stats["sweep_thresholds"] == 3
+    assert stats["calibration_bins"] >= 2
+    # surfaces on disk
+    sweep = duckdb.sql(f"SELECT * FROM '{out}/sweep/*.parquet'").df()
+    assert len(sweep) == 3
+    strat = duckdb.sql(f"SELECT * FROM '{out}/stratified/*.parquet'").df()
+    assert set(strat["stratum"]) == {"g1", "g2"}
+    cm = duckdb.sql(f"SELECT * FROM '{out}/clusters/*.parquet'").df()
+    # predicted clusters split entity C (5,6) -> recall < 1, precision = 1
+    assert float(cm["b3_precision"][0]) == 1.0
+    assert float(cm["b3_recall"][0]) < 1.0
+
+
+def test_run_evaluate_cli_minimal(spark, tmp_path, monkeypatch):
+    pairs = spark.createDataFrame(
+        [(1, 2, 1.0)], "id_rec long, id_mem long, weight double"
+    )
+    truth = spark.createDataFrame([(1, 2)], "id_l long, id_r long")
+    pin = str(tmp_path / "p")
+    tin = str(tmp_path / "t")
+    pairs.write.parquet(pin)
+    truth.write.parquet(tin)
+    out = str(tmp_path / "o")
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    _run(
+        monkeypatch,
+        ["run_evaluate.py", "--pairs", pin, "--truth", tin, "--output", out],
+    )
+    stats = json.load(open(os.path.join(out, "stats.json")))
+    assert float(stats["pairwise"]["f1"]) == 1.0
+    assert not os.path.exists(os.path.join(out, "sweep"))
