@@ -609,3 +609,31 @@ SELECT field,
        round(n_agree / greatest(n_obs, 1), 6) AS u
 FROM ({unions})
 """
+
+
+def posterior_from_gammas(
+    pairs: DataFrame,
+    field_names: Sequence[str],
+    lam: float,
+    m: Sequence[float],
+    u: Sequence[float],
+    gamma_prefix: str = "g_",
+    out_col: str = "posterior",
+) -> DataFrame:
+    """Attach P(M | gamma) when the binary gamma indicators are ALREADY
+    materialized as columns (``score_pass gamma_fields`` writes them with
+    the decision core) — the zero-rescore path :func:`match_posterior`
+    cannot take because it recomputes gammas from the raw field values.
+    Map-only: a fixed-order multiply chain over scalar literals, no join,
+    no shuffle."""
+    w: Column = F.lit(float(lam))
+    v: Column = F.lit(1.0 - float(lam))
+    for k, name in enumerate(field_names):
+        g = F.col(gamma_prefix + name)
+        w = w * F.when(g == 1, F.lit(float(m[k]))).otherwise(
+            F.lit(1.0 - float(m[k]))
+        )
+        v = v * F.when(g == 1, F.lit(float(u[k]))).otherwise(
+            F.lit(1.0 - float(u[k]))
+        )
+    return pairs.withColumn(out_col, F.round(w / (w + v), 6))

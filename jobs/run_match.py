@@ -144,12 +144,25 @@ def add_match_args(p: argparse.ArgumentParser) -> None:
         "the emitted pairs (above each pass's print floor), so estimates "
         "are conditional on that floor",
     )
+    p.add_argument(
+        "--posterior",
+        action="store_true",
+        help="with --estimate-mu: also write <output>/pairs_posterior — "
+        "the decision core plus P(M | gamma) under the EM-calibrated "
+        "parameters, computed map-only from the g_<field> columns already "
+        "on the pairs (zero re-scoring). Feeds jobs/run_evaluate.py "
+        "--posterior-col for the calibration audit",
+    )
 
 
 def match_stage(spark: SparkSession, args: argparse.Namespace) -> None:
     """Run the multi-pass match and write <output>/{pairs,good_pairs}
-    (+ mu_estimates/cutoff_suggestions/weight_histogram with --estimate-mu).
+    (+ mu_estimates/cutoff_suggestions/weight_histogram with --estimate-mu,
+    + pairs_posterior with --posterior).
     Factored out of main() so run_pipeline.py reuses the identical stage."""
+    if getattr(args, "posterior", False) and not args.estimate_mu:
+        raise SystemExit("--posterior requires --estimate-mu (the gamma "
+                         "columns and calibrated parameters come from it)")
     shard_rows = args.shard_rows or None
     # catalog (Iceberg) table name or a write_table() parquet fallback dir —
     # read_table resolves either to the same partition-prunable scan
@@ -234,6 +247,25 @@ def match_stage(spark: SparkSession, args: argparse.Namespace) -> None:
             "lam double, accept_cutoff double, print_cutoff double, "
             "p_accept double, p_review double",
         ).write.mode("overwrite").parquet(f"{args.output}/cutoff_suggestions")
+        if getattr(args, "posterior", False):
+            from bigmatch_utilities_spark.operators.em import (
+                posterior_from_gammas,
+            )
+
+            names = [f.name for f in gamma_fields]
+            mrows = {r["field"]: r for r in mu.collect()}
+            posterior_from_gammas(
+                spark.read.parquet(f"{args.output}/pairs"),
+                names,
+                lam,
+                [mrows[n]["m"] for n in names],
+                [mrows[n]["u"] for n in names],
+            ).select(
+                "id_rec", "id_mem", "pass_id", "weight", "posterior"
+            ).write.mode("overwrite").parquet(
+                f"{args.output}/pairs_posterior"
+            )
+
         # histogram off the materialized pairs, not the lazy DAG
         weight_histogram(
             spark.read.parquet(f"{args.output}/pairs"),

@@ -9,6 +9,7 @@ import os
 import sys
 
 import duckdb
+from pyspark.sql import functions as F
 
 
 def _run(monkeypatch, argv):
@@ -114,3 +115,86 @@ def test_run_evaluate_cli_minimal(spark, tmp_path, monkeypatch):
     stats = json.load(open(os.path.join(out, "stats.json")))
     assert float(stats["pairwise"]["f1"]) == 1.0
     assert not os.path.exists(os.path.join(out, "sweep"))
+
+
+def test_run_match_posterior_feeds_run_evaluate(spark, tmp_path, monkeypatch):
+    """--posterior on run_match writes pairs_posterior; run_evaluate's
+    calibration leg consumes it directly — the full audit loop in two
+    spark-submit steps."""
+    from bigmatch_utilities_spark.synthdata import repo_files_df
+
+    records = repo_files_df(spark, seed=7, n_clusters=60)
+    inp = str(tmp_path / "records")
+    records.write.mode("overwrite").parquet(inp)
+    out = str(tmp_path / "match")
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
+    def _run_job(name, argv):
+        monkeypatch.setattr(sys, "argv", argv)
+        spec = importlib.util.spec_from_file_location(
+            name,
+            os.path.join(
+                os.path.dirname(os.path.dirname(__file__)), "jobs", f"{name}.py"
+            ),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.main()
+
+    _run_job(
+        "run_match",
+        [
+            "run_match.py",
+            "--input", inp,
+            "--output", out,
+            "--no-minhash",
+            "--estimate-mu",
+            "--posterior",
+        ],
+    )
+    post = spark.read.parquet(f"{out}/pairs_posterior")
+    assert set(post.columns) == {
+        "id_rec", "id_mem", "pass_id", "weight", "posterior"
+    }
+    stats = post.agg(
+        F.min("posterior").alias("lo"), F.max("posterior").alias("hi")
+    ).collect()[0]
+    assert 0.0 <= stats.lo <= stats.hi <= 1.0
+
+    # truth from the synthetic labels; feed the calibration leg
+    from pyspark.sql import functions as SF
+
+    lab = records.filter(SF.col("true_cluster") >= 0).select(
+        "record_id", "true_cluster"
+    )
+    truth = (
+        lab.select("true_cluster", SF.col("record_id").alias("id_l"))
+        .join(
+            lab.select("true_cluster", SF.col("record_id").alias("id_r")),
+            "true_cluster",
+        )
+        .filter(SF.col("id_l") < SF.col("id_r"))
+        .select("id_l", "id_r")
+    )
+    tin = str(tmp_path / "truth")
+    truth.write.parquet(tin)
+    evout = str(tmp_path / "eval")
+    _run_job(
+        "run_evaluate",
+        [
+            "run_evaluate.py",
+            "--pairs", f"{out}/pairs_posterior",
+            "--truth", tin,
+            "--output", evout,
+            "--threshold", "4.0",
+            "--posterior-col", "posterior",
+        ],
+    )
+    stats = json.load(open(os.path.join(evout, "stats.json")))
+    assert stats["calibration_bins"] >= 1
+    # truth covers labeled records only while pred includes boilerplate
+    # pairs, so precision is depressed by construction; the loop contract
+    # here is plumbing + a sane operating point, not the bench's F1 gate
+    assert float(stats["pairwise"]["f1"]) > 0.5
+    assert float(stats["pairwise"]["recall"]) > 0.5
