@@ -2772,6 +2772,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sg_stratified_metrics"] = sg
 
+    # ---- SQ: greedy multi-pass blocking design (set cover over truth) -----
+    def sq(spark, sf):
+        from bigmatch_utilities_spark.operators.blocking import (
+            suggest_pass_sequence,
+        )
+
+        c = _t(spark, sf, "customer")
+        truth = c.select(
+            F.col("c_custkey").alias("id_rec"),
+            (F.col("c_custkey") + 1).alias("id_mem"),
+        ).filter(F.col("c_custkey") % 2 == 0)
+        return suggest_pass_sequence(
+            c,
+            [
+                ["c_mktsegment"],
+                ["c_nationkey"],
+                ["c_nationkey", "c_mktsegment"],
+            ],
+            truth,
+            n_passes=3,
+            id_col="c_custkey",
+        )
+
+    q["sq_pass_sequence"] = sq
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -4999,6 +5024,21 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT id_l, id_r FROM ({_BLOCKED_PAIRS_SQL}) "
         "WHERE rec_n_chars_s = mem_n_chars_s",
         f"SELECT doc_id AS id, source AS stratum FROM ({_DOCS_KEYED_SQL})",
+    )
+
+    # sq: greedy pass-sequence design — unrolled greedy rounds, identical
+    # (count DESC, key_set ASC) argmax
+    from bigmatch_utilities_spark.operators.blocking import (
+        suggest_pass_sequence_sql,
+    )
+
+    o["sq_pass_sequence"] = suggest_pass_sequence_sql(
+        "SELECT * FROM customer",
+        [["c_mktsegment"], ["c_nationkey"], ["c_nationkey", "c_mktsegment"]],
+        """SELECT c_custkey AS id_rec, c_custkey + 1 AS id_mem
+           FROM customer WHERE c_custkey % 2 = 0""",
+        n_passes=3,
+        id_col="c_custkey",
     )
 
     o["pl_posterior_calibration"] = posterior_calibration_sql(

@@ -674,3 +674,178 @@ def suggest_blocking_keys_full_sql(
         SELECT s.*, c.truth_pairs, c.pairs_completeness
         FROM ({stats}) s JOIN ({comp}) c USING (key_set)
     """
+
+
+def suggest_pass_sequence(
+    df: DataFrame,
+    key_sets: list[list[str]],
+    truth_pairs: DataFrame,
+    n_passes: int = 3,
+    *,
+    id_col: str = "record_id",
+    id_l: str = "id_rec",
+    id_r: str = "id_mem",
+) -> DataFrame:
+    """Greedy multi-pass blocking design: pick the ``n_passes`` key sets
+    that maximize CUMULATIVE truth-pair coverage — the set-cover step
+    after :func:`suggest_blocking_keys` ranks keys individually.
+
+    Per-key completeness misleads pass DESIGN: the 2nd-best single key
+    usually co-blocks the same pairs as the best, while a mediocre key
+    covering the best key's blind spot is worth more. Greedy set cover
+    (the standard approximation; optimal cover is NP-hard) picks, each
+    round, the key set co-blocking the most NOT-YET-covered truth pairs —
+    ties broken by key-set label ascending, so selection is
+    deterministic. The reference's users hand-tune this exact sequence
+    into parmf passes over failed runs (samplefiles/parmf_new.txt runs
+    NINE passes); this computes it from a labeled sample before any pass
+    runs.
+
+    Output, one row per selected pass in selection order:
+
+        pass_rank | key_set | new_covered | cum_covered | cum_pc
+
+    Rounds run FIXED ``n_passes`` iterations (a later pass that adds 0
+    coverage still emits its row) so the unrolled-CTE SQL twin is
+    value-identical — the em.py fixed-iteration discipline.
+
+    Scale: the coverage matrix is ONE frame of n_truth rows (truth is a
+    clerical-scale labeled sample by design) built by streaming ``df``
+    past the broadcast truth twice — no candidate pairs materialize, the
+    full table is never shuffled. Each greedy round is one
+    map-side-combined aggregate over that truth-sized frame returning a
+    single row; the matrix is persisted across rounds and freed before
+    return. Blank semantics match a real pass (blank_flag=1): a truth
+    pair blank on either side of a key is NOT covered by it.
+    """
+    labels = [",".join(ks) for ks in key_sets]
+    all_keys = sorted({k for ks in key_sets for k in ks})
+    side = df.select(F.col(id_col).alias("_id"), *all_keys)
+    side_l = side.toDF("_id", *[f"{k}_l" for k in all_keys])
+    side_r = side.toDF("_id", *[f"{k}_r" for k in all_keys])
+    t = truth_pairs.select(id_l, id_r).distinct()
+    j1 = side_l.join(F.broadcast(t), F.col(id_l) == F.col("_id")).drop("_id")
+    joined = side_r.join(F.broadcast(j1), F.col(id_r) == F.col("_id")).drop(
+        "_id"
+    )
+    cbs = []
+    for i, ks in enumerate(key_sets):
+        co = F.lit(True)
+        for k in ks:
+            lc, rc = F.col(f"{k}_l"), F.col(f"{k}_r")
+            co = co & _nonblank(lc) & _nonblank(rc) & (lc == rc)
+        cbs.append(co.alias(f"cb_{i}"))
+    matrix = joined.select(*cbs).persist()
+    try:
+        out_rows = []
+        covered = F.lit(False)
+        cum = 0
+        n_truth = None
+        for rank in range(int(n_passes)):
+            aggs = [F.count(F.lit(1)).alias("_nt")] + [
+                F.sum(
+                    F.when(~covered & F.col(f"cb_{i}"), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"c_{i}")
+                for i in range(len(key_sets))
+            ]
+            row = matrix.agg(*aggs).collect()[0]
+            n_truth = int(row["_nt"])
+            # deterministic argmax: count desc, label asc
+            best = min(
+                range(len(key_sets)),
+                key=lambda i: (-int(row[f"c_{i}"]), labels[i]),
+            )
+            new = int(row[f"c_{best}"])
+            cum += new
+            out_rows.append(
+                (
+                    rank,
+                    labels[best],
+                    new,
+                    cum,
+                    round(cum / n_truth, 6) if n_truth else None,
+                )
+            )
+            covered = covered | F.col(f"cb_{best}")
+    finally:
+        matrix.unpersist()
+    return df.sparkSession.createDataFrame(
+        out_rows,
+        "pass_rank int, key_set string, new_covered long, "
+        "cum_covered long, cum_pc double",
+    )
+
+
+def suggest_pass_sequence_sql(
+    source_sql: str,
+    key_sets: list[list[str]],
+    truth_sql: str,
+    n_passes: int = 3,
+    id_col: str = "record_id",
+    id_l: str = "id_rec",
+    id_r: str = "id_mem",
+) -> str:
+    """DuckDB twin of :func:`suggest_pass_sequence` — the coverage-matrix
+    CTE, then ``n_passes`` unrolled (counts, pick) CTE pairs with the
+    identical (count DESC, key_set ASC) argmax; coverage by an earlier
+    pick is a CASE over its data-dependent label."""
+    labels = [",".join(ks) for ks in key_sets]
+    all_keys = sorted({k for ks in key_sets for k in ks})
+
+    def nb(c: str) -> str:
+        return f"({c} IS NOT NULL AND trim(CAST({c} AS VARCHAR)) <> '')"
+
+    cb_exprs = []
+    for i, ks in enumerate(key_sets):
+        conds = []
+        for k in ks:
+            conds += [nb(f"l.{k}"), nb(f"r.{k}"), f"l.{k} = r.{k}"]
+        cb_exprs.append("(" + " AND ".join(conds) + f") AS cb_{i}")
+    # AS MATERIALIZED throughout: DuckDB's default CTE inlining re-expands
+    # spm inside every round's counts, whose covered-predicate nests every
+    # earlier pick -- exponential re-evaluation in n_passes (hangs at 4
+    # rounds; the cannot-link oracle hit the identical trap). Materializing
+    # pins each CTE to one evaluation.
+    ctes = [
+        f"""spm AS MATERIALIZED (
+          SELECT {", ".join(cb_exprs)}
+          FROM (SELECT DISTINCT {id_l}, {id_r} FROM ({truth_sql})) t
+          JOIN ({source_sql}) l ON t.{id_l} = l.{id_col}
+          JOIN ({source_sql}) r ON t.{id_r} = r.{id_col}
+        )""",
+        "spn AS MATERIALIZED (SELECT count(*) AS nt FROM spm)",
+    ]
+    covered = "FALSE"
+    for t in range(1, int(n_passes) + 1):
+        counts = "\n              UNION ALL ".join(
+            f"SELECT '{labels[i]}' AS key_set, "
+            f"CAST(coalesce(SUM(CASE WHEN NOT ({covered}) AND cb_{i} "
+            f"THEN 1 ELSE 0 END), 0) AS BIGINT) AS c FROM spm"
+            for i in range(len(key_sets))
+        )
+        ctes.append(f"cnt{t} AS MATERIALIZED (\n              {counts})")
+        ctes.append(
+            f"pick{t} AS MATERIALIZED (SELECT key_set, c FROM cnt{t} "
+            f"ORDER BY c DESC, key_set ASC LIMIT 1)"
+        )
+        sel_cb = (
+            "(CASE (SELECT key_set FROM pick" + str(t) + ") "
+            + " ".join(
+                f"WHEN '{labels[i]}' THEN cb_{i}"
+                for i in range(len(key_sets))
+            )
+            + " ELSE FALSE END)"
+        )
+        covered = f"({covered}) OR {sel_cb}"
+    rows = "\n        UNION ALL ".join(
+        f"SELECT {t - 1} AS pass_rank, (SELECT key_set FROM pick{t}) AS "
+        f"key_set, (SELECT c FROM pick{t}) AS new_covered, "
+        f"({' + '.join(f'(SELECT c FROM pick{s})' for s in range(1, t + 1))}) "
+        f"AS cum_covered, "
+        f"round(CAST({' + '.join(f'(SELECT c FROM pick{s})' for s in range(1, t + 1))} "
+        f"AS DOUBLE) / NULLIF((SELECT nt FROM spn), 0), 6) AS cum_pc"
+        for t in range(1, int(n_passes) + 1)
+    )
+    return "WITH " + ",\n        ".join(ctes) + f"\n        {rows}"

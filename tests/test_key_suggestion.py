@@ -185,3 +185,96 @@ def test_randomized_against_brute_force(spark):
             assert got[label].pairs_completeness == pytest.approx(
                 co / len(truth), abs=1e-6
             ), (seed, label)
+
+
+def test_pass_sequence_greedy_cover(spark):
+    from bigmatch_utilities_spark.operators.blocking import (
+        suggest_pass_sequence,
+    )
+
+    # records: key A covers truth pairs {1-2, 3-4}; key B covers {3-4, 5-6};
+    # key C covers only {1-2}. Greedy must pick A first (2 new), then B
+    # (1 new: 5-6), then C (0 new) — NOT the individually-2nd-best order.
+    rows = [
+        # id, a, b, c
+        (1, "x", "p", "m"),
+        (2, "x", "q", "m"),
+        (3, "y", "r", "n"),
+        (4, "y", "r", "o"),
+        (5, "z", "s", ""),
+        (6, "w", "s", None),
+    ]
+    df = spark.createDataFrame(rows, "record_id long, a string, b string, c string")
+    truth = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], "id_rec long, id_mem long"
+    )
+    got = suggest_pass_sequence(
+        df, [["a"], ["b"], ["c"]], truth, n_passes=3
+    ).collect()
+    assert [(r.pass_rank, r.key_set, r.new_covered, r.cum_covered) for r in got] == [
+        (0, "a", 2, 2),
+        (1, "b", 1, 3),
+        (2, "a", 0, 3),  # nothing left: zero-tie breaks to label asc
+    ]
+    assert got[1].cum_pc == pytest.approx(1.0)
+
+
+def test_pass_sequence_duckdb_parity(spark):
+    import random
+
+    import duckdb
+
+    from bigmatch_utilities_spark.operators.blocking import (
+        suggest_pass_sequence,
+        suggest_pass_sequence_sql,
+    )
+
+    rng = random.Random(5)
+    rows = [
+        (
+            i,
+            f"a{rng.randint(0, 4)}",
+            f"b{rng.randint(0, 3)}",
+            f"c{rng.randint(0, 2)}" if rng.random() > 0.1 else "",
+        )
+        for i in range(120)
+    ]
+    truth = [(rng.randint(0, 119), rng.randint(0, 119)) for _ in range(40)]
+    df = spark.createDataFrame(rows, "record_id long, a string, b string, c string")
+    tdf = spark.createDataFrame(truth, "id_rec long, id_mem long")
+    keysets = [["a"], ["b"], ["c"], ["a", "b"]]
+    got = (
+        suggest_pass_sequence(df, keysets, tdf, n_passes=4)
+        .toPandas()
+        .sort_values("pass_rank")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW recs AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, '{a}', '{b}', {'NULL' if c is None else repr(c)})"
+            for i, a, b, c in rows
+        )
+        + ") t(record_id, a, b, c)"
+    )
+    con.sql(
+        "CREATE VIEW tr AS SELECT * FROM (VALUES "
+        + ", ".join(f"({x}, {y})" for x, y in truth)
+        + ") t(id_rec, id_mem)"
+    )
+    want = (
+        con.sql(
+            suggest_pass_sequence_sql(
+                "SELECT * FROM recs", keysets, "SELECT * FROM tr", n_passes=4
+            )
+        )
+        .df()
+        .sort_values("pass_rank")
+        .reset_index(drop=True)
+    )
+    assert got.key_set.tolist() == want.key_set.tolist()
+    assert got.new_covered.astype(int).tolist() == want.new_covered.astype(int).tolist()
+    assert got.cum_covered.astype(int).tolist() == want.cum_covered.astype(int).tolist()
+    for g, w in zip(got.cum_pc, want.cum_pc):
+        assert g == pytest.approx(w, abs=1e-6)
