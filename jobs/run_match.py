@@ -153,6 +153,16 @@ def add_match_args(p: argparse.ArgumentParser) -> None:
         "on the pairs (zero re-scoring). Feeds jobs/run_evaluate.py "
         "--posterior-col for the calibration audit",
     )
+    p.add_argument(
+        "--fs-rule",
+        default=None,
+        metavar="MU,LAMBDA",
+        help="with --estimate-mu: also write <output>/fs_rule — the "
+        "Fellegi-Sunter optimal error-bounded designation of every gamma "
+        "pattern (link / clerical / nonlink at false-match rate MU and "
+        "false-nonmatch rate LAMBDA; operators/cutoffs.fs_optimal_rule), "
+        "computed from the same one-pass histogram the EM estimates use",
+    )
 
 
 def match_stage(spark: SparkSession, args: argparse.Namespace) -> None:
@@ -163,6 +173,9 @@ def match_stage(spark: SparkSession, args: argparse.Namespace) -> None:
     if getattr(args, "posterior", False) and not args.estimate_mu:
         raise SystemExit("--posterior requires --estimate-mu (the gamma "
                          "columns and calibrated parameters come from it)")
+    if getattr(args, "fs_rule", None) and not args.estimate_mu:
+        raise SystemExit("--fs-rule requires --estimate-mu (the gamma "
+                         "columns come from it)")
     shard_rows = args.shard_rows or None
     # catalog (Iceberg) table name or a write_table() parquet fallback dir —
     # read_table resolves either to the same partition-prunable scan
@@ -265,6 +278,19 @@ def match_stage(spark: SparkSession, args: argparse.Namespace) -> None:
             ).write.mode("overwrite").parquet(
                 f"{args.output}/pairs_posterior"
             )
+
+        if getattr(args, "fs_rule", None):
+            from bigmatch_utilities_spark.operators.cutoffs import (
+                fs_optimal_rule,
+            )
+
+            mu_b, lam_b = (float(x) for x in args.fs_rule.split(","))
+            fs_optimal_rule(
+                spark.read.parquet(f"{args.output}/pairs"),
+                gamma_fields,
+                mu=mu_b,
+                fnr_lambda=lam_b,
+            ).write.mode("overwrite").parquet(f"{args.output}/fs_rule")
 
         # histogram off the materialized pairs, not the lazy DAG
         weight_histogram(

@@ -151,8 +151,18 @@ def test_run_match_posterior_feeds_run_evaluate(spark, tmp_path, monkeypatch):
             "--no-minhash",
             "--estimate-mu",
             "--posterior",
+            "--fs-rule", "0.01,0.05",
         ],
     )
+    fs = spark.read.parquet(f"{out}/fs_rule")
+    desig = {r.designation for r in fs.collect()}
+    # full 2^K lattice designated; the all-agree top pattern must be a link
+    assert fs.count() == 2 ** (len(fs.columns) - 7)
+    # this corpus concentrates M-mass near the top, so the lambda budget
+    # may leave no nonlink patterns; links must exist and labels be valid
+    assert "link" in desig and desig <= {"link", "clerical", "nonlink"}
+    top = fs.orderBy(F.desc("weight")).first()
+    assert top.designation == "link"
     post = spark.read.parquet(f"{out}/pairs_posterior")
     assert set(post.columns) == {
         "id_rec", "id_mem", "pass_id", "weight", "posterior"
