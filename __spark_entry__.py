@@ -2797,6 +2797,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sq_pass_sequence"] = sq
 
+    # ---- BS: blocking-key heavy-hitter skew report -------------------------
+    def bs(spark, sf):
+        from bigmatch_utilities_spark.config import BlockField, BlockingPassSpec
+        from bigmatch_utilities_spark.operators.blocking import block_skew_report
+
+        d = _docs_keyed(spark, sf)
+        spec = BlockingPassSpec(
+            block_fields=(BlockField(name="lang"),), match_fields=_FS_FIELDS
+        )
+        return block_skew_report(d, spec, top=10, max_block_rows=50)
+
+    q["bs_block_skew"] = bs
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -2808,6 +2821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r4+r5 rows are read as the union).
     # ------------------------------------------------------------------
     driver_first = [
+        # new in round 5 (eighth session)
+        "bs_block_skew",
         # new in round 5 (fifth session) — corpus-curation + WNP additions;
         # these four displace j1..j4 (driver-green in r4) from the window
         "ls_cluster_split",
@@ -3703,6 +3718,17 @@ def oracle_sql() -> dict[str, str]:
         "SELECT c_custkey AS id_rec, c_custkey + 1 AS id_mem "
         "FROM customer WHERE c_custkey % 2 = 0",
         "c_custkey",
+    )
+
+    # bs: heavy-hitter skew report — same key-string join, top-N tie-break,
+    # share rounding, and integer shard ceiling as block_skew_report
+    from bigmatch_utilities_spark.operators.blocking import block_skew_report_sql
+
+    _bs_spec = BlockingPassSpec(
+        block_fields=(BlockField(name="lang"),), match_fields=_FS_FIELDS
+    )
+    o["bs_block_skew"] = block_skew_report_sql(
+        _DOCS_KEYED_SQL, _bs_spec, top=10, max_block_rows=50
     )
 
     # u5: mutual-best-match — row_number argmax on both sides (the Spark

@@ -489,6 +489,118 @@ def blocking_profile_sql(
     """
 
 
+def block_skew_report(
+    df: DataFrame,
+    spec: BlockingPassSpec,
+    *,
+    top: int = 20,
+    max_block_rows: int = 100_000,
+    pass_id: int = 0,
+) -> DataFrame:
+    """Heavy-hitter report for one blocking pass: the `top` largest blocks
+    with their candidate-pair cost and a recommended shard count — the
+    per-KEY companion to :func:`blocking_profile`'s aggregate row.
+
+    Output (rank 1..top by block size desc, key string asc):
+
+        pass_id, rank, block_key,        -- '|'-joined key values
+        n,                               -- rows in the block
+        block_pairs,                     -- n*(n-1)/2
+        pair_share,                      -- block_pairs / Σ block_pairs
+        rec_shards                       -- ceil(n / max_block_rows)
+
+    This is the skew-diagnosis step the 100 TB salting decision needs: the
+    aggregate profile says "max_block = 40M", this says WHICH keys those
+    are (the blank-like sentinel values, the 'UNKNOWN's, the one mega-city)
+    and how many salted shards each needs at the configured
+    `max_block_rows`. The reference has no data-side equivalent (parmf
+    counts at app/BlockingPass.py:588-647 are spec-side only).
+
+    Scale shape: one map-side-combined groupBy over the key (identical to
+    blocking_profile — no pairs materialized), a TakeOrderedAndProject for
+    the top-N (never a full sort), and a 1-row broadcast of the pair total
+    for the share column. `rank` is windowed over the ≤ `top` collected
+    rows only. Caveat: `block_key` joins values with '|' — key values
+    containing '|' could alias; acceptable for a diagnostic report.
+
+    blank_flag semantics match the real pass (excluded rows count nowhere).
+    """
+    from pyspark.sql.window import Window
+
+    r = apply_blank_flags(df, spec)
+    keys = [F.col(bf.name) for bf in spec.block_fields]
+    key_str = F.concat_ws(
+        "|", *[F.coalesce(k.cast("string"), F.lit("")) for k in keys]
+    ).alias("block_key")
+    sizes = r.groupBy(*keys).agg(F.count("*").cast("long").alias("n")).select(
+        key_str, "n", F.expr("CAST(n * (n - 1) / 2 AS BIGINT)").alias("block_pairs")
+    )
+    tot = sizes.agg(F.sum("block_pairs").cast("long").alias("_tot_pairs"))
+    heavy = sizes.orderBy(F.col("n").desc(), F.col("block_key").asc()).limit(top)
+    w = Window.orderBy(F.col("n").desc(), F.col("block_key").asc())
+    return (
+        heavy.crossJoin(F.broadcast(tot))
+        .select(
+            F.lit(pass_id).alias("pass_id"),
+            F.row_number().over(w).alias("rank"),
+            "block_key",
+            "n",
+            "block_pairs",
+            F.when(F.col("_tot_pairs") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.col("block_pairs").cast("double") / F.col("_tot_pairs"), 6
+                )
+            )
+            .alias("pair_share"),
+            F.expr(f"CAST((n + {max_block_rows - 1}) DIV {max_block_rows} AS BIGINT)").alias(
+                "rec_shards"
+            ),
+        )
+    )
+
+
+def block_skew_report_sql(
+    source_sql: str,
+    spec: BlockingPassSpec,
+    *,
+    top: int = 20,
+    max_block_rows: int = 100_000,
+    pass_id: int = 0,
+) -> str:
+    """DuckDB twin of :func:`block_skew_report` (identical key-string join,
+    tie-break, share rounding, and integer shard ceiling)."""
+    blanks = " AND ".join(
+        f"({bf.name} IS NOT NULL AND trim({bf.name}) <> '')"
+        for bf in spec.block_fields
+        if bf.blank_flag
+    ) or "TRUE"
+    keys = ", ".join(bf.name for bf in spec.block_fields)
+    key_str = " || '|' || ".join(
+        f"coalesce(CAST({bf.name} AS VARCHAR), '')" for bf in spec.block_fields
+    )
+    return f"""
+        WITH bsk_sizes AS (
+            SELECT {key_str} AS block_key,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS block_pairs
+            FROM ({source_sql}) WHERE {blanks}
+            GROUP BY {keys}
+        ),
+        bsk_tot AS (SELECT CAST(SUM(block_pairs) AS BIGINT) AS tot FROM bsk_sizes),
+        bsk_top AS (
+            SELECT * FROM bsk_sizes ORDER BY n DESC, block_key LIMIT {top}
+        )
+        SELECT {pass_id} AS pass_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, block_key) AS INT) AS rank,
+               block_key, n, block_pairs,
+               CASE WHEN tot = 0 THEN 0.0
+                    ELSE round(block_pairs::DOUBLE / tot, 6) END AS pair_share,
+               CAST((n + {max_block_rows - 1}) // {max_block_rows} AS BIGINT) AS rec_shards
+        FROM bsk_top CROSS JOIN bsk_tot
+    """
+
+
 # ---------------------------------------------------------------------------
 # blocking-key suggestion: rank candidate key sets before writing the parmf
 # ---------------------------------------------------------------------------
