@@ -2810,6 +2810,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bs_block_skew"] = bs
 
+    # ---- SD: cross-document duplicated-span profile (ExactSubstr-style) ---
+    def sd(spark, sf):
+        from bigmatch_utilities_spark.operators.substring_dedup import (
+            duplicated_span_profile,
+        )
+
+        return duplicated_span_profile(
+            _t(spark, sf, "documents"), "text", "doc_id", k=12, w=10
+        )
+
+    q["sd_duplicated_spans"] = sd
+
+    # ---- MC: symmetrized Monge-Elkan comparator over blocked pairs --------
+    def mc(spark, sf):
+        from bigmatch_utilities_spark.functions.comparators import similarity
+
+        p = _blocked_pairs(spark, sf)
+        return p.select(
+            "id_l",
+            "id_r",
+            F.round(
+                similarity("me", F.col("rec_text_32"), F.col("mem_text_32")), 6
+            ).alias("sim_me"),
+            F.round(
+                similarity("t", F.col("rec_text_32"), F.col("mem_text_32")), 6
+            ).alias("sim_t"),
+        )
+
+    q["mc_monge_elkan"] = mc
+
+    # ---- CH: run-over-run cluster churn report -----------------------------
+    def ch(spark, sf):
+        from bigmatch_utilities_spark.operators.entity_ids import cluster_churn
+
+        d = _docs_keyed(spark, sf)
+        # same prev/curr construction as si_stable_ids: crosscutting keys
+        # exercise every churn category
+        pg = d.groupBy("source", "lang").agg(F.min("doc_id").alias("_pe"))
+        prev = d.join(pg, ["source", "lang"]).select(
+            F.col("doc_id").alias("id"),
+            F.concat(F.lit("e:"), F.col("_pe").cast("string")).alias("entity_id"),
+        )
+        cg = d.groupBy("lang", "bucket").agg(F.min("doc_id").alias("_c"))
+        curr = d.join(cg, ["lang", "bucket"]).select(
+            F.col("doc_id").alias("id"), F.col("_c").alias("cluster")
+        )
+        return cluster_churn(curr, prev)
+
+    q["ch_cluster_churn"] = ch
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -2823,6 +2873,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver_first = [
         # new in round 5 (eighth session)
         "bs_block_skew",
+        "sd_duplicated_spans",
+        "mc_monge_elkan",
+        "ch_cluster_churn",
         # new in round 5 (fifth session) — corpus-curation + WNP additions;
         # these four displace j1..j4 (driver-green in r4) from the window
         "ls_cluster_split",
@@ -3730,6 +3783,27 @@ def oracle_sql() -> dict[str, str]:
     o["bs_block_skew"] = block_skew_report_sql(
         _DOCS_KEYED_SQL, _bs_spec, top=10, max_block_rows=50
     )
+
+    # sd: duplicated-span profile — positional winnow windows, >=2-distinct
+    # via min<>max, lead()-merged span coverage (all integer-exact)
+    from bigmatch_utilities_spark.operators.substring_dedup import (
+        duplicated_span_profile_sql,
+    )
+
+    o["sd_duplicated_spans"] = duplicated_span_profile_sql(
+        "documents", "text", "doc_id", k=12, w=10
+    )
+
+    # mc: Monge-Elkan — generated twin from similarity_sql (quantized
+    # integer sums make the per-direction means bit-identical cross-engine)
+    from bigmatch_utilities_spark.functions.comparators import similarity_sql
+
+    o["mc_monge_elkan"] = f"""
+        SELECT id_l, id_r,
+               round({similarity_sql("me", "rec_text_32", "mem_text_32")}, 6) AS sim_me,
+               round({similarity_sql("t", "rec_text_32", "mem_text_32")}, 6) AS sim_t
+        FROM ({_BLOCKED_PAIRS_SQL})
+    """
 
     # u5: mutual-best-match — row_number argmax on both sides (the Spark
     # path computes the same selection with map-side min(struct) aggs)
@@ -4942,6 +5016,20 @@ def oracle_sql() -> dict[str, str]:
     from bigmatch_utilities_spark.operators.entity_ids import (
         stable_entity_ids_sql,
     )
+
+    from bigmatch_utilities_spark.operators.entity_ids import cluster_churn_sql
+
+    _si_curr_sql = f"""SELECT d.doc_id AS id, g._c AS cluster
+            FROM ({_DOCS_KEYED_SQL}) d JOIN (
+                SELECT lang, bucket, min(doc_id) AS _c
+                FROM ({_DOCS_KEYED_SQL}) GROUP BY lang, bucket
+            ) g USING (lang, bucket)"""
+    _si_prev_sql = f"""SELECT d.doc_id AS id, 'e:' || CAST(g._pe AS VARCHAR) AS entity_id
+            FROM ({_DOCS_KEYED_SQL}) d JOIN (
+                SELECT source, lang, min(doc_id) AS _pe
+                FROM ({_DOCS_KEYED_SQL}) GROUP BY source, lang
+            ) g USING (source, lang)"""
+    o["ch_cluster_churn"] = cluster_churn_sql(_si_curr_sql, _si_prev_sql)
 
     o["si_stable_ids"] = stable_entity_ids_sql(
         f"""SELECT d.doc_id AS id, g._c AS cluster

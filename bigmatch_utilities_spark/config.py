@@ -51,6 +51,7 @@ COMPARATORS = (
     "d",  # calendar-date banded days + day/month-swap tolerance (extension)
     "n",  # relative-tolerance numeric for amounts (extension)
     "t",  # token-set Jaccard for multi-token fields (extension)
+    "me",  # symmetrized Monge-Elkan over edit similarity (extension)
 )
 
 DEFAULT_M = 0.90  # GUI spinner defaults, /root/reference/app/BlockingPass.py:75-76

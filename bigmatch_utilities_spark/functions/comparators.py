@@ -329,6 +329,64 @@ def similarity(comparator: str, left: Column | str, right: Column | str) -> Colu
         return F.when(union == 0, F.lit(1.0)).otherwise(
             F.size(F.array_intersect(ta, tb)).cast("double") / union.cast("double")
         )
+    if comparator == "me":
+        # symmetrized Monge-Elkan over normalized edit similarity: for each
+        # token of one side, the best edit-similarity against the other
+        # side's tokens, averaged; mean of the two directions. The standard
+        # hybrid comparator for multi-token fields with per-token typos
+        # ("JHON SMITH" vs "SMITH JOHN JR"), where token-set Jaccard ("t")
+        # sees zero overlap and whole-string JW pays for the rotation.
+        # Tokens are lowercased, whitespace-split, empties dropped, DISTINCT
+        # (bounds the |a|x|b| inner-sim cost by vocabulary, not length).
+        # Cross-engine exactness: NO float rounding anywhere — each
+        # per-token best is half-up-quantized to 1e-6 in PURE INTEGER
+        # arithmetic (round(p/q) = (2p+q) DIV 2q), the two direction sums
+        # and their mean stay integers, and ONE final division by 10^6
+        # produces the double. A float round() here is a trap: the
+        # two-direction mean lands on x.xxxxx5 midpoints, where Spark
+        # (decimal-string HALF_UP) and DuckDB (binary value) disagree.
+        # Pure JVM expression: no UDF, no shuffle. Both sides tokenless →
+        # 1.0 trivial agreement (zero-weighted by the blank rule); one side
+        # tokenless → 0.0.
+        def toks(c: Column) -> Column:
+            return F.array_distinct(
+                F.filter(
+                    F.split(F.trim(F.lower(F.coalesce(c, F.lit("")))), r"\s+"),
+                    lambda x: x != F.lit(""),
+                )
+            )
+
+        def idiv_half_up(p: Column, q: Column) -> Column:
+            # round_half_up(p / q) for non-negative integer Columns:
+            # (2p + q) DIV 2q. floor(double-div) is exact here — operands
+            # stay far below 2^53 and a non-integer quotient of integers
+            # q <= ~1e8 apart is never within an ulp of an integer.
+            return F.floor((p * 2 + q) / (q * 2)).cast("long")
+
+        def qdir(ta: Column, tb: Column) -> Column:
+            # Σ over tokens x of max_y round_half_up((mx-lev)*1e6/mx)
+            def qsim(x: Column, y: Column) -> Column:
+                mx = F.greatest(F.length(x), F.length(y)).cast("long")
+                p = (mx - F.levenshtein(x, y).cast("long")) * F.lit(1_000_000)
+                return idiv_half_up(p, mx)
+
+            return F.aggregate(
+                F.transform(
+                    ta, lambda x: F.array_max(F.transform(tb, lambda y: qsim(x, y)))
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+
+        ta, tb = toks(lc), toks(rc)
+        na, nb = F.size(ta).cast("long"), F.size(tb).cast("long")
+        num = qdir(ta, tb) * nb + qdir(tb, ta) * na
+        me_int = idiv_half_up(num, na * nb * 2)
+        return (
+            F.when((F.size(ta) == 0) & (F.size(tb) == 0), F.lit(1.0))
+            .when((F.size(ta) == 0) | (F.size(tb) == 0), F.lit(0.0))
+            .otherwise(me_int.cast("double") / F.lit(1_000_000.0))
+        )
     if comparator in ("p", "y", "q"):
         # try_cast: ANSI mode (Spark 4 default) makes plain cast throw on junk
         a = lc.try_cast("double")
@@ -438,6 +496,39 @@ def similarity_sql(comparator: str, left: str, right: str) -> str:
         return (
             f"(CASE WHEN {union} = 0 THEN 1.0 "
             f"ELSE len(list_intersect({ta}, {tb}))::DOUBLE / ({union})::DOUBLE "
+            f"END)::DOUBLE"
+        )
+    if comparator == "me":
+        # symmetrized Monge-Elkan (see the Column branch): ALL-INTEGER
+        # half-up quantization to 1e-6 — round(p/q) = (2p+q) // 2q — with
+        # one final double division, so no float round() can diverge
+        # between engines
+        def toks(c: str) -> str:
+            return (
+                "list_distinct(list_filter(string_split_regex("
+                f"trim(lower(coalesce({c}, ''))), '\\s+'), x -> x <> ''))"
+            )
+
+        qsim = (
+            "((2 * ((greatest(length(x), length(y)) - levenshtein(x, y))"
+            " * 1000000) + greatest(length(x), length(y)))"
+            " // (2 * greatest(length(x), length(y))))"
+        )
+
+        def qdir(ta: str, tb: str) -> str:
+            return (
+                f"CAST(list_sum(list_transform({ta}, "
+                f"x -> list_max(list_transform({tb}, y -> {qsim})))) AS BIGINT)"
+            )
+
+        ta, tb = toks(left), toks(right)
+        num = f"({qdir(ta, tb)} * len({tb}) + {qdir(tb, ta)} * len({ta}))"
+        den = f"(2 * len({ta}) * len({tb}))"
+        me_int = f"CAST((2 * {num} + {den}) // (2 * {den}) AS BIGINT)"
+        return (
+            f"(CASE WHEN len({ta}) = 0 AND len({tb}) = 0 THEN 1.0 "
+            f"WHEN len({ta}) = 0 OR len({tb}) = 0 THEN 0.0 "
+            f"ELSE {me_int}::DOUBLE / 1000000.0 "
             f"END)::DOUBLE"
         )
     if comparator in ("p", "y", "q"):

@@ -160,3 +160,130 @@ def stable_entity_ids_sql(
         ) g
         WHERE NOT EXISTS (SELECT 1 FROM si_carried x WHERE x.{c} = g.{c})
     """
+
+
+def cluster_churn(
+    curr: DataFrame,
+    prev: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "cluster",
+    entity_col: str = "entity_id",
+) -> DataFrame:
+    """Run-over-run churn report: one row per CURRENT cluster, classified
+    against the previous run's clustering.
+
+    Where :func:`stable_entity_ids` answers "what id does this cluster
+    carry forward", this answers the monitoring question "how much did the
+    clustering MOVE" — the number a production linkage pipeline alerts on
+    (a parameter change that silently merges 4% of entities shows up here
+    before any downstream join does).
+
+    Categories (deterministic; `shared` = members that exist in prev):
+
+        new       no member existed in the previous run
+        merged    members carry >= 2 distinct previous entities
+        stable    exactly one previous entity, and member sets identical
+        split     fragment of one previous entity, no new members
+        grown     the whole previous entity plus new members
+        reshaped  one previous entity, but both lost and gained members
+
+    Output: (cluster_col, curr_size, n_shared, n_prev_entities, category).
+
+    Scale: the record-id inner join is the only record-scale op; the
+    per-(cluster, prev-entity) overlap frame is map-side combined, and the
+    category logic runs on cluster-granular rows. No windows, no skew
+    pathology (mega-clusters partial-aggregate per map task).
+    """
+    c, e, i = cluster_col, entity_col, id_col
+    csize = curr.groupBy(c).agg(F.count("*").cast("long").alias("curr_size"))
+    psize = prev.groupBy(e).agg(F.count("*").cast("long").alias("_prev_size"))
+    ov = (
+        curr.join(prev, i)
+        .groupBy(c, e)
+        .agg(F.count("*").cast("long").alias("_n"))
+    )
+    per_c = ov.groupBy(c).agg(
+        F.count("*").cast("long").alias("n_prev_entities"),
+        F.sum("_n").cast("long").alias("n_shared"),
+        F.min(e).alias("_one_e"),  # meaningful only when n_prev_entities == 1
+        F.max("_n").cast("long").alias("_one_n"),
+    )
+    j = (
+        csize.join(per_c, c, "left")
+        .join(psize, per_c["_one_e"] == psize[e], "left")
+        .select(
+            csize[c],
+            "curr_size",
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            F.coalesce("n_prev_entities", F.lit(0))
+            .cast("long")
+            .alias("n_prev_entities"),
+            "_prev_size",
+        )
+    )
+    cat = (
+        F.when(F.col("n_prev_entities") == 0, F.lit("new"))
+        .when(F.col("n_prev_entities") >= 2, F.lit("merged"))
+        .when(
+            (F.col("n_shared") == F.col("_prev_size"))
+            & (F.col("n_shared") == F.col("curr_size")),
+            F.lit("stable"),
+        )
+        .when(F.col("n_shared") == F.col("curr_size"), F.lit("split"))
+        .when(F.col("n_shared") == F.col("_prev_size"), F.lit("grown"))
+        .otherwise(F.lit("reshaped"))
+    )
+    return j.select(
+        c, "curr_size", "n_shared", "n_prev_entities", cat.alias("category")
+    )
+
+
+def cluster_churn_sql(
+    curr_sql: str,
+    prev_sql: str,
+    id_col: str = "id",
+    cluster_col: str = "cluster",
+    entity_col: str = "entity_id",
+) -> str:
+    """DuckDB twin of :func:`cluster_churn` (identical joins, coalesces,
+    and category CASE chain)."""
+    c, e, i = cluster_col, entity_col, id_col
+    return f"""
+        WITH ch_csize AS (
+            SELECT {c}, CAST(count(*) AS BIGINT) AS curr_size
+            FROM ({curr_sql}) GROUP BY {c}
+        ),
+        ch_psize AS (
+            SELECT {e}, CAST(count(*) AS BIGINT) AS _prev_size
+            FROM ({prev_sql}) GROUP BY {e}
+        ),
+        ch_ov AS (
+            SELECT n.{c}, p.{e}, CAST(count(*) AS BIGINT) AS _n
+            FROM ({curr_sql}) n JOIN ({prev_sql}) p USING ({i})
+            GROUP BY n.{c}, p.{e}
+        ),
+        ch_perc AS (
+            SELECT {c},
+                   CAST(count(*) AS BIGINT) AS n_prev_entities,
+                   CAST(sum(_n) AS BIGINT) AS n_shared,
+                   min({e}) AS _one_e
+            FROM ch_ov GROUP BY {c}
+        ),
+        ch_j AS (
+            SELECT s.{c}, s.curr_size,
+                   CAST(coalesce(p.n_shared, 0) AS BIGINT) AS n_shared,
+                   CAST(coalesce(p.n_prev_entities, 0) AS BIGINT) AS n_prev_entities,
+                   z._prev_size
+            FROM ch_csize s
+            LEFT JOIN ch_perc p ON s.{c} = p.{c}
+            LEFT JOIN ch_psize z ON p._one_e = z.{e}
+        )
+        SELECT {c}, curr_size, n_shared, n_prev_entities,
+               CASE WHEN n_prev_entities = 0 THEN 'new'
+                    WHEN n_prev_entities >= 2 THEN 'merged'
+                    WHEN n_shared = _prev_size AND n_shared = curr_size THEN 'stable'
+                    WHEN n_shared = curr_size THEN 'split'
+                    WHEN n_shared = _prev_size THEN 'grown'
+                    ELSE 'reshaped' END AS category
+        FROM ch_j
+    """

@@ -317,3 +317,76 @@ def test_token_set_jaccard_comparator(spark):
     for g, w, e in zip(got, want, expect):
         assert g == pytest.approx(e, abs=1e-12)
         assert w == pytest.approx(e, abs=1e-12)
+
+
+def test_monge_elkan_comparator(spark):
+    rows = [
+        ("john smith", "john smith"),     # identical        -> 1.0
+        ("john smith", "smith john"),     # rotation         -> 1.0
+        ("jhon smith", "john smith jr"),  # typo + extra tok -> high, < 1.0
+        ("alpha", "beta"),                # unrelated        -> low
+        ("", ""),                         # both blank       -> 1.0 trivial
+        ("", "acme"),                     # one blank        -> 0.0
+        (None, "acme"),                   # null             -> 0.0
+        (None, None),                     # both null        -> 1.0 trivial
+    ]
+    got, want = _duckdb_parity(spark, "me", rows)
+    assert got == want  # bit-identical cross-engine (all-integer scheme)
+    assert got[0] == 1.0
+    assert got[1] == 1.0
+    assert 0.6 < got[2] < 1.0  # 0.666667: see the worked example in-module
+    assert got[3] < 0.5
+    assert got[4] == 1.0 and got[5] == 0.0 and got[6] == 0.0 and got[7] == 1.0
+    # the typo/extra-token case is exactly what token-set Jaccard misses
+    jac = [
+        r[0]
+        for r in spark.createDataFrame([rows[2]], ["a", "b"])
+        .select(similarity("t", "a", "b").alias("s"))
+        .collect()
+    ]
+    assert got[2] > jac[0]
+
+
+def test_monge_elkan_parity_randomized(spark):
+    rng = random.Random(80803)
+    vocab = ["john", "jhon", "smith", "smyth", "mary", "st", "main", "acme"]
+    rows = []
+    for _ in range(150):
+        a = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 4)))
+        b = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 4)))
+        rows.append((a, b))
+    got, want = _duckdb_parity(spark, "me", rows)
+    assert got == want
+
+
+def test_monge_elkan_declarable_in_config(spark):
+    """`me` is reachable from MatchConfig: validates and scores a pass."""
+    from bigmatch_utilities_spark.config import MatchField
+    from bigmatch_utilities_spark.operators.scoring import (
+        pair_weight,
+        pair_weight_sql,
+    )
+
+    mf = MatchField(name="nm", comparator="me", m=0.9, u=0.1)  # must validate
+    df = spark.createDataFrame(
+        [("john smith", "smith john"), ("alpha beta", "gamma delta")],
+        ["rec_nm", "mem_nm"],
+    )
+    got = [
+        round(r[0], 6)
+        for r in df.select(pair_weight((mf,)).alias("w")).collect()
+    ]
+    con = duckdb.connect()
+    con.register(
+        "t",
+        pd.DataFrame(
+            [("john smith", "smith john"), ("alpha beta", "gamma delta")],
+            columns=["rec_nm", "mem_nm"],
+        ),
+    )
+    want = [
+        round(r[0], 6)
+        for r in con.sql(f"select {pair_weight_sql((mf,))} from t").fetchall()
+    ]
+    assert got == want
+    assert got[0] > 0 > got[1]  # near-agreement scores up, disagreement down

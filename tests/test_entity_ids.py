@@ -108,3 +108,58 @@ def test_no_window_in_plan(frames):
     curr, prev = frames
     plan = stable_entity_ids(curr, prev)._jdf.queryExecution().optimizedPlan().toString()
     assert "Window" not in plan
+
+
+# ---------------------------------------------------------------------------
+# cluster_churn
+# ---------------------------------------------------------------------------
+
+import duckdb as _duckdb
+
+from bigmatch_utilities_spark.operators.entity_ids import (
+    cluster_churn,
+    cluster_churn_sql,
+)
+
+
+def _churn_fixture(spark):
+    prev = spark.createDataFrame(
+        [(1, "e1"), (2, "e1"), (3, "e1"), (4, "e2"), (5, "e2"), (6, "e3"),
+         (7, "e4"), (8, "e4"), (9, "e5"), (13, "e6"), (14, "e6")],
+        "id long, entity_id string",
+    )
+    curr = spark.createDataFrame(
+        [(6, "A"), (4, "B"), (5, "B"), (7, "B"), (8, "B"),
+         (1, "C"), (2, "C"), (3, "D"), (9, "E"), (10, "E"),
+         (11, "N"), (12, "N"), (13, "R"), (15, "R")],
+        "id long, cluster string",
+    )
+    return curr, prev
+
+
+def test_cluster_churn_categories(spark):
+    curr, prev = _churn_fixture(spark)
+    out = {r["cluster"]: r for r in cluster_churn(curr, prev).collect()}
+    assert out["A"]["category"] == "stable"
+    assert out["B"]["category"] == "merged" and out["B"]["n_prev_entities"] == 2
+    assert out["C"]["category"] == "split"
+    assert out["D"]["category"] == "split"
+    assert out["E"]["category"] == "grown" and out["E"]["n_shared"] == 1
+    assert out["N"]["category"] == "new" and out["N"]["n_prev_entities"] == 0
+    assert out["R"]["category"] == "reshaped"
+    assert out["B"]["curr_size"] == 4 and out["B"]["n_shared"] == 4
+
+
+def test_cluster_churn_parity(spark, tmp_path):
+    curr, prev = _churn_fixture(spark)
+    pc, pp = str(tmp_path / "c.parquet"), str(tmp_path / "p.parquet")
+    curr.write.mode("overwrite").parquet(pc)
+    prev.write.mode("overwrite").parquet(pp)
+    got = sorted(tuple(r) for r in cluster_churn(curr, prev).collect())
+    con = _duckdb.connect()
+    sql = cluster_churn_sql(
+        f"SELECT * FROM read_parquet('{pc}/*.parquet')",
+        f"SELECT * FROM read_parquet('{pp}/*.parquet')",
+    )
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want
