@@ -2860,6 +2860,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ch_cluster_churn"] = ch
 
+    # ---- RT: rarest-token canopy assignment --------------------------------
+    def rt(spark, sf):
+        from bigmatch_utilities_spark.operators.meta_blocking import (
+            rarest_token_canopy,
+        )
+
+        return rarest_token_canopy(
+            _t(spark, sf, "documents"), "doc_id", "text", purge_above=200
+        )
+
+    q["rt_rare_canopy"] = rt
+
+    # ---- MW: missing-field weight rescaling --------------------------------
+    def mw(spark, sf):
+        from bigmatch_utilities_spark.operators.scoring import (
+            pair_weight,
+            pair_weight_rescaled,
+        )
+
+        p = _blocked_pairs(spark, sf).withColumn(
+            "rec_source",
+            F.when(F.col("id_l") % 5 == 0, F.lit("")).otherwise(
+                F.col("rec_source")
+            ),
+        )
+        return p.select(
+            "id_l",
+            "id_r",
+            F.round(pair_weight(_FS_FIELDS), 6).alias("weight"),
+            F.round(pair_weight_rescaled(_FS_FIELDS), 6).alias("weight_rescaled"),
+        )
+
+    q["mw_missing_rescale"] = mw
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -2876,6 +2910,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sd_duplicated_spans",
         "mc_monge_elkan",
         "ch_cluster_churn",
+        "rt_rare_canopy",
+        "mw_missing_rescale",
         # new in round 5 (fifth session) — corpus-curation + WNP additions;
         # these four displace j1..j4 (driver-green in r4) from the window
         "ls_cluster_split",
@@ -3782,6 +3818,34 @@ def oracle_sql() -> dict[str, str]:
     )
     o["bs_block_skew"] = block_skew_report_sql(
         _DOCS_KEYED_SQL, _bs_spec, top=10, max_block_rows=50
+    )
+
+    # mw: missing-field rescale — identical planted blanks, same term
+    # order, one final double multiply/divide on both engines
+    from bigmatch_utilities_spark.operators.scoring import (
+        pair_weight_rescaled_sql,
+    )
+
+    o["mw_missing_rescale"] = f"""
+        SELECT id_l, id_r,
+               round({pair_weight_sql(_FS_FIELDS)}, 6) AS weight,
+               round({pair_weight_rescaled_sql(_FS_FIELDS)}, 6) AS weight_rescaled
+        FROM (
+            SELECT id_l, id_r,
+                   CASE WHEN id_l % 5 = 0 THEN '' ELSE rec_source END AS rec_source,
+                   mem_source, rec_text_32, mem_text_32,
+                   rec_n_chars_s, mem_n_chars_s
+            FROM ({_BLOCKED_PAIRS_SQL})
+        )
+    """
+
+    # rt: rarest-token canopy — same normalization/purge/argmin order
+    from bigmatch_utilities_spark.operators.meta_blocking import (
+        rarest_token_canopy_sql,
+    )
+
+    o["rt_rare_canopy"] = rarest_token_canopy_sql(
+        "documents", "doc_id", "text", purge_above=200
     )
 
     # sd: duplicated-span profile — positional winnow windows, >=2-distinct

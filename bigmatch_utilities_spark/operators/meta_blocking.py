@@ -628,3 +628,94 @@ def wnp_pairs(
         cbs_edges(df, id_col, key_exprs, max_block_rows=max_block_rows),
         cache_handle=cache_handle,
     )
+
+
+def rarest_token_canopy(
+    df: DataFrame,
+    id_col: str,
+    field: str,
+    *,
+    purge_above: int = 2_000,
+) -> DataFrame:
+    """Canopy assignment by globally-rarest token: each record joins the
+    canopy of its most DISTINCTIVE word — the word with the lowest corpus
+    document frequency (ties broken lexicographically).
+
+    Where :func:`qgram_block_pairs` / :func:`block_filtering_pairs` keep a
+    record's ⌈ratio·b⌉ rarest blocks (overlapping canopies), this is the
+    disjoint extreme: exactly ONE canopy per record, so canopies PARTITION
+    the records — the cheap pre-clustering step (McCallum/Nigam/Ungar-style
+    canopies with an infinitely tight T2) that bounds any downstream
+    within-canopy agglomeration at Σ|canopy|², and the frequency-aware
+    variant of schema-agnostic token blocking (Papadakis et al.).
+
+    Tokens with document frequency > `purge_above` are ignored as
+    boilerplate BEFORE the argmin; a record whose every token is purged
+    (or that has no tokens) is left out of the result — at 100 TB those
+    are exactly the records that would otherwise form a mega-canopy.
+
+    Output: (id, canopy, canopy_df) — one row per surviving record, where
+    canopy_df is the document frequency of the chosen token.
+
+    Plan: token explode (O(words) array, no UDF) → map-side-combined
+    df groupBy → broadcast-friendly frequency join → min(struct) argmin
+    per record (map-side combined; no windows over record-scale data).
+    """
+    norm = f"regexp_replace(lower(trim(CAST({field} AS STRING))), '\\\\s+', ' ')"
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode_outer(
+                F.array_distinct(F.split(F.expr(norm), " "))
+            ).alias("tok"),
+        )
+        .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
+    )
+    dfreq = (
+        toks.groupBy("tok")
+        .agg(F.count("*").cast("long").alias("_df"))
+        .filter(F.col("_df") <= purge_above)
+    )
+    return (
+        toks.join(dfreq, "tok")
+        .groupBy("id")
+        .agg(F.min(F.struct("_df", "tok")).alias("_best"))
+        .select(
+            "id",
+            F.col("_best.tok").alias("canopy"),
+            F.col("_best._df").cast("long").alias("canopy_df"),
+        )
+    )
+
+
+def rarest_token_canopy_sql(
+    table: str,
+    id_col: str,
+    field: str,
+    *,
+    purge_above: int = 2_000,
+) -> str:
+    """DuckDB oracle twin of :func:`rarest_token_canopy` — same
+    normalization, purge bound, and (df, token) argmin order."""
+    norm = f"regexp_replace(lower(trim(CAST({field} AS VARCHAR))), '\\s+', ' ', 'g')"
+    return f"""
+        WITH rtc_tok AS (
+            SELECT DISTINCT {id_col} AS id, rtu.tok
+            FROM {table}, UNNEST(string_split({norm}, ' ')) AS rtu(tok)
+            WHERE rtu.tok IS NOT NULL AND rtu.tok <> ''
+        ),
+        rtc_df AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS _df
+            FROM rtc_tok GROUP BY tok
+            HAVING count(*) <= {purge_above}
+        ),
+        rtc_rk AS (
+            SELECT t.id, t.tok, d._df,
+                   row_number() OVER (
+                       PARTITION BY t.id ORDER BY d._df ASC, t.tok ASC
+                   ) AS _rk
+            FROM rtc_tok t JOIN rtc_df d USING (tok)
+        )
+        SELECT id, tok AS canopy, _df AS canopy_df
+        FROM rtc_rk WHERE _rk = 1
+    """

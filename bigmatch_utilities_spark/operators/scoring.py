@@ -227,6 +227,71 @@ def pair_weight_sql(
     return "(" + " + ".join(terms) + ")"
 
 
+def pair_weight_rescaled(
+    match_fields: tuple[MatchField, ...],
+    rec_prefix: str = "rec_",
+    mem_prefix: str = "mem_",
+) -> Column:
+    """Missing-data-adjusted pair weight: Σ observed field weights scaled
+    by (total fields / observed fields).
+
+    The standard FS blank rule (field_weight: blank → 0) silently SHRINKS
+    the weight of pairs with missing fields toward zero — with a single
+    global cutoff, a true match missing 2 of 5 fields needs its remaining
+    3 fields to carry the whole bar, so sparse records systematically
+    under-link. Rescaling extrapolates the observed evidence to the full
+    field set (the missing-at-random reading: E[weight | observed]), the
+    same per-pair normalization BigMatch sites handle by hand-lowering
+    cutoffs for sparse files. A pair with NO observed field scores 0.
+
+    Same Column arithmetic as :func:`pair_weight` on the observed terms,
+    so the two agree exactly when nothing is blank. Pure JVM expression.
+    """
+    terms, obs = [], []
+    for mf in match_fields:
+        lc = F.col(rec_prefix + mf.name)
+        rc = F.col(mem_prefix + mf.name)
+        sim = similarity(mf.comparator, lc, rc)
+        terms.append(field_weight(mf, sim, lc, rc))
+        blank = (lc.isNull() | (F.trim(lc) == "")) | (
+            rc.isNull() | (F.trim(rc) == "")
+        )
+        obs.append(F.when(blank, F.lit(0)).otherwise(F.lit(1)))
+    total = reduce(lambda a, b: a + b, terms)
+    k = reduce(lambda a, b: a + b, obs)
+    n = len(match_fields)
+    return F.when(k == 0, F.lit(0.0)).otherwise(
+        total * F.lit(float(n)) / k.cast("double")
+    )
+
+
+def pair_weight_rescaled_sql(
+    match_fields: tuple[MatchField, ...],
+    rec_prefix: str = "rec_",
+    mem_prefix: str = "mem_",
+) -> str:
+    """DuckDB twin of :func:`pair_weight_rescaled` — identical term order
+    and one final double multiply/divide (same IEEE operands on both
+    engines)."""
+    terms, obs = [], []
+    for mf in match_fields:
+        left = rec_prefix + mf.name
+        right = mem_prefix + mf.name
+        terms.append(field_weight_sql(mf, left, right))
+        blank = (
+            f"({left} IS NULL OR trim({left}) = '' "
+            f"OR {right} IS NULL OR trim({right}) = '')"
+        )
+        obs.append(f"(CASE WHEN {blank} THEN 0 ELSE 1 END)")
+    total = "(" + " + ".join(terms) + ")"
+    k = "(" + " + ".join(obs) + ")"
+    n = len(match_fields)
+    return (
+        f"(CASE WHEN {k} = 0 THEN 0.0 "
+        f"ELSE {total} * {float(n)!r} / CAST({k} AS DOUBLE) END)"
+    )
+
+
 def is_exact(match_fields: tuple[MatchField, ...],
              rec_prefix: str = "rec_", mem_prefix: str = "mem_",
              field_pairs: tuple[MatchFieldPair, ...] = (),

@@ -390,3 +390,50 @@ def test_monge_elkan_declarable_in_config(spark):
     ]
     assert got == want
     assert got[0] > 0 > got[1]  # near-agreement scores up, disagreement down
+
+
+def test_pair_weight_rescaled(spark):
+    """Missing-field rescale: agrees with pair_weight when fully observed,
+    extrapolates Σ/k·n when fields are blank, 0 when nothing observed."""
+    from bigmatch_utilities_spark.config import MatchField
+    from bigmatch_utilities_spark.operators.scoring import (
+        pair_weight,
+        pair_weight_rescaled,
+        pair_weight_rescaled_sql,
+    )
+
+    fields = (
+        MatchField(name="a", comparator="c", m=0.9, u=0.1),
+        MatchField(name="b", comparator="c", m=0.8, u=0.2),
+        MatchField(name="c", comparator="c", m=0.7, u=0.3),
+    )
+    rows = [
+        ("x", "x", "y", "y", "z", "z"),      # all observed, all agree
+        ("x", "x", "", "y", "z", "z"),       # field b blank -> 2 obs
+        ("", "x", "", "y", "", "z"),         # nothing observed -> 0.0
+        ("x", "q", "", "y", "z", "z"),       # mixed agree/disagree, 2 obs
+    ]
+    cols = ["rec_a", "mem_a", "rec_b", "mem_b", "rec_c", "mem_c"]
+    df = spark.createDataFrame(rows, cols)
+    out = df.select(
+        pair_weight(fields).alias("raw"),
+        pair_weight_rescaled(fields).alias("res"),
+    ).collect()
+    # fully observed -> identical
+    assert out[0]["res"] == pytest.approx(out[0]["raw"], abs=1e-12)
+    # one blank of three -> raw * 3/2
+    assert out[1]["res"] == pytest.approx(out[1]["raw"] * 1.5, abs=1e-12)
+    assert out[3]["res"] == pytest.approx(out[3]["raw"] * 1.5, abs=1e-12)
+    # nothing observed -> 0
+    assert out[2]["res"] == 0.0
+    # DuckDB parity
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=cols))
+    want = [
+        r[0]
+        for r in con.sql(
+            f"select {pair_weight_rescaled_sql(fields)} from t"
+        ).fetchall()
+    ]
+    got = [r["res"] for r in out]
+    assert got == pytest.approx(want, abs=0)

@@ -512,3 +512,60 @@ def test_meta_pass_validation_and_parmf_refusal():
     )
     with _pytest.raises(ValueError, match="cannot express"):
         write_parmf(cfg)
+
+
+# ---------------------------------------------------------------------------
+# rarest_token_canopy
+# ---------------------------------------------------------------------------
+
+from bigmatch_utilities_spark.operators.meta_blocking import (
+    rarest_token_canopy,
+    rarest_token_canopy_sql,
+)
+
+
+def test_rare_canopy_picks_rarest_and_purges(spark):
+    rows = [
+        (1, "the acme corp"),       # acme df=2 beats corp df=3; the purged
+        (2, "the acme corp inc"),   # inc df=2, ties acme -> 'acme' lexicographic
+        (3, "the zebra inc"),       # zebra df=1 -> unique canopy
+        (4, "the corp"),            # corp (df=3) after 'the' purged
+        (5, "the the the"),         # only purged tokens -> dropped
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in rarest_token_canopy(df, "id", "text", purge_above=3).collect()}
+    assert set(out) == {1, 2, 3, 4}  # record 5 has no surviving token
+    assert out[1]["canopy"] == "acme" and out[1]["canopy_df"] == 2
+    assert out[2]["canopy"] == "acme"  # acme/inc both df=2 -> lexicographic
+    assert out[3]["canopy"] == "zebra" and out[3]["canopy_df"] == 1
+    assert out[4]["canopy"] == "corp"
+
+
+def test_rare_canopy_tie_breaks_lexicographically(spark):
+    df = spark.createDataFrame([(1, "beta alpha")], "id long, text string")
+    out = rarest_token_canopy(df, "id", "text").collect()
+    assert out[0]["canopy"] == "alpha"  # both df=1 -> lexicographic
+
+
+def test_rare_canopy_parity(spark, tmp_path):
+    import random as _random
+
+    rng = _random.Random(80804)
+    vocab = ["acme", "corp", "ltd", "zebra", "quick", "brown", "fox", "the", "of"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 6))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    pq = str(tmp_path / "rc.parquet")
+    df.write.mode("overwrite").parquet(pq)
+    got = sorted(tuple(r) for r in rarest_token_canopy(df, "id", "text", purge_above=60).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW tbl AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            rarest_token_canopy_sql("tbl", "id", "text", purge_above=60)
+        ).fetchall()
+    )
+    assert got == want
