@@ -394,6 +394,46 @@ def _mp_mix_config():
     )
 
 
+def _cp_mix_config():
+    """Pass 0: reference-style blocked equi-join on (lang, bucket).
+    Pass 1: rarest-token canopy mop-up (kind='canopy') — records sharing
+    their most distinctive text token co-block even when every structured
+    key disagrees."""
+    from bigmatch_utilities_spark.config import (
+        BlockField,
+        BlockingPassSpec,
+        CutoffSpec,
+        FieldRef,
+        MatchConfig,
+    )
+
+    cut = CutoffSpec(hi=_SNM_MIX_CUT[0], lo=_SNM_MIX_CUT[1])
+    return MatchConfig(
+        passes=(
+            BlockingPassSpec(
+                block_fields=(
+                    BlockField(name="lang"),
+                    BlockField(name="bucket", blank_flag=0),
+                ),
+                match_fields=_SNM_MIX_FIELDS,
+                cutoff=cut,
+                print_cutoff=cut,
+            ),
+            BlockingPassSpec(
+                block_fields=(),
+                match_fields=_SNM_MIX_FIELDS,
+                cutoff=cut,
+                print_cutoff=cut,
+                kind="canopy",
+                canopy_field="text",
+                canopy_purge_above=200,
+            ),
+        ),
+        id_field=FieldRef(name="doc_id"),
+        dedupe_single_file=True,
+    )
+
+
 def _fp_sides(spark: SparkSession, sf_dir: str):
     """rec = documents with (tok1, tok2) = first two whitespace tokens;
     mem = the SAME documents with the two tokens swapped — every (x, x)
@@ -2894,6 +2934,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mw_missing_rescale"] = mw
 
+    # ---- CP: equi + rarest-token-canopy mixed passes through the config ---
+    def cp(spark, sf):
+        from bigmatch_utilities_spark.operators.pipeline import run_match
+
+        res = run_match(
+            _docs_keyed(spark, sf), None, _cp_mix_config(), id_col="doc_id",
+            persist=False,
+        )
+        return res.pairs.select(
+            F.col("id_rec").alias("id_l"),
+            F.col("id_mem").alias("id_r"),
+            "pass_id",
+            F.round("weight", 6).alias("weight"),
+            "is_exact",
+            "decision",
+        )
+
+    q["cp_canopy_pass_mix"] = cp
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -2912,6 +2971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ch_cluster_churn",
         "rt_rare_canopy",
         "mw_missing_rescale",
+        "cp_canopy_pass_mix",
         # new in round 5 (fifth session) — corpus-curation + WNP additions;
         # these four displace j1..j4 (driver-green in r4) from the window
         "ls_cluster_split",
@@ -4893,6 +4953,45 @@ def oracle_sql() -> dict[str, str]:
                     WHEN weight >= {_sp_lo} THEN 'possible'
                     ELSE 'below' END AS decision
         FROM mp_fpw
+    """
+
+    # cp: equi + rarest-token-canopy mixed passes — canopy candidate twin
+    # from rarest_token_canopy_pairs_sql, same first-pass-wins fold as mp
+    from bigmatch_utilities_spark.operators.meta_blocking import (
+        rarest_token_canopy_pairs_sql,
+    )
+
+    _CP_CC = rarest_token_canopy_pairs_sql("d", "doc_id", "text", purge_above=200)
+    o["cp_canopy_pass_mix"] = f"""
+        WITH d AS ({_DOCS_KEYED_SQL}),
+        cp_f0 AS (SELECT * FROM d WHERE trim(lang) <> ''),
+        cp_p0 AS (
+          SELECT a.doc_id AS id_l, b.doc_id AS id_r, 0 AS pass_id,
+                 {_SP_W} AS weight, {_SP_X} AS is_exact
+          FROM cp_f0 a JOIN cp_f0 b
+            ON a.lang = b.lang AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id
+        ),
+        cp_cc AS (SELECT id_l, id_r FROM ({_CP_CC})),
+        cp_p1 AS (
+          SELECT c.id_l, c.id_r, 1 AS pass_id,
+                 {_SP_W} AS weight, {_SP_X} AS is_exact
+          FROM cp_cc c
+          JOIN d a ON a.doc_id = c.id_l
+          JOIN d b ON b.doc_id = c.id_r
+        ),
+        cp_u AS (SELECT * FROM cp_p0 UNION ALL SELECT * FROM cp_p1),
+        cp_fpw AS (
+          SELECT id_l, id_r, min(pass_id) AS pass_id,
+                 arg_min(weight, pass_id) AS weight,
+                 arg_min(is_exact, pass_id) AS is_exact
+          FROM cp_u GROUP BY id_l, id_r
+        )
+        SELECT id_l, id_r, pass_id, round(weight, 6) AS weight, is_exact,
+               CASE WHEN weight >= {_sp_hi} THEN 'match'
+                    WHEN weight >= {_sp_lo} THEN 'possible'
+                    ELSE 'below' END AS decision
+        FROM cp_fpw
     """
 
     # cs: deterministic stratified downsample — identical md5 bucket + CASE

@@ -280,6 +280,17 @@ class BlockingPassSpec:
     meta_keys: tuple[tuple[str, str], ...] = ()
     meta_prune: str = "wep"
     meta_max_block_rows: int = 2_000
+    #: Rarest-token canopy pass (kind="canopy"): each record joins the
+    #: canopy of its lowest-document-frequency token of canopy_field
+    #: (ties lexicographic; tokens with df > canopy_purge_above ignored
+    #: as boilerplate BEFORE the argmin) and candidates are within-canopy
+    #: pairs. Canopies PARTITION the records, and a canopy can never
+    #: exceed its token's df (≤ canopy_purge_above), so the pair budget
+    #: is bounded with no extra cap. Backed by
+    #: operators/meta_blocking.rarest_token_canopy_pairs. Single-file
+    #: (dedupe) passes only; no parmf rendering.
+    canopy_field: str | None = None
+    canopy_purge_above: int = 2_000
     #: Embedding-ANN pass (kind="ann"): candidates come from random-
     #: hyperplane sign-LSH over the ann_field embedding column
     #: (array<float/double>, ann_dim wide) — ann_bands independent bands
@@ -315,9 +326,16 @@ class BlockingPassSpec:
     def __post_init__(self) -> None:
         if self.kind not in (
             "equi", "snm", "lsh", "pprl", "qgram", "suffix", "interval",
-            "meta", "ann",
+            "meta", "ann", "canopy",
         ):
             raise ValueError(f"unknown pass kind {self.kind!r}")
+        if self.kind == "canopy":
+            if not self.canopy_field:
+                raise ValueError("kind='canopy' requires canopy_field")
+            if self.canopy_purge_above < 2:
+                raise ValueError("canopy_purge_above must be >= 2")
+            if self.star_block_rows:
+                raise ValueError("star_block_rows is an equi-pass option")
         if self.kind == "ann":
             if not self.ann_field:
                 raise ValueError("kind='ann' requires ann_field")

@@ -719,3 +719,43 @@ def rarest_token_canopy_sql(
         SELECT id, tok AS canopy, _df AS canopy_df
         FROM rtc_rk WHERE _rk = 1
     """
+
+
+def rarest_token_canopy_pairs(
+    df: DataFrame,
+    id_col: str,
+    field: str,
+    *,
+    purge_above: int = 2_000,
+) -> DataFrame:
+    """Candidate pairs (id_l, id_r) of records sharing a rarest-token
+    canopy (:func:`rarest_token_canopy`), id_l < id_r canonical.
+
+    Because canopies partition the records and a canopy can never exceed
+    its token's document frequency (≤ `purge_above`), total pairs are
+    bounded by Σ|canopy|² without any extra cap. One shuffle on the canopy
+    token for the self-join; canonical ordering makes the output
+    first-pass-wins-ready for the multi-pass union (J4 semantics).
+    """
+    asg = rarest_token_canopy(df, id_col, field, purge_above=purge_above)
+    l = asg.select(F.col("id").alias("id_l"), "canopy")
+    r = asg.select(F.col("id").alias("id_r"), "canopy")
+    return l.join(r, "canopy").filter(F.col("id_l") < F.col("id_r")).select(
+        "id_l", "id_r"
+    )
+
+
+def rarest_token_canopy_pairs_sql(
+    table: str,
+    id_col: str,
+    field: str,
+    *,
+    purge_above: int = 2_000,
+) -> str:
+    """DuckDB oracle twin of :func:`rarest_token_canopy_pairs`."""
+    inner = rarest_token_canopy_sql(table, id_col, field, purge_above=purge_above)
+    return f"""
+        SELECT x.id AS id_l, y.id AS id_r
+        FROM ({inner}) x JOIN ({inner}) y
+          ON x.canopy = y.canopy AND x.id < y.id
+    """

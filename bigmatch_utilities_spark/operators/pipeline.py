@@ -266,6 +266,37 @@ def pass_candidates(
             .withColumnRenamed("id_l", "id_rec")
             .withColumnRenamed("id_r", "id_mem")
         )
+    elif spec.kind == "canopy":
+        from bigmatch_utilities_spark.operators.meta_blocking import (
+            rarest_token_canopy_pairs,
+        )
+
+        if not dedupe or mem is not rec:
+            raise ValueError(
+                "kind='canopy' is a single-file (dedupe) pass; merge two "
+                "files into one frame before a dedupe run"
+            )
+        # candidates share a rarest-token canopy (disjoint partition of
+        # the records, pair budget bounded by canopy_purge_above); carried
+        # match-field values join on from the source, same shape as the
+        # lsh/pprl/qgram canopy passes
+        cands = rarest_token_canopy_pairs(
+            rec,
+            id_col,
+            spec.canopy_field,
+            purge_above=spec.canopy_purge_above,
+        ).select("id_l", "id_r")
+        side = rec.select(F.col(id_col), *carry_sup)
+        pairs = (
+            cands.join(
+                side.toDF(*(["id_l"] + [f"rec_{c}" for c in carry_sup])), "id_l"
+            )
+            .join(
+                side.toDF(*(["id_r"] + [f"mem_{c}" for c in carry_sup])), "id_r"
+            )
+            .withColumnRenamed("id_l", "id_rec")
+            .withColumnRenamed("id_r", "id_mem")
+        )
     elif spec.kind in ("qgram", "suffix"):
         from bigmatch_utilities_spark.operators.meta_blocking import (
             qgram_block_pairs,

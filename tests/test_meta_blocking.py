@@ -569,3 +569,75 @@ def test_rare_canopy_parity(spark, tmp_path):
         ).fetchall()
     )
     assert got == want
+
+
+def test_canopy_pass_kind(spark):
+    """kind='canopy' runs inside run_match: canopy pairs are scored, and
+    first-pass-wins dedup keeps pass-0 ownership of shared pairs."""
+    from bigmatch_utilities_spark.config import (
+        BlockField,
+        BlockingPassSpec,
+        CutoffSpec,
+        FieldRef,
+        MatchConfig,
+        MatchField,
+    )
+    from bigmatch_utilities_spark.operators.pipeline import run_match
+
+    rows = [
+        # same zip -> pass 0 catches (1,2); the shared rarest token links
+        # (1,3)/(2,3) only through the canopy pass (different zips);
+        # zelda/corp tie at df=3 -> lexicographic canopy 'corp'
+        (1, "11111", "zelda corp"),
+        (2, "11111", "zelda corp"),
+        (3, "99999", "zelda corp"),
+        (4, "88888", "common common"),
+    ]
+    df = spark.createDataFrame(rows, "id long, zip string, name string")
+    fields = (MatchField(name="name", comparator="e", m=0.9, u=0.1),)
+    cut = CutoffSpec(hi=2.0, lo=-50.0)
+    cfg = MatchConfig(
+        passes=(
+            BlockingPassSpec(
+                block_fields=(BlockField(name="zip"),),
+                match_fields=fields,
+                cutoff=cut,
+                print_cutoff=cut,
+            ),
+            BlockingPassSpec(
+                block_fields=(),
+                match_fields=fields,
+                cutoff=cut,
+                print_cutoff=cut,
+                kind="canopy",
+                canopy_field="name",
+                canopy_purge_above=3,
+            ),
+        ),
+        id_field=FieldRef(name="id"),
+        dedupe_single_file=True,
+    )
+    res = run_match(df, None, cfg, id_col="id", persist=False)
+    got = {
+        (r["id_rec"], r["id_mem"]): r["pass_id"] for r in res.pairs.collect()
+    }
+    assert got[(1, 2)] == 0       # equi pass owns the same-zip pair
+    assert got[(1, 3)] == 1       # canopy (zelda) reaches across zips
+    assert got[(2, 3)] == 1
+    assert (1, 4) not in got      # no shared canopy, no shared zip
+
+
+def test_canopy_pass_requires_field():
+    from bigmatch_utilities_spark.config import (
+        BlockingPassSpec,
+        MatchField,
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="canopy_field"):
+        BlockingPassSpec(
+            block_fields=(),
+            match_fields=(MatchField(name="x", comparator="c", m=0.9, u=0.1),),
+            kind="canopy",
+        )
