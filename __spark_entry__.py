@@ -2953,6 +2953,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cp_canopy_pass_mix"] = cp
 
+    # ---- ZP: corpus token Zipf head ----------------------------------------
+    def zp(spark, sf):
+        from bigmatch_utilities_spark.operators.textanalysis import token_zipf
+
+        return token_zipf(_t(spark, sf, "documents"), "text", top=40)
+
+    q["zp_token_zipf"] = zp
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -2972,6 +2980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_rare_canopy",
         "mw_missing_rescale",
         "cp_canopy_pass_mix",
+        "zp_token_zipf",
         # new in round 5 (fifth session) — corpus-curation + WNP additions;
         # these four displace j1..j4 (driver-green in r4) from the window
         "ls_cluster_split",
@@ -3879,6 +3888,11 @@ def oracle_sql() -> dict[str, str]:
     o["bs_block_skew"] = block_skew_report_sql(
         _DOCS_KEYED_SQL, _bs_spec, top=10, max_block_rows=50
     )
+
+    # zp: token Zipf head — identical tokenizer/tie-break/rounding
+    from bigmatch_utilities_spark.operators.textanalysis import token_zipf_sql
+
+    o["zp_token_zipf"] = token_zipf_sql("documents", "text", top=40)
 
     # mw: missing-field rescale — identical planted blanks, same term
     # order, one final double multiply/divide on both engines

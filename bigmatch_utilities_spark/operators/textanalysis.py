@@ -130,3 +130,74 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(c).alias("quality"),
         fingerprint(c).alias("fp"),
     )
+
+
+def token_zipf(df: DataFrame, text_col: str = "text", *, top: int = 50) -> DataFrame:
+    """Corpus vocabulary profile: the `top` most frequent tokens with
+    occurrence count, corpus share, and cumulative share — the Zipf head
+    a data-mixing/QA review reads to spot template contamination (a
+    boilerplate token owning 5% of the corpus is the smoking gun the
+    per-document repetition profile can't see).
+
+    Tokenization matches :func:`token_count` (lowercase, alnum+apostrophe
+    runs), so the shares are consistent with the per-document profiles.
+
+    Output (rank 1..top by count desc, token asc):
+        (rank, token, cnt, share, cum_share)   -- shares rounded to 6dp
+
+    Scale: one explode + map-side-combined groupBy over tokens, a 1-row
+    total broadcast, TakeOrderedAndProject for the head, and rank/cum
+    windows over the ≤ `top` collected rows only — never a global sort.
+    """
+    toks = df.select(
+        F.explode_outer(_tokens(F.col(text_col))).alias("token")
+    ).filter(F.col("token").isNotNull())
+    counts = toks.groupBy("token").agg(F.count("*").cast("long").alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("long").alias("_tot"))
+    head = counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(top)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        head.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).alias("rank"),
+            "token",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("_tot"), 6).alias("share"),
+            F.round(
+                F.sum("cnt").over(wc).cast("double") / F.col("_tot"), 6
+            ).alias("cum_share"),
+        )
+    )
+
+
+def token_zipf_sql(table: str, text_expr: str = "text", *, top: int = 50) -> str:
+    """DuckDB twin of :func:`token_zipf` — identical tokenizer, tie-break,
+    and share rounding."""
+    toks = (
+        f"list_filter(string_split_regex(lower(trim({text_expr})), "
+        f"'[^a-zA-Z0-9'']+'), x -> x <> '')"
+    )
+    return f"""
+        WITH tz_tok AS (
+            SELECT tzu.token
+            FROM {table}, UNNEST({toks}) AS tzu(token)
+            WHERE tzu.token IS NOT NULL AND tzu.token <> ''
+        ),
+        tz_cnt AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS cnt
+            FROM tz_tok GROUP BY token
+        ),
+        tz_tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS _tot FROM tz_cnt),
+        tz_head AS (
+            SELECT * FROM tz_cnt ORDER BY cnt DESC, token LIMIT {top}
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS INT) AS rank,
+               token, cnt,
+               round(cnt::DOUBLE / _tot, 6) AS share,
+               round(SUM(cnt) OVER (ORDER BY cnt DESC, token
+                     ROWS UNBOUNDED PRECEDING)::DOUBLE / _tot, 6) AS cum_share
+        FROM tz_head CROSS JOIN tz_tot
+    """

@@ -92,3 +92,52 @@ def test_analyze_documents_schema(spark):
         "doc_id", "text", "n_tokens", "lang_detected", "quality", "fp",
     }
     assert out.count() == len(DOCS)
+
+
+def test_token_zipf(spark):
+    import pytest
+
+    from bigmatch_utilities_spark.operators.textanalysis import token_zipf
+
+    df = spark.createDataFrame(
+        [(1, "the cat the dog"), (2, "the cat"), (3, "bird")],
+        "id long, text string",
+    )
+    rows = token_zipf(df, "text", top=3).collect()
+    # counts: the=3, cat=2, dog=1, bird=1 (total 7); top-3 tie-break asc
+    assert [(r["rank"], r["token"], r["cnt"]) for r in rows] == [
+        (1, "the", 3),
+        (2, "cat", 2),
+        (3, "bird", 1),
+    ]
+    assert rows[0]["share"] == pytest.approx(3 / 7, abs=1e-6)
+    assert rows[2]["cum_share"] == pytest.approx(6 / 7, abs=1e-6)
+
+
+def test_token_zipf_parity(spark, tmp_path):
+    import random as _random
+
+    import duckdb as _duckdb
+
+    from bigmatch_utilities_spark.operators.textanalysis import (
+        token_zipf,
+        token_zipf_sql,
+    )
+
+    rng = _random.Random(80805)
+    vocab = ["alpha", "beta", "gamma", "the", "of", "x1", "don't"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 8))))
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    pq = str(tmp_path / "z.parquet")
+    df.write.mode("overwrite").parquet(pq)
+    got = [tuple(r) for r in token_zipf(df, "text", top=5).collect()]
+    con = _duckdb.connect()
+    con.execute(f"CREATE VIEW tbl AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+    want = [
+        tuple(r)
+        for r in con.execute(token_zipf_sql("tbl", "text", top=5)).fetchall()
+    ]
+    assert got == want
