@@ -17,6 +17,11 @@ stages, so the expensive LSH/join work only sees survivors:
 
   1. profile   quality score + repetition dup_frac (map-only projections)
   2. filter    drop rows under --min-quality or over --max-dup-frac
+  2b. spandup  (with --max-span-dup-frac) CROSS-document duplicated-span
+               profile (operators/substring_dedup, the ExactSubstr-style
+               positional-winnowing detector); drop rows whose verbatim
+               cross-doc duplicated fraction exceeds the bound — catches
+               the boilerplate-heavy documents whole-doc MinHash keeps
   3. dedup     MinHash-LSH -> shingle-Jaccard -> connected components;
                per near-dup cluster keep the --keep-by representative
                (quality = best copy survives; min-id = deterministic
@@ -70,6 +75,15 @@ def main() -> None:
     p.add_argument("--min-quality", type=float, default=0.0)
     p.add_argument("--max-dup-frac", type=float, default=1.0)
     p.add_argument("--rep-ngram", type=int, default=2)
+    p.add_argument(
+        "--max-span-dup-frac",
+        type=float,
+        default=None,
+        help="drop rows whose CROSS-document duplicated-span fraction "
+        "(ExactSubstr-style positional winnowing) exceeds this bound",
+    )
+    p.add_argument("--span-k", type=int, default=12)
+    p.add_argument("--span-w", type=int, default=10)
     p.add_argument("--threshold", type=float, default=0.7)
     p.add_argument("--shingle-k", type=int, default=3)
     p.add_argument("--bands", type=int, default=8)
@@ -158,9 +172,32 @@ def main() -> None:
     )
     stats["after_filter"] = profiled.count()
 
+    caches: list = []
+
+    # 2b. optional cross-document duplicated-span filter (ExactSubstr-style
+    # doc-level remediation: a doc that is mostly verbatim spans of OTHER
+    # docs is template noise even when no whole-doc near-dup exists)
+    if args.max_span_dup_frac is not None:
+        from bigmatch_utilities_spark.operators.substring_dedup import (
+            duplicated_span_profile,
+        )
+
+        sd = duplicated_span_profile(
+            profiled, txt, idc, k=args.span_k, w=args.span_w,
+            cache_handle=caches,
+        ).select(idc, F.col("dup_frac").alias("_span_dup"))
+        profiled = (
+            profiled.join(sd, idc, "left")
+            .filter(
+                F.col("_span_dup").isNull()
+                | (F.col("_span_dup") <= args.max_span_dup_frac)
+            )
+            .drop("_span_dup")
+        )
+    stats["after_span_dedup"] = profiled.count()
+
     # 3. near-dedup with survivor election (closure computed ONCE — the
     # same comps frame later drives the leakage-safe split)
-    caches: list = []
     cands = minhash_candidates(
         profiled,
         txt,

@@ -183,3 +183,37 @@ def test_run_curate_scrub_pii_stage(spark, tmp_path, monkeypatch):
     assert stats["pii_ip"] == 1
     assert stats["pii_ssn"] == 1
     assert stats["input"] == 3
+
+
+def test_run_curate_span_dedup_stage(spark, tmp_path, monkeypatch):
+    """--max-span-dup-frac drops the doc that is mostly verbatim spans of
+    OTHER docs, while whole-doc-distinct clean docs survive."""
+    boiler = "this exact legal boilerplate paragraph is repeated verbatim everywhere"
+    rows = [
+        (1, boiler + " plus a lot of unique discussion about parsers and codegen strategies"),
+        (2, boiler),  # almost pure boilerplate -> high span dup_frac
+        (3, "a clean document with entirely original content on join reordering"),
+        (4, "another original document about shuffle partitioning and skew handling"),
+    ]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(inp)
+    out = str(tmp_path / "out")
+    _run(
+        monkeypatch,
+        spark,
+        [
+            "--input", inp, "--output", out,
+            "--max-span-dup-frac", "0.8",
+            "--span-k", "8", "--span-w", "4",
+            "--threshold", "0.9", "--bands", "4", "--rows-per-band", "2",
+            "--max-bucket", "0", "--shard-rows", "0",
+        ],
+    )
+    stats = json.load(open(f"{out}/stats.json"))
+    assert stats["input"] == 4
+    assert stats["after_span_dedup"] == 3  # doc 2 dropped
+    kept = {
+        r.doc_id
+        for r in spark.read.parquet(f"{out}/curated").select("doc_id").collect()
+    }
+    assert 2 not in kept and {1, 3, 4} <= kept
