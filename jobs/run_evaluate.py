@@ -19,6 +19,9 @@ parquet under --output and a one-line summary to stats.json:
                  (cutoff_sweep: one pass, every cutoff)
   clusters/      B-cubed + ARI, when --clusters/--labels are given
                  (cluster_metrics)
+  churn/         run-over-run cluster churn (new/merged/stable/split/
+                 grown/reshaped per current cluster), when
+                 --clusters-prev is also given (entity_ids.cluster_churn)
   calibration/   reliability diagram + per-bin Brier, when the pairs
                  carry --posterior-col (posterior_calibration)
 
@@ -73,6 +76,12 @@ def main() -> None:
     )
     p.add_argument(
         "--labels", default=None, help="(id, label) truth entities parquet"
+    )
+    p.add_argument(
+        "--clusters-prev",
+        default=None,
+        help="(id, cluster_id) parquet of the PREVIOUS run: also write the "
+        "run-over-run churn report (new/merged/stable/split/grown/reshaped)",
     )
     p.add_argument(
         "--sweep",
@@ -139,6 +148,23 @@ def main() -> None:
         )
         crow = cm.collect()[0]
         stats["clusters"] = {k: crow[k] for k in crow.asDict()}
+
+    if args.clusters and args.clusters_prev:
+        from bigmatch_utilities_spark.operators.entity_ids import cluster_churn
+
+        churn = cluster_churn(
+            spark.read.parquet(args.clusters).select(
+                F.col("id"), F.col("cluster_id").alias("cluster")
+            ),
+            spark.read.parquet(args.clusters_prev).select(
+                F.col("id"), F.col("cluster_id").alias("entity_id")
+            ),
+        )
+        churn.write.mode("overwrite").parquet(
+            os.path.join(args.output, "churn")
+        )
+        for r in churn.groupBy("category").count().collect():
+            stats[f"churn_{r['category']}"] = r["count"]
 
     if args.posterior_col:
         cal = posterior_calibration(

@@ -208,3 +208,48 @@ def test_run_match_posterior_feeds_run_evaluate(spark, tmp_path, monkeypatch):
     # here is plumbing + a sane operating point, not the bench's F1 gate
     assert float(stats["pairwise"]["f1"]) > 0.5
     assert float(stats["pairwise"]["recall"]) > 0.5
+
+
+def test_run_evaluate_churn_surface(spark, tmp_path, monkeypatch):
+    """--clusters-prev adds the churn/ surface with per-category counts."""
+    pairs = spark.createDataFrame(
+        [(1, 2, 5.0)], "id_rec long, id_mem long, weight double"
+    )
+    truth = spark.createDataFrame([(1, 2)], "id_l long, id_r long")
+    curr = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 30), (4, 40)], "id long, cluster_id long"
+    )
+    prev = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "id long, cluster_id long"
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 4)], "id long, label long"
+    )
+    pp, tp, cp_, vp, lp = (
+        str(tmp_path / x) for x in ("p", "t", "c", "v", "l")
+    )
+    pairs.write.parquet(pp)
+    truth.write.parquet(tp)
+    curr.write.parquet(cp_)
+    prev.write.parquet(vp)
+    labels.write.parquet(lp)
+    out = str(tmp_path / "out")
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    _run(
+        monkeypatch,
+        [
+            "run_evaluate.py",
+            "--pairs", pp, "--truth", tp, "--output", out,
+            "--clusters", cp_, "--labels", lp, "--clusters-prev", vp,
+        ],
+    )
+    stats = json.load(open(f"{out}/stats.json"))
+    # cluster 10 merged prev 10+20; 30 stable; 40 is new
+    assert stats["churn_merged"] == 1
+    assert stats["churn_stable"] == 1
+    assert stats["churn_new"] == 1
+    cats = {
+        r["cluster"]: r["category"]
+        for r in spark.read.parquet(f"{out}/churn").collect()
+    }
+    assert cats == {10: "merged", 30: "stable", 40: "new"}
