@@ -2961,6 +2961,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["zp_token_zipf"] = zp
 
+    # ---- EX: duplicated-span EXCISION (the Lee et al. surgery) -------------
+    def ex(spark, sf):
+        from bigmatch_utilities_spark.operators.substring_dedup import (
+            excise_duplicated_spans,
+        )
+
+        return excise_duplicated_spans(
+            _t(spark, sf, "documents"), "text", "doc_id", k=12, w=10
+        )
+
+    q["ex_excise_spans"] = ex
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -2981,6 +2993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mw_missing_rescale",
         "cp_canopy_pass_mix",
         "zp_token_zipf",
+        "ex_excise_spans",
         # new in round 5 (fifth session) — corpus-curation + WNP additions;
         # these four displace j1..j4 (driver-green in r4) from the window
         "ls_cluster_split",
@@ -3887,6 +3900,16 @@ def oracle_sql() -> dict[str, str]:
     )
     o["bs_block_skew"] = block_skew_report_sql(
         _DOCS_KEYED_SQL, _bs_spec, top=10, max_block_rows=50
+    )
+
+    # ex: duplicated-span excision — identical interval merge, segment
+    # arithmetic, and ordered concat (string_agg ORDER BY pos)
+    from bigmatch_utilities_spark.operators.substring_dedup import (
+        excise_duplicated_spans_sql,
+    )
+
+    o["ex_excise_spans"] = excise_duplicated_spans_sql(
+        "documents", "text", "doc_id", k=12, w=10
     )
 
     # zp: token Zipf head — identical tokenizer/tie-break/rounding

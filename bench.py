@@ -457,6 +457,30 @@ def main() -> None:
 
     counters["calibration_bins"] = timed("calibration", q_calibration)
 
+    # round-5 eighth-session keys: cross-document duplicated-span profile
+    # (positional winnowing), rarest-token canopy assignment + the
+    # canopy-mix pass, and the Monge-Elkan comparator over blocked pairs
+    def q_span_dedup():
+        import __spark_entry__ as entrymod
+
+        return entrymod.queries()["sd_duplicated_spans"](spark, SF_DIR).count()
+
+    counters["span_dedup_docs"] = timed("span_dedup", q_span_dedup)
+
+    def q_canopy_mix():
+        import __spark_entry__ as entrymod
+
+        return entrymod.queries()["cp_canopy_pass_mix"](spark, SF_DIR).count()
+
+    counters["canopy_mix_pairs"] = timed("canopy_mix", q_canopy_mix)
+
+    def q_monge_elkan():
+        import __spark_entry__ as entrymod
+
+        return entrymod.queries()["mc_monge_elkan"](spark, SF_DIR).count()
+
+    counters["monge_elkan_pairs"] = timed("monge_elkan", q_monge_elkan)
+
     # throughput denominator: candidate pairs actually entering the
     # comparator stage (BASELINE's candidate-pairs/sec unit), counted on
     # the same plans after the timed runs so the count jobs don't pollute

@@ -99,3 +99,73 @@ def test_parity_randomized(spark, tmp_path):
         rng.shuffle(parts)
         rows.append((i, _rand_text(rng, rng.randint(0, 30)) + "".join(parts)))
     _parity(spark, rows, tmp_path, "b")
+
+
+# ---------------------------------------------------------------------------
+# excise_duplicated_spans
+# ---------------------------------------------------------------------------
+
+from bigmatch_utilities_spark.operators.substring_dedup import (
+    excise_duplicated_spans,
+    excise_duplicated_spans_sql,
+)
+
+
+def test_excise_removes_planted_span(spark, planted):
+    out = {r["doc_id"]: r for r in excise_duplicated_spans(planted, k=K, w=W).collect()}
+    prof = {r["doc_id"]: r for r in duplicated_span_profile(planted, k=K, w=W).collect()}
+    for d in (1, 2):
+        # the shared 60-char span is gone from both docs
+        assert out[d]["n_cut_spans"] >= 1
+        assert len(out[d]["clean_text"]) < prof[d]["n_chars_norm"]
+        # cut accounting matches the profile's merged-span arithmetic
+        assert out[d]["cut_chars"] == prof[d]["dup_chars"]
+        assert len(out[d]["clean_text"]) == prof[d]["n_chars_norm"] - prof[d]["dup_chars"]
+    # untouched docs pass through normalized and whole
+    assert out[3]["n_cut_spans"] == 0
+    assert len(out[3]["clean_text"]) == prof[3]["n_chars_norm"]
+    assert out[4]["clean_text"] == "tiny"
+
+
+def test_excise_identical_docs_cut_to_empty(spark):
+    text = "the quick brown fox jumps over the lazy dog " * 4
+    df = spark.createDataFrame([(1, text), (2, text)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in excise_duplicated_spans(df, k=K, w=W).collect()}
+    for d in (1, 2):
+        assert out[d]["clean_text"] == ""
+        assert out[d]["cut_chars"] > 0
+
+
+def test_excise_parity(spark, planted, tmp_path):
+    rows = [(r["doc_id"], r["text"]) for r in planted.collect()]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pq = str(tmp_path / "ex.parquet")
+    df.write.mode("overwrite").parquet(pq)
+    got = sorted(tuple(r) for r in excise_duplicated_spans(df, k=K, w=W).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+    )
+    sql = excise_duplicated_spans_sql("documents", "text", "doc_id", k=K, w=W)
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want
+
+
+def test_excise_parity_randomized(spark, tmp_path):
+    rng = random.Random(80806)
+    frags = [_rand_text(rng, rng.randint(12, 40)) for _ in range(6)]
+    rows = []
+    for i in range(30):
+        parts = [rng.choice(frags) for _ in range(rng.randint(0, 4))]
+        rows.append((i, _rand_text(rng, rng.randint(0, 25)) + "".join(parts)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pq = str(tmp_path / "exr.parquet")
+    df.write.mode("overwrite").parquet(pq)
+    got = sorted(tuple(r) for r in excise_duplicated_spans(df, k=K, w=W).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+    )
+    sql = excise_duplicated_spans_sql("documents", "text", "doc_id", k=K, w=W)
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want
