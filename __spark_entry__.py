@@ -2973,6 +2973,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ex_excise_spans"] = ex
 
+    # ---- HL: deterministic HyperLogLog column-cardinality profile ----------
+    def hl(spark, sf):
+        from bigmatch_utilities_spark.operators.sketch import hll_distinct
+
+        d = _t(spark, sf, "documents")
+        c = _t(spark, sf, "customer")
+        return (
+            hll_distinct(d, "text", p=9)
+            .unionByName(hll_distinct(d, "lang", p=9))
+            .unionByName(hll_distinct(c, "c_mktsegment", p=9))
+        )
+
+    q["hl_hll_distinct"] = hl
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -2994,6 +3008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cp_canopy_pass_mix",
         "zp_token_zipf",
         "ex_excise_spans",
+        "hl_hll_distinct",
         # new in round 5 (fifth session) — corpus-curation + WNP additions;
         # these four displace j1..j4 (driver-green in r4) from the window
         "ls_cluster_split",
@@ -3910,6 +3925,21 @@ def oracle_sql() -> dict[str, str]:
 
     o["ex_excise_spans"] = excise_duplicated_spans_sql(
         "documents", "text", "doc_id", k=12, w=10
+    )
+
+    # hl: deterministic HLL — identical md5-prefix hash, registers,
+    # integer Σ2^(R+1-M), one float division per column
+    from bigmatch_utilities_spark.operators.sketch import hll_distinct_sql
+
+    # each twin is a full WITH...SELECT — wrap as derived tables (UNION of
+    # top-level WITHs is not SQL; same note as the bp profile oracle)
+    o["hl_hll_distinct"] = " UNION ALL ".join(
+        f"SELECT * FROM ({sql})"
+        for sql in (
+            hll_distinct_sql("documents", "text", "text", p=9),
+            hll_distinct_sql("documents", "lang", "lang", p=9),
+            hll_distinct_sql("customer", "c_mktsegment", "c_mktsegment", p=9),
+        )
     )
 
     # zp: token Zipf head — identical tokenizer/tie-break/rounding
