@@ -2987,6 +2987,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hl_hll_distinct"] = hl
 
+    # ---- NB: distributed multinomial Naive Bayes language classifier -----
+    def nb(spark, sf):
+        from bigmatch_utilities_spark.operators.classify import nb_confusion
+
+        d = _t(spark, sf, "documents")
+        return nb_confusion(
+            d.filter(F.col("doc_id") % 2 == 0),
+            d.filter(F.col("doc_id") % 2 == 1),
+            text_col="text",
+            label_col="lang",
+            id_col="doc_id",
+        )
+
+    q["nb_lang_confusion"] = nb
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -2998,6 +3013,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r4+r5 rows are read as the union).
     # ------------------------------------------------------------------
     driver_first = [
+        # new in round 5 (ninth session)
+        "nb_lang_confusion",
         # new in round 5 (eighth session)
         "bs_block_skew",
         "sd_duplicated_spans",
@@ -5390,5 +5407,11 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT id_l, id_r FROM ({_SCORED_PAIRS_SQL}) WHERE is_exact",
         n_bins=10,
     )
+
+    # nb: multinomial Naive Bayes — integer micro-nat log-likelihoods,
+    # identical tokenizer/smoothing/tie-break on both engines
+    from bigmatch_utilities_spark.operators.classify import nb_confusion_sql
+
+    o["nb_lang_confusion"] = nb_confusion_sql("documents")
 
     return o
