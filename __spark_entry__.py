@@ -3002,6 +3002,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["nb_lang_confusion"] = nb
 
+    # ---- LM: char-bigram LM perplexity + CCNet head/middle/tail buckets --
+    def lm(spark, sf):
+        from bigmatch_utilities_spark.operators.lm_quality import (
+            lm_quality_buckets,
+        )
+
+        d = _t(spark, sf, "documents")
+        handle: list = []
+        out = lm_quality_buckets(d, cache_handle=handle)
+        return out
+
+    q["lm_ppl_buckets"] = lm
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -3015,6 +3028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver_first = [
         # new in round 5 (ninth session)
         "nb_lang_confusion",
+        "lm_ppl_buckets",
         # new in round 5 (eighth session)
         "bs_block_skew",
         "sd_duplicated_spans",
@@ -5413,5 +5427,13 @@ def oracle_sql() -> dict[str, str]:
     from bigmatch_utilities_spark.operators.classify import nb_confusion_sql
 
     o["nb_lang_confusion"] = nb_confusion_sql("documents")
+
+    # lm: char-bigram LM buckets — integer micro-nat model, integer mean,
+    # rank-formula tertiles (Spark's scalable rank == the plain row_number)
+    from bigmatch_utilities_spark.operators.lm_quality import (
+        lm_quality_buckets_sql,
+    )
+
+    o["lm_ppl_buckets"] = lm_quality_buckets_sql("documents")
 
     return o
