@@ -3015,6 +3015,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lm_ppl_buckets"] = lm
 
+    # ---- CM: Count-Min sketch heavy-hitter estimates ---------------------
+    def cms(spark, sf):
+        from bigmatch_utilities_spark.operators.sketch import countmin_estimates
+
+        return countmin_estimates(
+            _t(spark, sf, "events"), "user_id", d=4, w=64, top=20
+        )
+
+    q["cm_countmin_hh"] = cms
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -3029,6 +3039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 5 (ninth session)
         "nb_lang_confusion",
         "lm_ppl_buckets",
+        "cm_countmin_hh",
         # new in round 5 (eighth session)
         "bs_block_skew",
         "sd_duplicated_spans",
@@ -5435,5 +5446,13 @@ def oracle_sql() -> dict[str, str]:
     )
 
     o["lm_ppl_buckets"] = lm_quality_buckets_sql("documents")
+
+    # cm: Count-Min sketch — identical md5-prefix hashes, counters, and
+    # integer min-estimates on both engines
+    from bigmatch_utilities_spark.operators.sketch import countmin_estimates_sql
+
+    o["cm_countmin_hh"] = countmin_estimates_sql(
+        "events", "user_id", d=4, w=64, top=20
+    )
 
     return o

@@ -153,3 +153,148 @@ def hll_distinct_sql(table: str, col_expr: str, col_name: str, *, p: int = 12) -
                         / {float(1 << (R + 1))!r}), 4) AS est
         FROM hll_a
     """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — deterministic, mergeable,
+# exact cross-engine twin
+# ---------------------------------------------------------------------------
+#
+# The frequency companion to HLL above: d x w counters answer "how often
+# does value v occur" with one-sided error (estimate >= truth, over by at
+# most eps*N with probability 1-delta at w = e/eps, d = ln(1/delta)).
+# At 100 TB the sketch build is ONE map-side-combined groupBy over
+# <= d*w groups (the d-fold row expansion happens map-side and combines
+# to at most d*w rows per task before the shuffle), and per-partition
+# sketches merge by cell-wise SUM — the mergeability that makes it a
+# streaming/accumulator structure.
+#
+# Hash discipline: h_j(v) = first 60 bits of md5(j || ':' || v), cell =
+# h_j mod w — the md5-prefix convention shared with hll_distinct and
+# operators/dedup.py, so the DuckDB twin computes IDENTICAL cells and
+# IDENTICAL counters; estimates match bit-for-bit (pure integers,
+# no float anywhere).
+
+
+def _cms_cell(col, j: int, w: int):
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{j}:"), col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(w)).cast("int")
+
+
+def _cms_cell_sql(expr: str, j: int, w: int) -> str:
+    h = (
+        f"CAST(('0x' || substring(md5('{j}:' || CAST({expr} AS VARCHAR)), 1, 15)) "
+        f"AS BIGINT)"
+    )
+    return f"CAST({h} % {w} AS INT)"
+
+
+def countmin_estimates(
+    df: DataFrame,
+    col: str,
+    *,
+    d: int = 4,
+    w: int = 256,
+    top: int = 20,
+) -> DataFrame:
+    """Heavy-hitter report: (value, n_exact, n_cms, overestimate) for the
+    `top` most frequent non-null values of `col` (ties broken by value
+    ASC), where n_cms = min_j sketch[j][h_j(value)] is the Count-Min
+    estimate. n_cms >= n_exact always (one-sided error); overestimate
+    shows the collision cost at the chosen (d, w).
+
+    The exact counts are computed here to *report* sketch error; the
+    sketch itself never needs them (at 100 TB you'd keep only the d*w
+    counters and query point estimates)."""
+    if d < 1 or w < 2:
+        raise ValueError("need d >= 1, w >= 2")
+    vals = df.filter(F.col(col).isNotNull()).select(F.col(col).alias("_v"))
+    # d-fold map-side expansion -> groupBy combines to <= d*w rows/task
+    cells = vals.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("_j"), _cms_cell(F.col("_v"), j, w).alias("_c")
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("_jc")
+    ).select("_jc._j", "_jc._c")
+    sketch = cells.groupBy("_j", "_c").agg(F.count(F.lit(1)).alias("_n"))
+
+    exact = (
+        vals.groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("_v").asc())
+        .limit(top)
+    )
+    probes = exact.select(
+        "_v",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("_j"), _cms_cell(F.col("_v"), j, w).alias("_c")
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("_jc"),
+    ).select("_v", "n_exact", "_jc._j", "_jc._c")
+    return (
+        probes.join(F.broadcast(sketch), on=["_j", "_c"])
+        .groupBy(F.col("_v").alias("value"), "n_exact")
+        .agg(F.min("_n").alias("n_cms"))
+        .select(
+            "value",
+            "n_exact",
+            "n_cms",
+            (F.col("n_cms") - F.col("n_exact")).alias("overestimate"),
+        )
+    )
+
+
+def countmin_estimates_sql(
+    table: str,
+    col_expr: str,
+    *,
+    d: int = 4,
+    w: int = 256,
+    top: int = 20,
+) -> str:
+    """DuckDB twin of countmin_estimates — identical hashes, counters,
+    top-N tie-break, and integer estimates."""
+    cell_rows = " UNION ALL ".join(
+        f"SELECT {j} AS _j, {_cms_cell_sql('_v', j, w)} AS _c, _v FROM cms_vals"
+        for j in range(d)
+    )
+    return f"""
+WITH cms_vals AS MATERIALIZED (
+  SELECT {col_expr} AS _v FROM {table} WHERE {col_expr} IS NOT NULL
+),
+cms_cells AS ({cell_rows}),
+cms_sketch AS (
+  SELECT _j, _c, count(*) AS _n FROM cms_cells GROUP BY _j, _c
+),
+cms_exact AS (
+  SELECT _v, count(*) AS n_exact FROM cms_vals
+  GROUP BY _v ORDER BY n_exact DESC, _v ASC LIMIT {top}
+),
+cms_probe AS (
+  SELECT e._v, e.n_exact, s._j, s._n
+  FROM cms_exact e, cms_sketch s
+  WHERE s._j < {d}
+    AND s._c = CASE s._j {" ".join(f"WHEN {j} THEN {_cms_cell_sql('e._v', j, w)}" for j in range(d))} END
+)
+SELECT _v AS value, n_exact,
+       CAST(MIN(_n) AS BIGINT) AS n_cms,
+       CAST(MIN(_n) - n_exact AS BIGINT) AS overestimate
+FROM cms_probe GROUP BY _v, n_exact
+"""
