@@ -3025,6 +3025,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cm_countmin_hh"] = cms
 
+    # ---- TG: per-cluster triangle census (chain-vs-clique diagnostic) ----
+    def tg(spark, sf):
+        from bigmatch_utilities_spark.operators.closure import connected_components
+        from bigmatch_utilities_spark.operators.cluster_audit import (
+            cluster_triangles,
+        )
+
+        d = _docs_keyed(spark, sf)
+        a = d.select(F.col("doc_id").alias("src"), "lang", "n_chars")
+        b = d.select(
+            F.col("doc_id").alias("dst"),
+            F.col("lang").alias("lang2"),
+            F.col("n_chars").alias("nc2"),
+        )
+        # chain edges (+1) alone are triangle-free; the skip edges (+2)
+        # close every consecutive chain wedge into a triangle — the query
+        # exercises both extremes of the transitivity range
+        edges = a.join(
+            b,
+            (F.col("lang") == F.col("lang2"))
+            & (
+                (F.col("nc2") == F.col("n_chars") + 1)
+                | (F.col("nc2") == F.col("n_chars") + 2)
+            ),
+        ).select("src", "dst")
+        assigns = connected_components(edges)
+        return cluster_triangles(
+            assigns,
+            edges.select(F.col("src").alias("id_l"), F.col("dst").alias("id_r")),
+        ).select(
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            F.col("n_wedges").cast("long").alias("n_wedges"),
+            "transitivity",
+        )
+
+    q["tg_triangle_audit"] = tg
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -3040,6 +3080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_lang_confusion",
         "lm_ppl_buckets",
         "cm_countmin_hh",
+        "tg_triangle_audit",
         # new in round 5 (eighth session)
         "bs_block_skew",
         "sd_duplicated_spans",
@@ -5454,5 +5495,33 @@ def oracle_sql() -> dict[str, str]:
     o["cm_countmin_hh"] = countmin_estimates_sql(
         "events", "user_id", d=4, w=64, top=20
     )
+
+    # tg: triangle census over the chain(+1) ∪ skip(+2) document graph —
+    # recursive-CTE CC for assignments (the cc/cq discipline), identical
+    # oriented triangle join and integer wedge arithmetic
+    from bigmatch_utilities_spark.operators.cluster_audit import (
+        cluster_triangles_sql,
+    )
+
+    _tg_edges_sql = """
+        SELECT a.doc_id AS id_l, b.doc_id AS id_r
+        FROM documents a JOIN documents b
+          ON a.lang = b.lang
+         AND (b.n_chars = a.n_chars + 1 OR b.n_chars = a.n_chars + 2)
+    """
+    _tg_cc_sql = f"""
+        WITH RECURSIVE e AS ({_tg_edges_sql}),
+        und AS (
+            SELECT id_l AS s, id_r AS d FROM e UNION SELECT id_r, id_l FROM e
+        ), nodes AS (SELECT DISTINCT s AS n FROM und),
+        reach(n, m) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT u.d, r.m FROM reach r JOIN und u ON u.s = r.n
+        )
+        SELECT CAST(n AS BIGINT) AS id, CAST(min(m) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY n
+    """
+    o["tg_triangle_audit"] = cluster_triangles_sql(_tg_cc_sql, _tg_edges_sql)
 
     return o

@@ -569,3 +569,152 @@ SELECT rid AS id, coalesce(cluster_id, rid) AS cluster_id
 FROM rrec LEFT JOIN compF ON compF.id = rrec.rid
 """
     )
+
+
+def cluster_triangles(
+    assignments: DataFrame,
+    pairs: DataFrame,
+    id_l: str = "id_l",
+    id_r: str = "id_r",
+) -> DataFrame:
+    """Per-cluster triangle census: the shape diagnostic `cluster_quality`'s
+    edge-count density cannot see.
+
+    Two clusters with identical density can be a robust quasi-clique or a
+    fragile chain of pairwise-only links — transitive closure welds both.
+    Triangles tell them apart: a chain has zero, a clique has C(n,3).
+    Returns, for every cluster with >= 3 members,
+
+        (cluster_id, n_members, n_edges, n_triangles, n_wedges,
+         transitivity)
+
+    where n_wedges = sum over members of C(deg, 2) (length-2 paths) and
+    transitivity = 3*n_triangles / n_wedges (the global clustering
+    coefficient, 6dp) — near 0 flags chain-shaped clusters for repair
+    (see repair_clusters), near 1 confirms clique-like agreement.
+
+    Scale: edges are canonicalized and cluster-scoped exactly as in
+    cluster_quality; the triangle count is the standard oriented
+    edge-edge-edge join (a<b<c once, no double counting), all shuffles on
+    node/cluster keys; degrees and wedge counts are map-side-combined
+    integer aggregates. Connected clusters with >= 3 members always have
+    >= 1 wedge, so the division is total.
+    """
+    a = assignments.select(F.col("id"), F.col("cluster_id"))
+    sizes = a.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    canon = (
+        pairs.select(
+            F.least(F.col(id_l), F.col(id_r)).alias("_l"),
+            F.greatest(F.col(id_l), F.col(id_r)).alias("_r"),
+        )
+        .filter(F.col("_l") != F.col("_r"))
+        .distinct()
+    )
+    e = (
+        canon
+        .join(a.select(F.col("id").alias("_l"), F.col("cluster_id").alias("_cl")), on="_l")
+        .join(a.select(F.col("id").alias("_r"), F.col("cluster_id").alias("_cr")), on="_r")
+        .filter(F.col("_cl") == F.col("_cr"))
+        .select("_l", "_r", F.col("_cl").alias("_c"))
+    )
+    edge_n = e.groupBy(F.col("_c").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_edges")
+    )
+    deg = (
+        e.select(F.col("_l").alias("_v"), "_c")
+        .unionByName(e.select(F.col("_r").alias("_v"), "_c"))
+        .groupBy("_v", "_c")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    wedges = deg.groupBy(F.col("_c").alias("cluster_id")).agg(
+        F.sum(F.expr("(_d * (_d - 1)) DIV 2")).alias("n_wedges")
+    )
+    # oriented a<b<c: (a,b) joins (b,c) joins (a,c); canonical edges make
+    # each triangle count exactly once
+    e1 = e.select(F.col("_l").alias("_a"), F.col("_r").alias("_b"), "_c")
+    e2 = e.select(F.col("_l").alias("_b"), F.col("_r").alias("_cc"), F.col("_c").alias("_c2"))
+    e3 = e.select(F.col("_l").alias("_a"), F.col("_r").alias("_cc"), F.col("_c").alias("_c3"))
+    tri = (
+        e1.join(e2, on="_b")
+        .filter(F.col("_c") == F.col("_c2"))
+        .join(e3, on=["_a", "_cc"])
+        .filter(F.col("_c") == F.col("_c3"))
+        .groupBy(F.col("_c").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        sizes.filter(F.col("n_members") >= 3)
+        .join(edge_n, on="cluster_id", how="left")
+        .join(wedges, on="cluster_id", how="left")
+        .join(tri, on="cluster_id", how="left")
+        .select(
+            "cluster_id",
+            "n_members",
+            F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.coalesce("n_wedges", F.lit(0)).alias("n_wedges"),
+            F.round(
+                F.lit(3.0) * F.coalesce("n_triangles", F.lit(0))
+                / F.coalesce("n_wedges", F.lit(1)),
+                6,
+            ).alias("transitivity"),
+        )
+    )
+
+
+def cluster_triangles_sql(
+    assignments_sql: str,
+    pairs_sql: str,
+    id_l: str = "id_l",
+    id_r: str = "id_r",
+) -> str:
+    """DuckDB twin of cluster_triangles — identical canonicalization,
+    oriented triangle join, and integer wedge arithmetic."""
+    return f"""
+WITH tg_a AS MATERIALIZED (SELECT id, cluster_id FROM ({assignments_sql})),
+tg_canon AS (
+  SELECT DISTINCT least({id_l}, {id_r}) AS _l, greatest({id_l}, {id_r}) AS _r
+  FROM ({pairs_sql}) WHERE {id_l} <> {id_r}
+),
+tg_e AS MATERIALIZED (
+  SELECT c._l, c._r, al.cluster_id AS _c
+  FROM tg_canon c
+  JOIN tg_a al ON al.id = c._l
+  JOIN tg_a ar ON ar.id = c._r
+  WHERE al.cluster_id = ar.cluster_id
+),
+tg_sizes AS (
+  SELECT cluster_id, count(*) AS n_members FROM tg_a GROUP BY cluster_id
+),
+tg_edges AS (
+  SELECT _c AS cluster_id, count(*) AS n_edges FROM tg_e GROUP BY _c
+),
+tg_deg AS (
+  SELECT _v, _c, count(*) AS _d FROM (
+    SELECT _l AS _v, _c FROM tg_e UNION ALL SELECT _r, _c FROM tg_e
+  ) GROUP BY _v, _c
+),
+tg_wedges AS (
+  SELECT _c AS cluster_id, SUM((_d * (_d - 1)) // 2) AS n_wedges
+  FROM tg_deg GROUP BY _c
+),
+tg_tri AS (
+  SELECT e1._c AS cluster_id, count(*) AS n_triangles
+  FROM tg_e e1
+  JOIN tg_e e2 ON e2._l = e1._r AND e2._c = e1._c
+  JOIN tg_e e3 ON e3._l = e1._l AND e3._r = e2._r AND e3._c = e1._c
+  GROUP BY e1._c
+)
+SELECT s.cluster_id,
+       CAST(s.n_members AS BIGINT) AS n_members,
+       CAST(COALESCE(e.n_edges, 0) AS BIGINT) AS n_edges,
+       CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(COALESCE(w.n_wedges, 0) AS BIGINT) AS n_wedges,
+       round(3.0 * COALESCE(t.n_triangles, 0)
+             / COALESCE(w.n_wedges, 1), 6) AS transitivity
+FROM tg_sizes s
+LEFT JOIN tg_edges e USING (cluster_id)
+LEFT JOIN tg_wedges w USING (cluster_id)
+LEFT JOIN tg_tri t USING (cluster_id)
+WHERE s.n_members >= 3
+"""
