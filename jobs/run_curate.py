@@ -84,6 +84,13 @@ def main() -> None:
     )
     p.add_argument("--span-k", type=int, default=12)
     p.add_argument("--span-w", type=int, default=10)
+    p.add_argument(
+        "--ppl-keep",
+        default=None,
+        help="comma list of LM-perplexity buckets to keep (head,middle,"
+        "tail); e.g. --ppl-keep head,middle drops the worst tertile "
+        "(CCNet). Unscoreable (<2-char) docs always pass.",
+    )
     p.add_argument("--threshold", type=float, default=0.7)
     p.add_argument("--shingle-k", type=int, default=3)
     p.add_argument("--bands", type=int, default=8)
@@ -195,6 +202,29 @@ def main() -> None:
             .drop("_span_dup")
         )
     stats["after_span_dedup"] = profiled.count()
+
+    # 2c. optional LM-perplexity bucket filter (CCNet discipline: rank by
+    # corpus-trained char-bigram NLL, keep the named tertiles)
+    if args.ppl_keep:
+        from bigmatch_utilities_spark.operators.lm_quality import (
+            lm_quality_buckets,
+        )
+
+        keep = {b.strip() for b in args.ppl_keep.split(",") if b.strip()}
+        bad = keep - {"head", "middle", "tail"}
+        if bad:
+            raise SystemExit(f"--ppl-keep: unknown bucket(s) {sorted(bad)}")
+        lb = lm_quality_buckets(
+            profiled, text_col=txt, id_col=idc, cache_handle=caches
+        ).select(F.col("doc_id").alias(idc), "bucket")
+        profiled = (
+            profiled.join(lb, idc, "left")
+            # docs too short to score (no bigrams) pass through: the LM
+            # has no evidence against them; length policy is --min-quality's
+            .filter(F.col("bucket").isNull() | F.col("bucket").isin(*keep))
+            .drop("bucket")
+        )
+        stats["after_ppl_filter"] = profiled.count()
 
     # 3. near-dedup with survivor election (closure computed ONCE — the
     # same comps frame later drives the leakage-safe split)

@@ -22,6 +22,10 @@ parquet under --output and a one-line summary to stats.json:
   churn/         run-over-run cluster churn (new/merged/stable/split/
                  grown/reshaped per current cluster), when
                  --clusters-prev is also given (entity_ids.cluster_churn)
+  triangles/     per-cluster triangle census with --triangles and
+                 --clusters: transitivity near 0 flags chain-shaped
+                 clusters for repair (cluster_audit.cluster_triangles);
+                 stats.json counts them as triangles_chain_shaped
   calibration/   reliability diagram + per-bin Brier, when the pairs
                  carry --posterior-col (posterior_calibration)
 
@@ -82,6 +86,12 @@ def main() -> None:
         default=None,
         help="(id, cluster_id) parquet of the PREVIOUS run: also write the "
         "run-over-run churn report (new/merged/stable/split/grown/reshaped)",
+    )
+    p.add_argument(
+        "--triangles",
+        action="store_true",
+        help="with --clusters: write the per-cluster triangle census over "
+        "the accepted pairs (chain-vs-clique shape diagnostic)",
     )
     p.add_argument(
         "--sweep",
@@ -165,6 +175,20 @@ def main() -> None:
         )
         for r in churn.groupBy("category").count().collect():
             stats[f"churn_{r['category']}"] = r["count"]
+
+    if args.triangles and args.clusters:
+        from bigmatch_utilities_spark.operators.cluster_audit import (
+            cluster_triangles,
+        )
+
+        tri = cluster_triangles(spark.read.parquet(args.clusters), pred)
+        tri.write.mode("overwrite").parquet(
+            os.path.join(args.output, "triangles")
+        )
+        stats["triangles_clusters"] = tri.count()
+        stats["triangles_chain_shaped"] = tri.filter(
+            F.col("n_triangles") == 0
+        ).count()
 
     if args.posterior_col:
         cal = posterior_calibration(

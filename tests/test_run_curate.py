@@ -217,3 +217,52 @@ def test_run_curate_span_dedup_stage(spark, tmp_path, monkeypatch):
         for r in spark.read.parquet(f"{out}/curated").select("doc_id").collect()
     }
     assert 2 not in kept and {1, 3, 4} <= kept
+
+
+def test_run_curate_ppl_stage(spark, tmp_path, monkeypatch):
+    """--ppl-keep head,middle drops the worst-perplexity tertile (the
+    transition-breaking noise docs) and records after_ppl_filter."""
+    rows = []
+    for i in range(8):
+        rows.append(
+            (i, "the quick brown fox jumps over the lazy dog near the river bank")
+        )
+    for i in range(4):
+        rows.append((100 + i, f"zq{i}xj qzxw jqzv wxqz kqjz vqxzw zzqq xqzw"))
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(inp)
+    out = str(tmp_path / "out")
+    _run(
+        monkeypatch,
+        spark,
+        [
+            "--input", inp, "--output", out,
+            "--ppl-keep", "head,middle",
+            "--threshold", "0.9", "--bands", "4", "--rows-per-band", "2",
+            "--max-bucket", "0", "--shard-rows", "0",
+        ],
+    )
+    stats = json.load(open(f"{out}/stats.json"))
+    assert stats["input"] == 12
+    assert stats["after_ppl_filter"] == 8  # the 12-doc tail tertile = noise
+    kept = {
+        r.doc_id
+        for r in spark.read.parquet(f"{out}/curated").select("doc_id").collect()
+    }
+    assert all(k < 100 for k in kept)
+
+
+def test_run_curate_ppl_keep_validates(spark, tmp_path, monkeypatch):
+    import pytest
+
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "some text here")], "doc_id long, text string"
+    ).write.parquet(inp)
+    with pytest.raises(SystemExit):
+        _run(
+            monkeypatch,
+            spark,
+            ["--input", inp, "--output", str(tmp_path / "o"),
+             "--ppl-keep", "head,bogus"],
+        )

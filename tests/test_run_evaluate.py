@@ -253,3 +253,53 @@ def test_run_evaluate_churn_surface(spark, tmp_path, monkeypatch):
         for r in spark.read.parquet(f"{out}/churn").collect()
     }
     assert cats == {10: "merged", 30: "stable", 40: "new"}
+
+
+def test_run_evaluate_triangles_surface(spark, tmp_path, monkeypatch):
+    """--triangles writes the per-cluster census and counts chain-shaped
+    clusters in stats.json."""
+    # cluster 10 = K3 (closed), cluster 11 = path of 3 (chain)
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, 5.0), (2, 3, 5.0), (1, 3, 5.0),
+            (4, 5, 5.0), (5, 6, 5.0),
+        ],
+        "id_rec long, id_mem long, weight double",
+    )
+    truth = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_l long, id_r long"
+    )
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 11), (5, 11), (6, 11)],
+        "id long, cluster_id long",
+    )
+    labels = spark.createDataFrame(
+        [(i, "A" if i <= 3 else "B") for i in range(1, 7)],
+        "id long, label string",
+    )
+    pin, tin, cin, lin = (
+        str(tmp_path / n) for n in ("pairs", "truth", "clusters", "labels")
+    )
+    pairs.write.parquet(pin)
+    truth.write.parquet(tin)
+    clusters.write.parquet(cin)
+    labels.write.parquet(lin)
+    out = str(tmp_path / "eval")
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    _run(
+        monkeypatch,
+        [
+            "run_evaluate.py",
+            "--pairs", pin, "--truth", tin, "--output", out,
+            "--clusters", cin, "--labels", lin, "--triangles",
+        ],
+    )
+    stats = json.load(open(f"{out}/stats.json"))
+    assert stats["triangles_clusters"] == 2
+    assert stats["triangles_chain_shaped"] == 1
+    tri = {
+        r.cluster_id: (r.n_triangles, r.transitivity)
+        for r in spark.read.parquet(f"{out}/triangles").collect()
+    }
+    assert tri[10] == (1, 1.0)
+    assert tri[11] == (0, 0.0)
