@@ -3065,6 +3065,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tg_triangle_audit"] = tg
 
+    # ---- PF: single-pass per-column table profile ------------------------
+    def pf(spark, sf):
+        from bigmatch_utilities_spark.operators.profile import profile_table
+
+        return profile_table(
+            _t(spark, sf, "documents"), ["lang", "source", "n_chars", "doc_id"]
+        )
+
+    q["pf_table_profile"] = pf
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -3081,6 +3091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_ppl_buckets",
         "cm_countmin_hh",
         "tg_triangle_audit",
+        "pf_table_profile",
         # new in round 5 (eighth session)
         "bs_block_skew",
         "sd_duplicated_spans",
@@ -5523,5 +5534,13 @@ def oracle_sql() -> dict[str, str]:
         FROM reach GROUP BY n
     """
     o["tg_triangle_audit"] = cluster_triangles_sql(_tg_cc_sql, _tg_edges_sql)
+
+    # pf: table profile — identical string images for string/int columns,
+    # identical top-value tie-break (floats documented unsupported)
+    from bigmatch_utilities_spark.operators.profile import profile_table_sql
+
+    o["pf_table_profile"] = profile_table_sql(
+        "documents", ["lang", "source", "n_chars", "doc_id"]
+    )
 
     return o
