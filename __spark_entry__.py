@@ -3075,6 +3075,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pf_table_profile"] = pf
 
+    # ---- SM: SemDeDup — semantic dedup within coarse-quantizer cells -----
+    def sm(spark, sf):
+        from bigmatch_utilities_spark.operators.similarity import semdedup_keep
+
+        return semdedup_keep(
+            _t(spark, sf, "embeddings"),
+            threshold=0.30,
+            n_cells=8,
+            max_cell=200,
+            shard_rows=64,
+        )
+
+    q["sm_semdedup_keep"] = sm
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -3092,6 +3106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_countmin_hh",
         "tg_triangle_audit",
         "pf_table_profile",
+        "sm_semdedup_keep",
         # new in round 5 (eighth session)
         "bs_block_skew",
         "sd_duplicated_spans",
@@ -5541,6 +5556,15 @@ def oracle_sql() -> dict[str, str]:
 
     o["pf_table_profile"] = profile_table_sql(
         "documents", ["lang", "source", "n_chars", "doc_id"]
+    )
+
+    # sm: SemDeDup — identical pivot sample/argmax/guards/closure; the
+    # shard_rows spread on the Spark side is result-invariant (proven by
+    # the shared _bucket_pairs contract), so the twin omits it
+    from bigmatch_utilities_spark.operators.similarity import semdedup_keep_sql
+
+    o["sm_semdedup_keep"] = semdedup_keep_sql(
+        "embeddings", threshold=0.30, n_cells=8, max_cell=200
     )
 
     return o

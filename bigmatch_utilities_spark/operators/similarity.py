@@ -483,3 +483,146 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, F.round("score", 6).alias("score"), "rank")
     )
+
+
+def semdedup_keep(
+    vectors: DataFrame,
+    *,
+    threshold: float,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell: int | None = None,
+    shard_rows: int | None = None,
+    pivots: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication inside the
+    cells of a coarse quantizer — (vec_id, cell) rows that SURVIVE.
+
+    MinHash/SimHash catch lexical near-dups; embedding-cosine catches
+    *semantic* ones (paraphrases, translations, re-encodings). All-pairs
+    cosine is quadratic, so SemDeDup clusters first and compares only
+    within cells: assign every vector to its nearest pivot
+    (`_nearest_cell`, map-side argmax over the broadcast pivot table),
+    generate within-cell candidate pairs (the dedup._bucket_pairs guard
+    set: singleton drop, `max_cell` cap, `shard_rows` hot-cell sharding),
+    keep edges with 6dp-rounded cosine >= threshold, close them
+    transitively, and elect the min-id representative per duplicate
+    group. Cross-cell duplicates are missed BY DESIGN — the same recall
+    trade the paper makes; raise n_cells for smaller cells (faster, more
+    misses) or lower it for higher recall.
+
+    Default pivots are the deterministic hash-sample (`ivf_pivots`, exact
+    cross-engine twin); production can pass Lloyd-refined pivots
+    (`ivf_refined_pivots`) for better cell balance at the cost of oracle
+    determinism.
+
+    Scale: one broadcast-pivot map pass, one within-cell equi-join with
+    output-side guards, closure on the (small) duplicate-edge graph.
+    """
+    from .closure import connected_components
+    from .dedup import _bucket_pairs
+
+    if pivots is None:
+        pivots = ivf_pivots(vectors, n_cells, id_col, vec_col)
+    cells = _nearest_cell(vectors, pivots, id_col, vec_col)
+    b = cells.select(
+        F.col(id_col).alias("id"), F.lit(0).alias("band"), F.col("cell").alias("band_key")
+    )
+    cand = _bucket_pairs(b, max_bucket=max_cell, shard_rows=shard_rows)
+    v = vectors.select(F.col(id_col), F.col(vec_col))
+    edges = (
+        cand.join(v.select(F.col(id_col).alias("id_l"), F.col(vec_col).alias("_vl")), "id_l")
+        .join(v.select(F.col(id_col).alias("id_r"), F.col(vec_col).alias("_vr")), "id_r")
+        .filter(F.round(cosine(F.col("_vl"), F.col("_vr")), 6) >= threshold)
+        .select(F.col("id_l").alias("src"), F.col("id_r").alias("dst"))
+    )
+    assigns = connected_components(edges)
+    drops = assigns.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return cells.join(drops, on=id_col, how="left_anti").select(
+        F.col(id_col), F.col("cell")
+    )
+
+
+def semdedup_keep_sql(
+    table: str,
+    *,
+    threshold: float,
+    n_cells: int = 16,
+    id_expr: str = "vec_id",
+    vec_expr: str = "embedding",
+    max_cell: int | None = None,
+) -> str:
+    """DuckDB twin of semdedup_keep (hash-sampled pivots): identical
+    pivot sample, cell argmax, candidate guards, cosine rounding,
+    closure, and min-id election."""
+    cos = (
+        "CASE WHEN list_dot_product(a.e, a.e) > 0"
+        "      AND list_dot_product(b.e, b.e) > 0 "
+        "THEN round(list_dot_product(a.e, b.e) / "
+        "     (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) "
+        "ELSE 0.0 END"
+    )
+    pivcos = (
+        "CASE WHEN list_dot_product(v.e, v.e) > 0"
+        "      AND list_dot_product(p.pivot_vec, p.pivot_vec) > 0 "
+        "THEN round(list_dot_product(v.e, p.pivot_vec) / "
+        "     (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(p.pivot_vec, p.pivot_vec))), 6) "
+        "ELSE 0.0 END"
+    )
+    cap = f"AND cnt <= {max_cell}" if max_cell else ""
+    return f"""
+WITH RECURSIVE sm_v AS MATERIALIZED (
+  SELECT {id_expr} AS vec_id, CAST({vec_expr} AS DOUBLE[]) AS e FROM {table}
+),
+sm_piv AS (
+  SELECT vec_id AS pivot_id, e AS pivot_vec
+  FROM sm_v
+  ORDER BY CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 12)) AS BIGINT),
+           vec_id
+  LIMIT {n_cells}
+),
+sm_cells AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, p.pivot_id AS cell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY ({pivcos}) DESC, p.pivot_id) AS rnk
+    FROM sm_v v CROSS JOIN sm_piv p
+  ) WHERE rnk = 1
+),
+sm_sizes AS (
+  SELECT cell, count(*) AS cnt FROM sm_cells GROUP BY cell
+),
+sm_cand AS (
+  SELECT l.vec_id AS id_l, r.vec_id AS id_r
+  FROM sm_cells l
+  JOIN sm_cells r ON l.cell = r.cell AND l.vec_id < r.vec_id
+  JOIN sm_sizes s ON s.cell = l.cell
+  WHERE cnt > 1 {cap}
+),
+sm_edges AS MATERIALIZED (
+  SELECT c.id_l AS s, c.id_r AS d
+  FROM sm_cand c
+  JOIN sm_v a ON a.vec_id = c.id_l
+  JOIN sm_v b ON b.vec_id = c.id_r
+  WHERE ({cos}) >= {threshold}
+),
+sm_und AS (
+  SELECT s, d FROM sm_edges UNION SELECT d, s FROM sm_edges
+),
+sm_nodes AS (SELECT DISTINCT s AS n FROM sm_und),
+sm_reach(n, m) AS (
+  SELECT n, n FROM sm_nodes
+  UNION
+  SELECT u.d, r.m FROM sm_reach r JOIN sm_und u ON u.s = r.n
+),
+sm_cc AS (
+  SELECT n AS id, min(m) AS cluster_id FROM sm_reach GROUP BY n
+),
+sm_drop AS (SELECT id FROM sm_cc WHERE id <> cluster_id)
+SELECT c.vec_id, c.cell
+FROM sm_cells c
+WHERE c.vec_id NOT IN (SELECT id FROM sm_drop)
+"""
