@@ -3,7 +3,7 @@
     spark-submit --py-files bigmatch_utilities_spark.zip jobs/run_dedup.py \
         --input <parquet-or-table> --output <dir> \
         [--text-col text] [--id-col doc_id] \
-        [--method exact|minhash|simhash|winnow] [--threshold 0.7] \
+        [--method exact|minhash|simhash|winnow|semdedup] [--threshold 0.7] \
         [--bands 8] [--rows-per-band 2] [--max-bucket 1000] [--shard-rows 192]
 
 Outputs under --output:
@@ -20,6 +20,10 @@ Outputs under --output:
   clusters/     near-dup connected components over VERIFIED pairs
                 (id, cluster_id) — the "keep one per cluster" table a
                 training-data pipeline feeds its document filter
+  kept/         semdedup method: (id, cell) SEMANTIC-dedup survivors —
+                embedding-cosine duplicates collapsed within
+                coarse-quantizer cells (similarity.semdedup_keep);
+                needs --vec-col, --threshold is the cosine floor
 
 The LSH paths carry the shared bucket guardrails (singleton drop,
 max-bucket cap, adaptive shard salting) so a boilerplate canopy cannot
@@ -44,9 +48,11 @@ def main() -> None:
     p.add_argument("--id-col", default="doc_id")
     p.add_argument(
         "--method",
-        choices=("exact", "minhash", "simhash", "winnow"),
+        choices=("exact", "minhash", "simhash", "winnow", "semdedup"),
         default="minhash",
     )
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--n-cells", type=int, default=16)
     p.add_argument("--threshold", type=float, default=0.7)
     p.add_argument("--shingle-k", type=int, default=3)
     p.add_argument("--kgram-k", type=int, default=12)
@@ -85,6 +91,18 @@ def main() -> None:
         exact_duplicates(df, args.text_col, args.id_col).write.mode(
             "overwrite"
         ).parquet(f"{out}/duplicates")
+    elif args.method == "semdedup":
+        from bigmatch_utilities_spark.operators.similarity import semdedup_keep
+
+        semdedup_keep(
+            df,
+            threshold=args.threshold,
+            n_cells=args.n_cells,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+            max_cell=max_bucket,
+            shard_rows=shard_rows,
+        ).write.mode("overwrite").parquet(f"{out}/kept")
     elif args.method == "winnow":
         # MOSS-style containment dedup: shared winnowed fingerprints are
         # both the candidate generator AND the verifier (containment =

@@ -74,3 +74,30 @@ def test_run_dedup_exact_groups(spark, tmp_path, monkeypatch):
     assert len(dups) >= 1
     row = dups.sort_values("n_dups", ascending=False).iloc[0]
     assert row.n_dups == 2 and row.keep_id == 1
+
+
+def test_run_dedup_semdedup_method(spark, tmp_path, monkeypatch):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),     # semantic dup of 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+    ]
+    inp = str(tmp_path / "emb")
+    spark.createDataFrame(
+        rows, "doc_id long, embedding array<float>"
+    ).write.parquet(inp)
+    out = str(tmp_path / "out")
+    _run(
+        monkeypatch,
+        spark,
+        [
+            "--input", inp, "--output", out,
+            "--method", "semdedup", "--threshold", "0.99",
+            "--id-col", "doc_id", "--n-cells", "2",
+            "--max-bucket", "0", "--shard-rows", "0",
+        ],
+    )
+    kept = duckdb.sql(f"SELECT * FROM '{out}/kept/*.parquet'").df()
+    assert set(kept.columns) == {"doc_id", "cell"}
+    assert 2 not in set(kept.doc_id) and {1, 3, 4} <= set(kept.doc_id)
