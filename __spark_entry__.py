@@ -3089,6 +3089,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sm_semdedup_keep"] = sm
 
+    # ---- SO: soft TF-IDF hybrid comparator (Cohen et al. 2003) -----------
+    def so(spark, sf):
+        from bigmatch_utilities_spark.operators.tfidf_sim import (
+            soft_tfidf_pairs,
+            tfidf_postings,
+        )
+
+        docs = _t(spark, sf, "documents")
+        d32 = docs.select(
+            "doc_id", F.substring("text", 1, 32).alias("t32")
+        )
+        post = tfidf_postings(d32, "t32", "doc_id")
+        pairs = _blocked_pairs(spark, sf).select("id_l", "id_r")
+        handle: list = []
+        return soft_tfidf_pairs(post, pairs, theta=0.85, cache_handle=handle)
+
+    q["so_soft_tfidf"] = so
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -3107,6 +3125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tg_triangle_audit",
         "pf_table_profile",
         "sm_semdedup_keep",
+        "so_soft_tfidf",
         # new in round 5 (eighth session)
         "bs_block_skew",
         "sd_duplicated_spans",
@@ -5565,6 +5584,22 @@ def oracle_sql() -> dict[str, str]:
 
     o["sm_semdedup_keep"] = semdedup_keep_sql(
         "embeddings", threshold=0.30, n_cells=8, max_cell=200
+    )
+
+    # so: soft TF-IDF — jaro_winkler_similarity quantized to micro-units
+    # (kernel pinned equal in tests/test_comparators.py), integer argmax
+    # + HUGEINT/DECIMAL(38,0) sum, one final division
+    from bigmatch_utilities_spark.operators.tfidf_sim import (
+        soft_tfidf_pairs_sql,
+        tfidf_postings_cte_sql,
+    )
+
+    o["so_soft_tfidf"] = soft_tfidf_pairs_sql(
+        tfidf_postings_cte_sql(
+            "documents", "substring(text, 1, 32)", "doc_id"
+        ).strip().removeprefix("\n"),
+        f"SELECT id_l, id_r FROM ({_BLOCKED_PAIRS_SQL})",
+        theta=0.85,
     )
 
     return o
