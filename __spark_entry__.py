@@ -3107,6 +3107,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["so_soft_tfidf"] = so
 
+    # ---- DR: PSI drift report between two corpus snapshots ---------------
+    def dr(spark, sf):
+        from bigmatch_utilities_spark.operators.drift import psi_report
+
+        d = _t(spark, sf, "documents")
+        base = d
+        # synthetic "this month": half the zh docs gone — a real share shift
+        cur = d.filter(~((F.col("lang") == "zh") & (F.col("doc_id") % 2 == 0)))
+        return psi_report(base, cur, "lang")
+
+    q["dr_psi_drift"] = dr
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -3126,6 +3138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pf_table_profile",
         "sm_semdedup_keep",
         "so_soft_tfidf",
+        "dr_psi_drift",
         # new in round 5 (eighth session)
         "bs_block_skew",
         "sd_duplicated_spans",
@@ -5600,6 +5613,16 @@ def oracle_sql() -> dict[str, str]:
         ).strip().removeprefix("\n"),
         f"SELECT id_l, id_r FROM ({_BLOCKED_PAIRS_SQL})",
         theta=0.85,
+    )
+
+    # dr: PSI drift — identical smoothing, integer micro-nat log factor,
+    # per-value integer rounding (order-independent total)
+    from bigmatch_utilities_spark.operators.drift import psi_report_sql
+
+    o["dr_psi_drift"] = psi_report_sql(
+        "SELECT * FROM documents",
+        "SELECT * FROM documents WHERE NOT (lang = 'zh' AND doc_id % 2 = 0)",
+        "lang",
     )
 
     return o
