@@ -3119,6 +3119,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dr_psi_drift"] = dr
 
+    # ---- WT: streaming event-time windows + watermark (append mode) ------
+    def wt(spark, sf):
+        import tempfile
+
+        from bigmatch_utilities_spark.streaming.windowed import (
+            run_windowed_counts,
+        )
+
+        ev = _t(spark, sf, "events").select("ts", "event_type", "value")
+        base = tempfile.mkdtemp(prefix="wt_win_")
+        inp, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+        ev.write.mode("overwrite").parquet(inp)
+        run_windowed_counts(
+            spark,
+            inp,
+            "ts timestamp, event_type string, value double",
+            out,
+            ckpt,
+            window="1 day",
+            watermark="0 seconds",
+        )
+        # append mode emits exactly the windows the watermark closed; the
+        # oracle mirrors that contract (final partial window excluded)
+        return spark.read.parquet(out)
+
+    q["wt_stream_window_agg"] = wt
+
+    # ---- IO: isotonic (PAV-minimax) calibration of match scores ----------
+    def io(spark, sf):
+        from bigmatch_utilities_spark.operators.evaluate import (
+            isotonic_calibration,
+        )
+
+        s = _scored_pairs(spark, sf)
+        truth = s.filter(F.col("is_exact")).select("id_l", "id_r")
+        return isotonic_calibration(
+            s.select("id_l", "id_r", "weight"),
+            truth,
+            lo=-8.0,
+            hi=8.0,
+            n_bins=8,
+        )
+
+    q["io_isotonic_fit"] = io
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -3139,6 +3184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sm_semdedup_keep",
         "so_soft_tfidf",
         "dr_psi_drift",
+        "wt_stream_window_agg",
+        "io_isotonic_fit",
         # new in round 5 (eighth session)
         "bs_block_skew",
         "sd_duplicated_spans",
@@ -5623,6 +5670,33 @@ def oracle_sql() -> dict[str, str]:
         "SELECT * FROM documents",
         "SELECT * FROM documents WHERE NOT (lang = 'zh' AND doc_id % 2 = 0)",
         "lang",
+    )
+
+    # wt: streaming windowed agg — the twin models append-mode watermark
+    # semantics exactly: tumbling time_bucket windows, identical integer
+    # micro sums, final unclosed window excluded (watermark never passes
+    # its end before the stream drains)
+    from bigmatch_utilities_spark.streaming.windowed import (
+        windowed_event_counts_sql,
+    )
+
+    o["wt_stream_window_agg"] = f"""
+        SELECT * FROM ({windowed_event_counts_sql("events")})
+        WHERE win_start + INTERVAL 1 DAY <= (SELECT max(ts) FROM events)
+    """
+
+    # io: isotonic fit — integer prefix sums, one division per (l,u)
+    # span, order-free min/max (no accumulated floats anywhere)
+    from bigmatch_utilities_spark.operators.evaluate import (
+        isotonic_calibration_sql,
+    )
+
+    o["io_isotonic_fit"] = isotonic_calibration_sql(
+        f"SELECT id_l, id_r, weight FROM ({_SCORED_PAIRS_SQL})",
+        f"SELECT id_l, id_r FROM ({_SCORED_PAIRS_SQL}) WHERE is_exact",
+        lo=-8.0,
+        hi=8.0,
+        n_bins=8,
     )
 
     return o

@@ -870,3 +870,185 @@ def stratified_metrics_sql(
                      6) AS f1
         FROM agg ORDER BY {stratum_col}
     """
+
+
+def isotonic_calibration(
+    pairs: DataFrame,
+    truth: DataFrame,
+    *,
+    weight_col: str = "weight",
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    id_l: str = "id_l",
+    id_r: str = "id_r",
+) -> DataFrame:
+    """Isotonic (monotone) calibration of match scores — the PAV fit over
+    the binned weight histogram, computed IN-PLAN with the minimax
+    identity instead of the sequential pool-adjacent-violators loop:
+
+        iso(i) = max_{l <= i} min_{u >= i} mean(true, bins l..u)
+
+    (Barlow et al. 1972 — identical to PAV's solution.) The reliability
+    diagram (posterior_calibration) shows raw per-bin precision, which
+    need not be monotone in weight; downstream consumers that binary-
+    search a cutoff for a target precision need the MONOTONE version —
+    that is exactly the isotonic fit.
+
+    Returns one row per non-empty bin: (bin, w_lo, w_hi, n, n_true,
+    raw_rate, iso_rate) with iso_rate nondecreasing in bin, 6dp.
+
+    Determinism: per-(l,u) means are single divisions of exact integer
+    prefix sums; min/max over them are order-free comparisons — both
+    engines agree bit-for-bit (no accumulated float sums anywhere).
+
+    Scale: the pair table is touched ONCE (bin + label + groupBy, the
+    same single-pass discipline as cutoff_sweep); everything after is
+    O(n_bins^2) arithmetic on a <= n_bins-row frame — the deliberate
+    single-partition windows and the triangular self-joins cost nothing
+    at any corpus size because their input is the histogram, not data.
+    Weights outside [lo, hi) clamp into the edge bins.
+    """
+    from pyspark.sql import Window
+
+    if n_bins < 1 or not hi > lo:
+        raise ValueError("need n_bins >= 1 and hi > lo")
+    width = (hi - lo) / n_bins
+    # canonicalize with the weight carried (max per unordered pair — the
+    # same rule cluster_quality uses for duplicate orientations)
+    p = pairs.select(
+        F.least(F.col(id_l), F.col(id_r)).alias("_l"),
+        F.greatest(F.col(id_l), F.col(id_r)).alias("_r"),
+        F.col(weight_col).alias("_w"),
+    ).groupBy("_l", "_r").agg(F.max("_w").alias("_w"))
+    tt = truth.select(
+        F.least(F.col(id_l), F.col(id_r)).alias("_l"),
+        F.greatest(F.col(id_l), F.col(id_r)).alias("_r"),
+    ).distinct().withColumn("_y", F.lit(1))
+    binc = F.least(
+        F.greatest(
+            F.floor((F.col("_w") - F.lit(lo)) / F.lit(width)).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    )
+    bins = (
+        p.join(tt, on=["_l", "_r"], how="left")
+        .select(binc.alias("bin"), F.coalesce("_y", F.lit(0)).alias("_y"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_y").alias("n_true"))
+    )
+    # O(n_bins) frame from here on — single-partition windows deliberate
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pref = bins.select(
+        "bin",
+        "n",
+        "n_true",
+        F.sum("n").over(wcum).alias("_N"),
+        F.sum("n_true").over(wcum).alias("_T"),
+    )
+    left = pref.select(
+        F.col("bin").alias("_lb"),
+        (F.col("_N") - F.col("n")).alias("_Nl"),
+        (F.col("_T") - F.col("n_true")).alias("_Tl"),
+    )
+    right = pref.select(
+        F.col("bin").alias("_ub"),
+        F.col("_N").alias("_Nu"),
+        F.col("_T").alias("_Tu"),
+    )
+    spans = (
+        left.join(right, F.col("_lb") <= F.col("_ub"))
+        .select(
+            "_lb",
+            "_ub",
+            (
+                (F.col("_Tu") - F.col("_Tl")).cast("double")
+                / (F.col("_Nu") - F.col("_Nl")).cast("double")
+            ).alias("_mean"),
+        )
+    )
+    idx = bins.select(F.col("bin"))
+    m_li = (
+        idx.join(spans, (F.col("_lb") <= F.col("bin")) & (F.col("_ub") >= F.col("bin")))
+        .groupBy("bin", "_lb")
+        .agg(F.min("_mean").alias("_m"))
+    )
+    iso = m_li.groupBy("bin").agg(F.max("_m").alias("_iso"))
+    return (
+        bins.join(iso, "bin")
+        .select(
+            "bin",
+            F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6).alias("w_lo"),
+            F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(width), 6).alias("w_hi"),
+            "n",
+            "n_true",
+            F.round(F.col("n_true") / F.col("n"), 6).alias("raw_rate"),
+            F.round("_iso", 6).alias("iso_rate"),
+        )
+    )
+
+
+def isotonic_calibration_sql(
+    pairs_sql: str,
+    truth_sql: str,
+    *,
+    weight_col: str = "weight",
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    id_l: str = "id_l",
+    id_r: str = "id_r",
+) -> str:
+    """DuckDB twin of isotonic_calibration — identical binning, prefix
+    sums, minimax spans, and rounding."""
+    if n_bins < 1 or not hi > lo:
+        raise ValueError("need n_bins >= 1 and hi > lo")
+    width = (hi - lo) / n_bins
+    return f"""
+WITH ic_p AS (
+  SELECT least({id_l}, {id_r}) AS _l, greatest({id_l}, {id_r}) AS _r,
+         MAX({weight_col}) AS _w
+  FROM ({pairs_sql}) GROUP BY 1, 2
+),
+ic_t AS (
+  SELECT DISTINCT least({id_l}, {id_r}) AS _l, greatest({id_l}, {id_r}) AS _r
+  FROM ({truth_sql})
+),
+ic_bins AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((p._w - {lo!r}) / {width!r}) AS INT), 0),
+               {n_bins - 1}) AS bin,
+         count(*) AS n,
+         SUM(CASE WHEN t._l IS NOT NULL THEN 1 ELSE 0 END) AS n_true
+  FROM ic_p p LEFT JOIN ic_t t USING (_l, _r)
+  GROUP BY 1
+),
+ic_pref AS (
+  SELECT bin, n, n_true,
+         SUM(n) OVER (ORDER BY bin) AS _N,
+         SUM(n_true) OVER (ORDER BY bin) AS _T
+  FROM ic_bins
+),
+ic_spans AS (
+  SELECT l.bin AS _lb, u.bin AS _ub,
+         CAST(u._T - (l._T - l.n_true) AS DOUBLE)
+           / CAST(u._N - (l._N - l.n) AS DOUBLE) AS _mean
+  FROM ic_pref l JOIN ic_pref u ON l.bin <= u.bin
+),
+ic_mli AS (
+  SELECT b.bin, s._lb, MIN(s._mean) AS _m
+  FROM ic_bins b JOIN ic_spans s ON s._lb <= b.bin AND s._ub >= b.bin
+  GROUP BY b.bin, s._lb
+),
+ic_iso AS (
+  SELECT bin, MAX(_m) AS _iso FROM ic_mli GROUP BY bin
+)
+SELECT b.bin,
+       round({lo!r} + b.bin * {width!r}, 6) AS w_lo,
+       round({lo!r} + (b.bin + 1) * {width!r}, 6) AS w_hi,
+       CAST(b.n AS BIGINT) AS n,
+       CAST(b.n_true AS BIGINT) AS n_true,
+       round(CAST(b.n_true AS DOUBLE) / b.n, 6) AS raw_rate,
+       round(i._iso, 6) AS iso_rate
+FROM ic_bins b JOIN ic_iso i USING (bin)
+"""
