@@ -3164,6 +3164,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["io_isotonic_fit"] = io
 
+    # ---- LC: corpus license census (code-corpus curation gate) -----------
+    def lc(spark, sf):
+        from bigmatch_utilities_spark.operators.corpus_ops import (
+            license_histogram,
+        )
+
+        d = _t(spark, sf, "documents")
+        # synthetic corpus carries no headers; inject four deterministic
+        # SPDX-ish snippets so every CASE arm of the detector executes
+        m = F.col("doc_id") % 11
+        inj = (
+            F.when(m == 0, F.concat(F.col("text"), F.lit(" Licensed under the Apache License, Version 2.0 ")))
+            .when(m == 1, F.concat(F.col("text"), F.lit(" Permission is hereby granted, free of charge ")))
+            .when(m == 2, F.concat(F.col("text"), F.lit(" GNU General Public License version 3 ")))
+            .when(m == 3, F.concat(F.col("text"), F.lit(" Redistribution and use in source and binary forms ")))
+            .otherwise(F.col("text"))
+        )
+        return license_histogram(d.withColumn("text", inj))
+
+    q["lc_license_census"] = lc
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -3186,6 +3207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dr_psi_drift",
         "wt_stream_window_agg",
         "io_isotonic_fit",
+        "lc_license_census",
         # new in round 5 (eighth session)
         "bs_block_skew",
         "sd_duplicated_spans",
@@ -5698,5 +5720,27 @@ def oracle_sql() -> dict[str, str]:
         hi=8.0,
         n_bins=8,
     )
+
+    # lc: license census — identical injected headers, RE2-safe patterns
+    # (Java regex == RE2 on this subset), same first-match-wins order
+    from bigmatch_utilities_spark.operators.corpus_ops import (
+        license_detect_sql,
+    )
+
+    o["lc_license_census"] = f"""
+        WITH lc_inj AS (
+            SELECT lang,
+                   CASE doc_id % 11
+                     WHEN 0 THEN text || ' Licensed under the Apache License, Version 2.0 '
+                     WHEN 1 THEN text || ' Permission is hereby granted, free of charge '
+                     WHEN 2 THEN text || ' GNU General Public License version 3 '
+                     WHEN 3 THEN text || ' Redistribution and use in source and binary forms '
+                     ELSE text END AS text
+            FROM documents
+        )
+        SELECT {license_detect_sql("text")} AS license, lang,
+               count(*) AS n_docs
+        FROM lc_inj GROUP BY 1, 2
+    """
 
     return o

@@ -326,3 +326,54 @@ def pii_scrub_sql(
         + ", ".join(f"_pii_t{i}" for i in range(n + 1))
         + f"), {prev} AS {out_col} FROM pii{n}"
     )
+
+
+#: SPDX-ish license detection patterns, ordered by specificity — FIRST
+#: match wins. Kept RE2-safe (no lookaround/backrefs) so Spark's Java
+#: regex and DuckDB's RE2 agree — the pii_scrub portability discipline.
+LICENSE_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("Apache-2.0", r"apache license,? version 2\.0|licensed under the apache license"),
+    ("MIT", r"permission is hereby granted, free of charge|mit license"),
+    ("GPL-3.0", r"gnu general public license.{0,60}version 3|gplv3"),
+    ("GPL-2.0", r"gnu general public license.{0,60}version 2|gplv2"),
+    ("BSD-3-Clause", r"redistribution and use in source and binary forms"),
+    ("MPL-2.0", r"mozilla public license.{0,30}2\.0"),
+)
+
+
+def license_detect(c: Column) -> Column:
+    """SPDX-ish license id of a source file's text ('none' when no
+    pattern fires). First match in LICENSE_PATTERNS order wins — the
+    order resolves dual-license headers deterministically. Pure codegen
+    CASE chain over rlike on the lowercased text: map-only, scan-bound
+    at any corpus size.
+
+    A training-data pipeline over source code (the input_hint's repo
+    table) gates on this: permissive-only corpora drop GPL/MPL files.
+    Pattern recall is the usual header-regex tradeoff — licenses
+    referenced by bare URL are missed; swap patterns per policy."""
+    t = F.lower(c)
+    expr = F.lit("none")
+    for name, pat in reversed(LICENSE_PATTERNS):
+        expr = F.when(t.rlike(pat), F.lit(name)).otherwise(expr)
+    return expr
+
+
+def license_detect_sql(expr: str) -> str:
+    """DuckDB twin of license_detect (regexp_matches is RE2; the
+    patterns are written to the common subset)."""
+    cases = " ".join(
+        f"WHEN regexp_matches(lower({expr}), '{pat}') THEN '{name}'"
+        for name, pat in LICENSE_PATTERNS
+    )
+    return f"CASE {cases} ELSE 'none' END"
+
+
+def license_histogram(
+    df: DataFrame, text_col: str = "text", by: str | None = "lang"
+) -> DataFrame:
+    """(license[, by], n_docs) — the corpus license census. One map-only
+    detection pass + one map-side-combined groupBy."""
+    d = df.withColumn("license", license_detect(F.col(text_col)))
+    keys = ["license"] + ([by] if by else [])
+    return d.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_docs"))

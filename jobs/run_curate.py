@@ -85,6 +85,12 @@ def main() -> None:
     p.add_argument("--span-k", type=int, default=12)
     p.add_argument("--span-w", type=int, default=10)
     p.add_argument(
+        "--drop-licenses",
+        default=None,
+        help="comma list of detected license ids to drop (e.g. "
+        "GPL-3.0,GPL-2.0,MPL-2.0); 'none' drops no-license files",
+    )
+    p.add_argument(
         "--ppl-keep",
         default=None,
         help="comma list of LM-perplexity buckets to keep (head,middle,"
@@ -178,6 +184,21 @@ def main() -> None:
         )
     )
     stats["after_filter"] = profiled.count()
+
+    # 2a. optional license gate (code corpora: permissive-only policies
+    # drop copyleft files) — map-only codegen CASE, runs before any shuffle
+    if args.drop_licenses:
+        from bigmatch_utilities_spark.operators.corpus_ops import (
+            license_detect,
+        )
+
+        drop = {s.strip() for s in args.drop_licenses.split(",") if s.strip()}
+        profiled = (
+            profiled.withColumn("_lic", license_detect(F.col(txt)))
+            .filter(~F.col("_lic").isin(*sorted(drop)))
+            .drop("_lic")
+        )
+        stats["after_license_filter"] = profiled.count()
 
     caches: list = []
 

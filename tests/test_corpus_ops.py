@@ -230,3 +230,88 @@ def test_pii_scrub_is_map_only(spark):
     assert "Join" not in plan and "Exchange" not in plan
     for marker in ("ArrowEval", "BatchEvalPython", "PythonUDF"):
         assert marker not in plan
+
+
+def test_license_detect_patterns(spark):
+    from bigmatch_utilities_spark.operators.corpus_ops import (
+        license_detect,
+        license_histogram,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "header: Licensed under the Apache License, Version 2.0 rest"),
+        (2, "Permission is hereby granted, free of charge, to any person"),
+        (3, "covered by the GNU General Public License as published, Version 3"),
+        (4, "this file is under the GNU General Public License version 2 only"),
+        (5, "Redistribution and use in source and binary forms, with or without"),
+        (6, "subject to the Mozilla Public License, v. 2.0 terms"),
+        (7, "no license text at all here"),
+        # dual mention: Apache listed first in LICENSE_PATTERNS -> wins
+        (8, "MIT license text but also licensed under the Apache License"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.license
+        for r in df.select(
+            "doc_id", license_detect(F.col("text")).alias("license")
+        ).collect()
+    }
+    assert got == {
+        1: "Apache-2.0",
+        2: "MIT",
+        3: "GPL-3.0",
+        4: "GPL-2.0",
+        5: "BSD-3-Clause",
+        6: "MPL-2.0",
+        7: "none",
+        8: "Apache-2.0",
+    }
+    hist = {
+        r.license: r.n_docs
+        for r in license_histogram(df, by=None).collect()
+    }
+    assert hist["Apache-2.0"] == 2 and hist["none"] == 1
+
+
+def test_license_detect_sql_parity(spark, tmp_path):
+    import duckdb
+
+    from bigmatch_utilities_spark.operators.corpus_ops import (
+        license_detect,
+        license_detect_sql,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, t)
+        for i, t in enumerate(
+            [
+                "Licensed under the Apache License, Version 2.0",
+                "apache license version 2.0 lowercase",
+                "THE MIT LICENSE",
+                "gnu general public license ............ version 3",
+                "redistribution and use in source and binary forms",
+                "mozilla public license 2.0",
+                "nothing to see",
+            ]
+        )
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pq = str(tmp_path / "t.parquet")
+    df.write.mode("overwrite").parquet(pq)
+    got = sorted(
+        (r.doc_id, r.license)
+        for r in df.select(
+            "doc_id", license_detect(F.col("text")).alias("license")
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"SELECT doc_id, {license_detect_sql('text')} AS license FROM t"
+        ).fetchall()
+    )
+    assert got == want

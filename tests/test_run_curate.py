@@ -266,3 +266,32 @@ def test_run_curate_ppl_keep_validates(spark, tmp_path, monkeypatch):
             ["--input", inp, "--output", str(tmp_path / "o"),
              "--ppl-keep", "head,bogus"],
         )
+
+
+def test_run_curate_license_gate(spark, tmp_path, monkeypatch):
+    """--drop-licenses removes copyleft files before any shuffle stage."""
+    rows = [
+        (1, "useful permissive code Licensed under the Apache License, Version 2.0"),
+        (2, "copyleft file under the GNU General Public License ... version 3 terms"),
+        (3, "plain unlicensed code with no header at all present here"),
+    ]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(inp)
+    out = str(tmp_path / "out")
+    _run(
+        monkeypatch,
+        spark,
+        [
+            "--input", inp, "--output", out,
+            "--drop-licenses", "GPL-3.0,GPL-2.0",
+            "--threshold", "0.9", "--bands", "4", "--rows-per-band", "2",
+            "--max-bucket", "0", "--shard-rows", "0",
+        ],
+    )
+    stats = json.load(open(f"{out}/stats.json"))
+    assert stats["after_license_filter"] == 2
+    kept = {
+        r.doc_id
+        for r in spark.read.parquet(f"{out}/curated").select("doc_id").collect()
+    }
+    assert kept == {1, 3}
