@@ -3185,6 +3185,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lc_license_census"] = lc
 
+    # ---- QC: per-group quota cap (domain mixing) -------------------------
+    def qc(spark, sf):
+        from bigmatch_utilities_spark.operators.corpus_ops import quota_cap
+
+        d = _t(spark, sf, "documents")
+        return quota_cap(
+            d.select("doc_id", "source", "n_chars"),
+            "doc_id",
+            "source",
+            7,
+            quality_col="n_chars",
+            salt=4,
+        )
+
+    q["qc_domain_quota"] = qc
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -3196,6 +3212,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r4+r5 rows are read as the union).
     # ------------------------------------------------------------------
     driver_first = [
+        # new in round 5 (tenth session)
+        "qc_domain_quota",
         # new in round 5 (ninth session)
         "nb_lang_confusion",
         "lm_ppl_buckets",
@@ -5742,5 +5760,15 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_docs
         FROM lc_inj GROUP BY 1, 2
     """
+
+    from bigmatch_utilities_spark.operators.corpus_ops import quota_cap_sql
+
+    o["qc_domain_quota"] = quota_cap_sql(
+        "(SELECT doc_id, source, n_chars FROM documents)",
+        "doc_id",
+        "source",
+        7,
+        quality_expr="n_chars",
+    )
 
     return o

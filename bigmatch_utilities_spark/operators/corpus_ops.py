@@ -377,3 +377,88 @@ def license_histogram(
     d = df.withColumn("license", license_detect(F.col(text_col)))
     keys = ["license"] + ([by] if by else [])
     return d.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# 7. per-group quota cap (skew-safe deterministic top-N per domain/source)
+# ---------------------------------------------------------------------------
+
+
+def quota_cap(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    cap: int,
+    *,
+    quality_col: str | None = None,
+    salt: int = 16,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group (domain, source repo, crawl
+    host), the best-first quota sampling every web-corpus mixing recipe
+    applies so one giant domain cannot dominate the training mix.
+
+    Rows are ranked inside each group by (quality DESC NULLS LAST,
+    id ASC) — a deterministic total order when ids are unique — and the
+    first ``cap`` survive, emitted with their 1-based ``quota_rank``.
+    Without ``quality_col`` the order is id ASC alone (oldest/lowest-id
+    wins, still deterministic).
+
+    Scale path: a single ``row_number`` window partitioned by group is
+    one shuffle, but a mega-group (a 10^9-row domain in a web crawl)
+    lands on ONE task — windows do not split under AQE skew handling.
+    So this runs the classic two-phase salted top-N: phase 1 ranks
+    within (group, id % salt) and keeps ``cap`` per salted subgroup —
+    map-reducible, bounding any group's survivors to ``salt * cap``
+    rows — and phase 2 ranks the tiny survivor frame exactly. Phase 1
+    keeps a superset of the true per-group top-``cap`` (every global
+    top-``cap`` row is within the top ``cap`` of its own salt slice),
+    so the result is IDENTICAL to the single-window plan; the oracle
+    twin (``quota_cap_sql``) is that single-window formulation.
+
+    Beyond-reference addition (the reference's pipeline stops at matched
+    pairs, `/root/reference/app/MatchReview.py`); quota capping is the
+    corpus-mixing stage downstream of entity resolution.
+    """
+    from pyspark.sql.window import Window
+
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
+    order = (
+        [F.desc_nulls_last(quality_col)] if quality_col else []
+    ) + [F.asc(id_col)]
+    sliced = Window.partitionBy(
+        F.col(group_col), F.col(id_col).cast("long") % salt
+    ).orderBy(*order)
+    phase1 = df.withColumn("_qr1", F.row_number().over(sliced)).filter(
+        F.col("_qr1") <= cap
+    )
+    exact = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        phase1.withColumn("quota_rank", F.row_number().over(exact))
+        .filter(F.col("quota_rank") <= cap)
+        .drop("_qr1")
+    )
+
+
+def quota_cap_sql(
+    table: str,
+    id_expr: str,
+    group_expr: str,
+    cap: int,
+    *,
+    quality_expr: str | None = None,
+    cols: str = "*",
+) -> str:
+    """DuckDB oracle twin: the plain single-window ROW_NUMBER plan the
+    salted operator is provably equivalent to. Null ordering rendered
+    explicitly (DESC NULLS LAST) — Spark and DuckDB defaults differ."""
+    order = (
+        f"{quality_expr} DESC NULLS LAST, {id_expr} ASC"
+        if quality_expr
+        else f"{id_expr} ASC"
+    )
+    return (
+        f"SELECT * FROM (SELECT {cols}, ROW_NUMBER() OVER "
+        f"(PARTITION BY {group_expr} ORDER BY {order}) AS quota_rank "
+        f"FROM {table}) WHERE quota_rank <= {cap}"
+    )

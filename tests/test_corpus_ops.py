@@ -315,3 +315,75 @@ def test_license_detect_sql_parity(spark, tmp_path):
         ).fetchall()
     )
     assert got == want
+
+
+def test_quota_cap_caps_each_group_best_first(spark):
+    from bigmatch_utilities_spark.operators.corpus_ops import quota_cap
+
+    rows = [
+        # group a: 5 rows, quality = id*10 → top-2 are ids 4, 3
+        *[(i, "a", i * 10) for i in range(5)],
+        # group b: 1 row (below cap)
+        (10, "b", 7),
+        # group c: tie on quality → lower id wins
+        (20, "c", 50),
+        (21, "c", 50),
+        (22, "c", 50),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, q long")
+    got = {
+        (r.source, r.quota_rank): r.doc_id
+        for r in quota_cap(
+            df, "doc_id", "source", 2, quality_col="q", salt=3
+        ).collect()
+    }
+    assert got == {
+        ("a", 1): 4,
+        ("a", 2): 3,
+        ("b", 1): 10,
+        ("c", 1): 20,
+        ("c", 2): 21,
+    }
+
+
+def test_quota_cap_salted_matches_single_window_with_null_quality(spark):
+    """Phase-1 salting must not change the result, including NULL
+    qualities (DESC NULLS LAST ranks them after every non-null)."""
+    from pyspark.sql.window import Window
+
+    from bigmatch_utilities_spark.operators.corpus_ops import quota_cap
+
+    rows = [
+        (i, f"g{i % 4}", None if i % 5 == 0 else (i * 37) % 23)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, q int")
+    for salt in (1, 2, 7):
+        got = sorted(
+            (r.source, r.quota_rank, r.doc_id)
+            for r in quota_cap(
+                df, "doc_id", "source", 3, quality_col="q", salt=salt
+            ).collect()
+        )
+        w = Window.partitionBy("source").orderBy(
+            F.desc_nulls_last("q"), F.asc("doc_id")
+        )
+        want = sorted(
+            (r.source, r.quota_rank, r.doc_id)
+            for r in df.withColumn("quota_rank", F.row_number().over(w))
+            .filter(F.col("quota_rank") <= 3)
+            .collect()
+        )
+        assert got == want, f"salt={salt}"
+
+
+def test_quota_cap_without_quality_keeps_lowest_ids(spark):
+    from bigmatch_utilities_spark.operators.corpus_ops import quota_cap
+
+    df = spark.createDataFrame(
+        [(i, "x") for i in range(10)], "doc_id long, source string"
+    )
+    got = sorted(
+        r.doc_id for r in quota_cap(df, "doc_id", "source", 4).collect()
+    )
+    assert got == [0, 1, 2, 3]
