@@ -3201,6 +3201,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["qc_domain_quota"] = qc
 
+    # ---- IR: DSIR importance-resampling selection ------------------------
+    def ir(spark, sf):
+        from bigmatch_utilities_spark.operators.dsir import dsir_keep
+
+        d = _t(spark, sf, "documents")
+        target = d.filter((F.col("source") == "src0") & (F.col("lang") == "en"))
+        return dsir_keep(
+            target, d, 150, text_col="text", id_col="doc_id", buckets=512
+        )
+
+    q["ir_dsir_select"] = ir
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -3214,6 +3226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver_first = [
         # new in round 5 (tenth session)
         "qc_domain_quota",
+        "ir_dsir_select",
         # new in round 5 (ninth session)
         "nb_lang_confusion",
         "lm_ppl_buckets",
@@ -5762,6 +5775,15 @@ def oracle_sql() -> dict[str, str]:
     """
 
     from bigmatch_utilities_spark.operators.corpus_ops import quota_cap_sql
+
+    from bigmatch_utilities_spark.operators.dsir import dsir_keep_sql
+
+    o["ir_dsir_select"] = dsir_keep_sql(
+        "(SELECT * FROM documents WHERE source = 'src0' AND lang = 'en')",
+        "documents",
+        150,
+        buckets=512,
+    )
 
     o["qc_domain_quota"] = quota_cap_sql(
         "(SELECT doc_id, source, n_chars FROM documents)",
