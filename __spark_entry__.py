@@ -3213,6 +3213,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ir_dsir_select"] = ir
 
+    # ---- PD: gamma-pattern conditional-dependence diagnostic -------------
+    def pd(spark, sf):
+        from bigmatch_utilities_spark.operators.em import pattern_dependence
+
+        return pattern_dependence(_blocked_pairs(spark, sf), _FS_FIELDS)
+
+    q["pd_pattern_dependence"] = pd
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -3227,6 +3235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 5 (tenth session)
         "qc_domain_quota",
         "ir_dsir_select",
+        "pd_pattern_dependence",
         # new in round 5 (ninth session)
         "nb_lang_confusion",
         "lm_ppl_buckets",
@@ -5775,6 +5784,12 @@ def oracle_sql() -> dict[str, str]:
     """
 
     from bigmatch_utilities_spark.operators.corpus_ops import quota_cap_sql
+
+    from bigmatch_utilities_spark.operators.em import pattern_dependence_sql
+
+    o["pd_pattern_dependence"] = pattern_dependence_sql(
+        _BLOCKED_PAIRS_SQL, _FS_FIELDS
+    )
 
     from bigmatch_utilities_spark.operators.dsir import dsir_keep_sql
 

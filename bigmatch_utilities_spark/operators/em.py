@@ -637,3 +637,111 @@ def posterior_from_gammas(
             F.lit(1.0 - float(u[k]))
         )
     return pairs.withColumn(out_col, F.round(w / (w + v), 6))
+
+
+def pattern_dependence(
+    pairs: DataFrame,
+    match_fields: Sequence[MatchField],
+    *,
+    rec_prefix: str = "rec_",
+    mem_prefix: str = "mem_",
+    agree_threshold: float = PARTIAL_FLOOR,
+) -> DataFrame:
+    """Gamma-pattern conditional-dependence diagnostic: observed count of
+    every agreement pattern vs the count expected if the field gammas
+    were INDEPENDENT (the assumption both naive-FS weights and the
+    latent-class EM lean on; Winkler 1993's interaction-model work is
+    the refinement this table tells you whether you need).
+
+    Emits, per observed pattern: the ``g_<field>`` indicators, observed
+    ``n``, ``expected_scaled`` = prod_k(gamma_k ? a_k : N - a_k) — the
+    independence expectation scaled by the EXACT integer N^(K-1), where
+    a_k = pairs agreeing on field k — and ``lift`` = observed/expected
+    (NULL when a marginal is degenerate and the expectation is 0).
+    lift >> 1 on a multi-agree pattern means the fields co-fire far more
+    than independence predicts (shared typo processes, copied records).
+
+    Cross-engine exactness: marginals and expected_scaled are integer
+    arithmetic end-to-end; ``lift`` is a single multiply-then-divide on
+    exactly-representable integers, bit-identical across IEEE engines.
+    At N > ~2^40 with K >= 3 the scaled product would overflow BIGINT —
+    at that scale compute on the histogram (<= 2^K rows) driver-side or
+    switch the product to DOUBLE; the histogram pass itself (the only
+    distributed stage: one map-side-combined groupBy) is unchanged.
+
+    Reference parity: beyond-reference diagnostic over the same gamma
+    machinery the reference's weight model implies
+    (`/root/reference/app/BigMatchParmFile.py` m/u rows assume
+    independence when summing field weights).
+    """
+    hist = pattern_histogram(
+        pairs, match_fields, rec_prefix, mem_prefix, agree_threshold
+    )
+    gcols = [f"g_{mf.name}" for mf in match_fields]
+    marg = hist.agg(
+        F.sum("n").alias("_N"),
+        *[F.sum(F.col("n") * F.col(g)).alias(f"_a_{g}") for g in gcols],
+    )
+    es: Column = F.lit(1).cast("long")
+    for g in gcols:
+        es = es * F.when(
+            F.col(g) == 1, F.col(f"_a_{g}")
+        ).otherwise(F.col("_N") - F.col(f"_a_{g}"))
+    nk1: Column = F.lit(1).cast("long")
+    for _ in range(len(gcols) - 1):
+        nk1 = nk1 * F.col("_N")
+    out = (
+        hist.crossJoin(F.broadcast(marg))
+        .withColumn("expected_scaled", es)
+        .withColumn(
+            "lift",
+            F.when(
+                F.col("expected_scaled") > 0,
+                F.col("n").cast("double") * nk1 / F.col("expected_scaled"),
+            ),
+        )
+    )
+    return out.select(*gcols, "n", "expected_scaled", "lift")
+
+
+def pattern_dependence_sql(
+    pairs_sql: str,
+    match_fields: Sequence[MatchField],
+    *,
+    rec_prefix: str = "rec_",
+    mem_prefix: str = "mem_",
+    agree_threshold: float = PARTIAL_FLOOR,
+) -> str:
+    """DuckDB twin of :func:`pattern_dependence` — identical gamma
+    semantics, integer expectation, and single-division lift."""
+    gexprs = [
+        f"{gamma_sql(mf, rec_prefix + mf.name, mem_prefix + mf.name, agree_threshold)}"
+        f" AS g_{mf.name}"
+        for mf in match_fields
+    ]
+    gcols = [f"g_{mf.name}" for mf in match_fields]
+    glist = ", ".join(gcols)
+    margs = ", ".join(
+        [f"sum(n) AS _N"]
+        + [f"sum(n * {g}) AS _a_{g}" for g in gcols]
+    )
+    es = " * ".join(
+        f"(CASE WHEN {g} = 1 THEN _a_{g} ELSE _N - _a_{g} END)" for g in gcols
+    )
+    nk1 = " * ".join(["_N"] * (len(gcols) - 1)) or "1"
+    return f"""
+        WITH pd_pairs AS ({pairs_sql}),
+        pd_g AS (SELECT {", ".join(gexprs)} FROM pd_pairs),
+        pd_h AS (SELECT {glist}, count(*) AS n FROM pd_g GROUP BY {glist}),
+        pd_m AS (SELECT {margs} FROM pd_h),
+        pd_e AS (
+            SELECT {glist}, n, CAST({es} AS BIGINT) AS expected_scaled,
+                   CAST({nk1} AS BIGINT) AS _nk1
+            FROM pd_h CROSS JOIN pd_m
+        )
+        SELECT {glist}, n, expected_scaled,
+               CASE WHEN expected_scaled > 0
+                    THEN CAST(n AS DOUBLE) * _nk1 / expected_scaled
+               END AS lift
+        FROM pd_e
+    """

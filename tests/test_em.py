@@ -374,3 +374,60 @@ def test_estimate_u_random_partitioning_invariant(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_pattern_dependence_independent_fields_lift_near_one(spark):
+    """Fields generated independently → every pattern's lift ≈ 1; a
+    planted co-firing pair of fields → multi-agree lift > 1."""
+    from bigmatch_utilities_spark.config import MatchField
+    from bigmatch_utilities_spark.operators.em import pattern_dependence
+
+    mfs = (
+        MatchField(name="a", comparator="c", m=0.9, u=0.1),
+        MatchField(name="b", comparator="c", m=0.9, u=0.1),
+    )
+    # independent: a agrees on i%2, b agrees on i%3 — product structure
+    rows = [
+        (
+            "x", "x" if i % 2 == 0 else "y",
+            "p", "p" if i % 3 == 0 else "q",
+        )
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "rec_a string, mem_a string, rec_b string, mem_b string")
+    got = {
+        (r.g_a, r.g_b): r.lift
+        for r in pattern_dependence(df, mfs).collect()
+    }
+    for v in got.values():
+        assert abs(v - 1.0) < 0.02, got
+    # co-firing: b agrees exactly when a does
+    rows2 = [
+        (
+            "x", "x" if i % 2 == 0 else "y",
+            "p", "p" if i % 2 == 0 else "q",
+        )
+        for i in range(600)
+    ]
+    df2 = spark.createDataFrame(rows2, "rec_a string, mem_a string, rec_b string, mem_b string")
+    got2 = {
+        (r.g_a, r.g_b): r.lift
+        for r in pattern_dependence(df2, mfs).collect()
+    }
+    assert got2[(1, 1)] > 1.9 and got2[(0, 0)] > 1.9
+    assert (1, 0) not in got2 and (0, 1) not in got2
+
+
+def test_pattern_dependence_expected_scaled_exact(spark):
+    """expected_scaled equals the hand-computed integer product and n
+    sums back to N."""
+    from bigmatch_utilities_spark.config import MatchField
+    from bigmatch_utilities_spark.operators.em import pattern_dependence
+
+    mfs = (MatchField(name="a", comparator="c", m=0.9, u=0.1),)
+    rows = [("x", "x")] * 7 + [("x", "y")] * 3
+    df = spark.createDataFrame(rows, "rec_a string, mem_a string")
+    out = {r.g_a: (r.n, r.expected_scaled, r.lift) for r in pattern_dependence(df, mfs).collect()}
+    # K=1: expected_scaled = a or N-a; N^(K-1) = 1 → lift = n/expected
+    assert out[1] == (7, 7, 1.0)
+    assert out[0] == (3, 3, 1.0)
