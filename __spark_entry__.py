@@ -3221,6 +3221,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pd_pattern_dependence"] = pd
 
+    # ---- NV: phonetic (NYSIIS) blocking pass -----------------------------
+    def nv(spark, sf):
+        from bigmatch_utilities_spark.config import BlockField, BlockingPassSpec
+        from bigmatch_utilities_spark.operators.blocking import candidate_pairs
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.split(F.trim("text"), "\\s+").getItem(0).alias("tok1"),
+            F.floor(F.col("n_chars") / 16).cast("long").alias("bucket"),
+        )
+        spec = BlockingPassSpec(
+            block_fields=(
+                BlockField(name="tok1", key_kind="nysiis"),
+                BlockField(name="bucket", blank_flag=0),
+            ),
+            match_fields=(),
+        )
+        return candidate_pairs(
+            d, d, spec, "doc_id", dedupe=True, carry_rec=[], carry_mem=[]
+        )
+
+    q["nv_nysiis_blocking"] = nv
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -3236,6 +3259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc_domain_quota",
         "ir_dsir_select",
         "pd_pattern_dependence",
+        "nv_nysiis_blocking",
         # new in round 5 (ninth session)
         "nb_lang_confusion",
         "lm_ppl_buckets",
@@ -5784,6 +5808,32 @@ def oracle_sql() -> dict[str, str]:
     """
 
     from bigmatch_utilities_spark.operators.corpus_ops import quota_cap_sql
+
+    from bigmatch_utilities_spark.functions.nysiis import nysiis_sql as _ny_sql
+
+    o["nv_nysiis_blocking"] = f"""
+        WITH nv_base AS MATERIALIZED (
+          SELECT doc_id,
+                 string_split_regex(trim(text), '\\s+')[1] AS tok1,
+                 CAST(floor(n_chars / 16) AS BIGINT) AS bucket
+          FROM documents
+        ),
+        -- MATERIALIZED: DuckDB otherwise inlines the staged key chain
+        -- into both join sides / the blank filter (same expression
+        -- blowup the Spark side guards with explode_outer)
+        nv_k AS MATERIALIZED (
+          {_ny_sql("nv_base", "tok1", carry="doc_id, bucket", out_col="tok1_nys")}
+        ),
+        nv_d AS (
+          SELECT * FROM nv_k
+          WHERE tok1_nys IS NOT NULL AND trim(tok1_nys) <> ''
+        )
+        SELECT a.doc_id AS id_rec, a.tok1_nys AS bk_tok1_nys,
+               a.bucket AS bk_bucket, b.doc_id AS id_mem
+        FROM nv_d a
+        JOIN nv_d b ON a.tok1_nys = b.tok1_nys AND a.bucket = b.bucket
+                   AND a.doc_id < b.doc_id
+    """
 
     from bigmatch_utilities_spark.operators.em import pattern_dependence_sql
 

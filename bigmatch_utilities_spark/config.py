@@ -93,7 +93,7 @@ class BlockField(FieldRef):
 
     def __post_init__(self) -> None:
         k = self.key_kind
-        if k not in ("exact", "soundex") and not (
+        if k not in ("exact", "soundex", "nysiis") and not (
             k.startswith("prefix:") and k.split(":", 1)[1].isdigit()
         ):
             raise ValueError(f"unknown key_kind {k!r}")

@@ -83,6 +83,14 @@ def derive_block_keys(
 
     new_fields = []
     for bf in spec.block_fields:
+        if bf.key_kind == "nysiis":
+            # DataFrame-level derivation (staged columns, functions/nysiis.py)
+            from bigmatch_utilities_spark.functions.nysiis import with_nysiis
+
+            name = f"{bf.name}_nys"
+            df = with_nysiis(df, bf.name, out_col=name)
+            new_fields.append(replace(bf, name=name, key_kind="exact"))
+            continue
         name, expr = block_key_column(bf)
         if expr is not None:
             df = df.withColumn(name, expr)
