@@ -32,6 +32,11 @@ stages, so the expensive LSH/join work only sees survivors:
   4b. mix      (with --sample-col) deterministic per-stratum downsample
                to target proportions (md5-bucket rate; monotone in the
                rate, reproducible across engines and cluster sizes)
+  4c. dsir     (with --dsir-target) DSIR importance selection: keep the
+               --dsir-keep rows most target-like under hashed-unigram
+               importance weights (integer micro-nats, deterministic)
+  4d. quota    (with --max-per-domain) skew-safe per-domain cap — at
+               most N best-quality rows per --domain-col value
   5. split     leakage-safe train/val/test at near-dup-CLUSTER
                granularity — the split bucket is a pure function of the
                cluster id, so near-duplicates can never straddle splits
@@ -122,6 +127,22 @@ def main() -> None:
         help="per-stratum keep rate (repeatable), e.g. --sample-rate en=0.35",
     )
     p.add_argument("--sample-default", type=float, default=1.0)
+    p.add_argument(
+        "--dsir-target",
+        default=None,
+        help="parquet/table of target-domain documents; keeps the "
+        "--dsir-keep rows with the highest DSIR importance weight",
+    )
+    p.add_argument("--dsir-keep", type=int, default=1000)
+    p.add_argument("--dsir-buckets", type=int, default=1 << 16)
+    p.add_argument(
+        "--max-per-domain",
+        type=int,
+        default=None,
+        help="per-domain quota: keep at most N best-quality rows per "
+        "--domain-col value (skew-safe salted top-N)",
+    )
+    p.add_argument("--domain-col", default="source")
     p.add_argument(
         "--scrub-pii",
         action="store_true",
@@ -307,6 +328,38 @@ def main() -> None:
             default_rate=args.sample_default,
         )
     stats["after_mix"] = deduped.count()
+
+    # 4c. optional DSIR importance selection toward a target corpus
+    # (operators/dsir.py): keep the --dsir-keep raw docs whose hashed-
+    # unigram importance weight toward --dsir-target is highest
+    if args.dsir_target:
+        from bigmatch_utilities_spark.operators.dsir import dsir_keep
+
+        tgt = _read(spark, args.dsir_target)
+        kept_ids = dsir_keep(
+            tgt,
+            deduped,
+            args.dsir_keep,
+            text_col=txt,
+            id_col=idc,
+            buckets=args.dsir_buckets,
+        ).select(F.col("doc_id").alias(idc))
+        deduped = deduped.join(kept_ids, idc, "left_semi")
+        stats["after_dsir"] = deduped.count()
+
+    # 4d. optional per-domain quota cap (operators/corpus_ops.quota_cap):
+    # at most --max-per-domain best-quality rows per --domain-col value
+    if args.max_per_domain is not None:
+        from bigmatch_utilities_spark.operators.corpus_ops import quota_cap
+
+        deduped = quota_cap(
+            deduped,
+            idc,
+            args.domain_col,
+            args.max_per_domain,
+            quality_col="quality",
+        ).drop("quota_rank")
+        stats["after_quota"] = deduped.count()
 
     # 5. leakage-safe split at cluster granularity (survivors of a cluster
     # inherit the CLUSTER's bucket; never-clustered rows bucket on own id)

@@ -295,3 +295,64 @@ def test_run_curate_license_gate(spark, tmp_path, monkeypatch):
         for r in spark.read.parquet(f"{out}/curated").select("doc_id").collect()
     }
     assert kept == {1, 3}
+
+
+def test_run_curate_quota_stage(spark, tmp_path, monkeypatch):
+    rows = [
+        (i, f"unique document number {i} with fully distinct body text words",
+         "big" if i < 30 else "small")
+        for i in range(36)
+    ]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string, source string").write.parquet(inp)
+    out = str(tmp_path / "out")
+    _run(
+        monkeypatch,
+        spark,
+        [
+            "--input", inp, "--output", out,
+            "--bands", "4", "--rows-per-band", "1",
+            "--max-bucket", "0", "--shard-rows", "0",
+            "--max-per-domain", "5",
+        ],
+    )
+    with open(f"{out}/stats.json") as fh:
+        stats = json.load(fh)
+    curated = spark.read.parquet(f"{out}/curated")
+    per = {r.source: r.n for r in curated.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per["big"] == 5 and per["small"] == 5
+    assert stats["after_quota"] == 10
+
+
+def test_run_curate_dsir_stage(spark, tmp_path, monkeypatch):
+    raw_rows = [
+        (i, "spark shuffle partition join broadcast agg" if i % 2 == 0
+         else "llama alpaca vicuna gecko marmot wombat")
+        for i in range(30)
+    ]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(raw_rows, "doc_id long, text string").write.parquet(inp)
+    tgt = str(tmp_path / "target")
+    spark.createDataFrame(
+        [(100, "spark join shuffle agg broadcast partition")],
+        "doc_id long, text string",
+    ).write.parquet(tgt)
+    out = str(tmp_path / "out")
+    _run(
+        monkeypatch,
+        spark,
+        [
+            "--input", inp, "--output", out,
+            "--bands", "4", "--rows-per-band", "1",
+            "--max-bucket", "0", "--shard-rows", "0",
+            "--threshold", "1.01",  # keep every doc through near-dedup
+            "--dsir-target", tgt, "--dsir-keep", "10",
+            "--dsir-buckets", "256",
+        ],
+    )
+    with open(f"{out}/stats.json") as fh:
+        stats = json.load(fh)
+    curated = spark.read.parquet(f"{out}/curated")
+    kept = sorted(r.doc_id for r in curated.select("doc_id").collect())
+    assert stats["after_dsir"] == 10
+    assert all(i % 2 == 0 for i in kept), kept
