@@ -481,6 +481,53 @@ def main() -> None:
 
     counters["monge_elkan_pairs"] = timed("monge_elkan", q_monge_elkan)
 
+    # round-5 ninth-session keys: semantic dedup within IVF cells and the
+    # soft TF-IDF hybrid comparator
+    def q_semdedup():
+        import __spark_entry__ as entrymod
+
+        return entrymod.queries()["sm_semdedup_keep"](spark, SF_DIR).count()
+
+    counters["semdedup_rows"] = timed("semdedup", q_semdedup)
+
+    def q_soft_tfidf():
+        import __spark_entry__ as entrymod
+
+        return entrymod.queries()["so_soft_tfidf"](spark, SF_DIR).count()
+
+    counters["soft_tfidf_pairs"] = timed("soft_tfidf", q_soft_tfidf)
+
+    # round-5 tenth-session keys: NYSIIS phonetic blocking, DSIR
+    # importance selection, the skew-safe domain quota, and the
+    # gamma-pattern dependence diagnostic
+    def q_nysiis():
+        import __spark_entry__ as entrymod
+
+        return entrymod.queries()["nv_nysiis_blocking"](spark, SF_DIR).count()
+
+    counters["nysiis_pairs"] = timed("nysiis_blocking", q_nysiis)
+
+    def q_dsir():
+        import __spark_entry__ as entrymod
+
+        return entrymod.queries()["ir_dsir_select"](spark, SF_DIR).count()
+
+    counters["dsir_rows"] = timed("dsir_select", q_dsir)
+
+    def q_quota():
+        import __spark_entry__ as entrymod
+
+        return entrymod.queries()["qc_domain_quota"](spark, SF_DIR).count()
+
+    counters["quota_rows"] = timed("quota_cap", q_quota)
+
+    def q_pattern_dep():
+        import __spark_entry__ as entrymod
+
+        return entrymod.queries()["pd_pattern_dependence"](spark, SF_DIR).count()
+
+    counters["pattern_dep_rows"] = timed("pattern_dependence", q_pattern_dep)
+
     # throughput denominator: candidate pairs actually entering the
     # comparator stage (BASELINE's candidate-pairs/sec unit), counted on
     # the same plans after the timed runs so the count jobs don't pollute
