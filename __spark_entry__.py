@@ -3244,6 +3244,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["nv_nysiis_blocking"] = nv
 
+    # ---- GB: capacitated greedy assignment (b-matching, one-to-many) -----
+    def gb(spark, sf):
+        from bigmatch_utilities_spark.operators.assignment import (
+            greedy_capacitated,
+        )
+
+        return greedy_capacitated(
+            _scored_pairs(spark, sf).select("id_l", "id_r", "weight"),
+            1,
+            3,
+            rec_col="id_l",
+            mem_col="id_r",
+            rounds=4,
+        ).select("id_l", "id_r", F.round("weight", 6).alias("weight"), "round")
+
+    q["gb_capacitated_assignment"] = gb
+
     # ------------------------------------------------------------------
     # Registration-order rotation (round 5): the driver's correctness gate
     # checks exactly the FIRST 50 entries in registration order (proven in
@@ -3260,6 +3277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ir_dsir_select",
         "pd_pattern_dependence",
         "nv_nysiis_blocking",
+        "gb_capacitated_assignment",
         # new in round 5 (ninth session)
         "nb_lang_confusion",
         "lm_ppl_buckets",
@@ -5808,6 +5826,23 @@ def oracle_sql() -> dict[str, str]:
     """
 
     from bigmatch_utilities_spark.operators.corpus_ops import quota_cap_sql
+
+    from bigmatch_utilities_spark.operators.assignment import (
+        greedy_capacitated_sql,
+    )
+
+    o["gb_capacitated_assignment"] = (
+        "SELECT id_l, id_r, round(weight, 6) AS weight, round FROM ("
+        + greedy_capacitated_sql(
+            f"SELECT id_l, id_r, weight FROM ({_SCORED_PAIRS_SQL})",
+            1,
+            3,
+            rec_col="id_l",
+            mem_col="id_r",
+            rounds=4,
+        )
+        + ")"
+    )
 
     from bigmatch_utilities_spark.functions.nysiis import nysiis_sql as _ny_sql
 

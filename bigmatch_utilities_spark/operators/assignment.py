@@ -290,3 +290,193 @@ def greedy_one_to_one_sql(
                 f"g{k + 1} AS (SELECT * FROM g{k} WHERE {cond})"
             )
     return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(sels)
+
+
+def greedy_capacitated(
+    pairs: DataFrame,
+    rec_cap: int,
+    mem_cap: int,
+    rec_col: str = "id_rec",
+    mem_col: str = "id_mem",
+    weight_col: str = "weight",
+    rounds: int = 4,
+) -> DataFrame:
+    """Greedy weight-descending capacitated assignment (b-matching): each
+    rec id absorbs at most ``rec_cap`` pairs, each mem id at most
+    ``mem_cap`` — the one-to-many shapes 1:1 assignment cannot express
+    (household linkage: many person records -> one household master;
+    claims: one reviewer -> k cases).
+
+    Sequential semantics being reproduced: sort pairs by
+    (round(weight,6) DESC, rec ASC, mem ASC); accept a pair iff BOTH ids
+    still have capacity. Parallelized by the capacity generalization of
+    locally-dominant peeling (Preis 1999 / Mestre 2006 b-matching):
+    accept every remaining edge whose per-node rank is within BOTH
+    endpoints' remaining capacity. Any such edge is provably accepted by
+    the sequential order — heavier edges at the endpoint number at most
+    (rank-1) <= remaining-capacity-1, so the endpoint cannot be
+    saturated when the edge's turn comes — so each round's acceptance
+    set is a subset of the sequential solution, and iterating converges
+    to it. Runs EXACTLY ``rounds`` rounds (converged rounds are no-ops)
+    so the unrolled-CTE oracle (:func:`greedy_capacitated_sql`) computes
+    the identical result; ``rec_cap = mem_cap = 1`` degenerates to
+    mutual-best peeling (greedy_one_to_one).
+
+    Scale: per-round cost is two per-node row_number windows over the
+    remaining pair table (window width = node degree, which candidate
+    generation already caps), two broadcast-sized capacity joins (the
+    accepted set), and the anti-join prune; no global sort, no global
+    window. Lineage is truncated per round (the closure.py discipline).
+
+    Output: (rec_col, mem_col, weight_col, round).
+    """
+    from pyspark.sql.window import Window
+
+    r, m, w = rec_col, mem_col, weight_col
+    remaining = pairs.groupBy(r, m).agg(F.max(F.col(w)).alias(w))
+    out: DataFrame | None = None
+    for k in range(rounds):
+        if k > 0:
+            # truncate BOTH recurrences: remaining feeds next round's
+            # ranks, and out feeds next round's capacity counts — left
+            # unchecked each acc{k} nests every prior round's plan and
+            # Catalyst chokes on the doubling tree
+            from bigmatch_utilities_spark.operators.closure import _truncate
+
+            remaining = _truncate(remaining)
+            out = _truncate(out)
+        if out is None:
+            cap = remaining.withColumn("_cr", F.lit(rec_cap)).withColumn(
+                "_cm", F.lit(mem_cap)
+            )
+        else:
+            ur = out.groupBy(F.col(r).alias("_ur")).agg(
+                F.count(F.lit(1)).alias("_nr")
+            )
+            um = out.groupBy(F.col(m).alias("_um")).agg(
+                F.count(F.lit(1)).alias("_nm")
+            )
+            cap = (
+                remaining.join(
+                    F.broadcast(ur), remaining[r] == F.col("_ur"), "left"
+                )
+                .join(F.broadcast(um), remaining[m] == F.col("_um"), "left")
+                .withColumn(
+                    "_cr", F.lit(rec_cap) - F.coalesce(F.col("_nr"), F.lit(0))
+                )
+                .withColumn(
+                    "_cm", F.lit(mem_cap) - F.coalesce(F.col("_nm"), F.lit(0))
+                )
+                .drop("_ur", "_nr", "_um", "_nm")
+            )
+        w6 = F.round(F.col(w), 6)
+        rk_r = F.row_number().over(
+            Window.partitionBy(r).orderBy(w6.desc(), F.col(m).asc())
+        )
+        rk_m = F.row_number().over(
+            Window.partitionBy(m).orderBy(w6.desc(), F.col(r).asc())
+        )
+        acc = (
+            cap.withColumn("_rr", rk_r)
+            .withColumn("_rm", rk_m)
+            .filter((F.col("_rr") <= F.col("_cr")) & (F.col("_rm") <= F.col("_cm")))
+            .select(r, m, w)
+            .withColumn("round", F.lit(k))
+        )
+        out = acc if out is None else out.unionByName(acc)
+        if k + 1 < rounds:
+            # drop accepted edges, then edges at saturated nodes (both
+            # prunes mirrored in the oracle so per-round ranks agree)
+            a = acc.select(F.col(r).alias("_ar"), F.col(m).alias("_am"))
+            remaining = remaining.join(
+                a,
+                (remaining[r] == F.col("_ar")) & (remaining[m] == F.col("_am")),
+                "left_anti",
+            )
+            ur = out.groupBy(F.col(r).alias("_ur")).agg(
+                F.count(F.lit(1)).alias("_nr")
+            ).filter(F.col("_nr") >= rec_cap)
+            um = out.groupBy(F.col(m).alias("_um")).agg(
+                F.count(F.lit(1)).alias("_nm")
+            ).filter(F.col("_nm") >= mem_cap)
+            remaining = remaining.join(
+                F.broadcast(ur.select("_ur")),
+                remaining[r] == F.col("_ur"),
+                "left_anti",
+            ).join(
+                F.broadcast(um.select("_um")),
+                remaining[m] == F.col("_um"),
+                "left_anti",
+            )
+    return out
+
+
+def greedy_capacitated_sql(
+    pairs_sql: str,
+    rec_cap: int,
+    mem_cap: int,
+    rec_col: str = "id_rec",
+    mem_col: str = "id_mem",
+    weight_col: str = "weight",
+    rounds: int = 4,
+) -> str:
+    """Oracle twin of :func:`greedy_capacitated`: the identical rounds
+    unrolled as CTEs, remaining capacities from the accepted-so-far
+    union, the same accepted-edge + saturated-node prunes."""
+    r, m, w = rec_col, mem_col, weight_col
+    ctes = [
+        f"g0 AS (SELECT {r}, {m}, max({w}) AS {w} "
+        f"FROM ({pairs_sql}) p GROUP BY {r}, {m})"
+    ]
+    sels = []
+    for k in range(rounds):
+        if k == 0:
+            capjoin = ""
+            cr, cm = str(rec_cap), str(mem_cap)
+        else:
+            ctes.append(
+                f"ur{k} AS (SELECT {r} AS id, count(*) AS n FROM acc{k - 1} "
+                f"GROUP BY {r})"
+            )
+            ctes.append(
+                f"um{k} AS (SELECT {m} AS id, count(*) AS n FROM acc{k - 1} "
+                f"GROUP BY {m})"
+            )
+            capjoin = (
+                f" LEFT JOIN ur{k} ON ur{k}.id = d.{r} "
+                f"LEFT JOIN um{k} ON um{k}.id = d.{m}"
+            )
+            cr = f"({rec_cap} - COALESCE(ur{k}.n, 0))"
+            cm = f"({mem_cap} - COALESCE(um{k}.n, 0))"
+        ctes.append(
+            f"dom{k} AS (SELECT {r}, {m}, {w} FROM ("
+            f"SELECT d.{r}, d.{m}, d.{w}, "
+            f"row_number() OVER (PARTITION BY d.{r} "
+            f"ORDER BY round(d.{w}, 6) DESC, d.{m} ASC) AS rk_r, "
+            f"row_number() OVER (PARTITION BY d.{m} "
+            f"ORDER BY round(d.{w}, 6) DESC, d.{r} ASC) AS rk_m, "
+            f"{cr} AS cr, {cm} AS cm "
+            f"FROM g{k} d{capjoin}) WHERE rk_r <= cr AND rk_m <= cm)"
+        )
+        ctes.append(
+            f"acc{k} AS (SELECT * FROM dom{k}"
+            + (f" UNION ALL SELECT * FROM acc{k - 1})" if k else ")")
+        )
+        sels.append(f"SELECT *, {k} AS round FROM dom{k}")
+        if k + 1 < rounds:
+            ctes.append(
+                f"sr{k} AS (SELECT {r} AS id FROM acc{k} GROUP BY {r} "
+                f"HAVING count(*) >= {rec_cap})"
+            )
+            ctes.append(
+                f"sm{k} AS (SELECT {m} AS id FROM acc{k} GROUP BY {m} "
+                f"HAVING count(*) >= {mem_cap})"
+            )
+            ctes.append(
+                f"g{k + 1} AS (SELECT g.* FROM g{k} g WHERE "
+                f"NOT EXISTS (SELECT 1 FROM dom{k} x "
+                f"WHERE x.{r} = g.{r} AND x.{m} = g.{m}) "
+                f"AND NOT EXISTS (SELECT 1 FROM sr{k} s WHERE s.id = g.{r}) "
+                f"AND NOT EXISTS (SELECT 1 FROM sm{k} s WHERE s.id = g.{m}))"
+            )
+    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(sels)

@@ -218,3 +218,105 @@ def test_greedy_shared_ids_excludes_matched_from_both_columns(spark):
     # entities, so all three pairs are assignable
     two_file = {(r.id_rec, r.id_mem) for r in greedy_one_to_one(df, rounds=4).collect()}
     assert two_file == {(1, 2), (2, 3), (3, 4)}
+
+
+def _sequential_bmatch(edges, rec_cap, mem_cap):
+    """Reference: sort by (round(w,6) DESC, rec ASC, mem ASC); accept iff
+    both ids still have capacity."""
+    used_r, used_m, out = {}, {}, []
+    for r, m, w in sorted(edges, key=lambda e: (-round(e[2], 6), e[0], e[1])):
+        if used_r.get(r, 0) < rec_cap and used_m.get(m, 0) < mem_cap:
+            used_r[r] = used_r.get(r, 0) + 1
+            used_m[m] = used_m.get(m, 0) + 1
+            out.append((r, m))
+    return sorted(out)
+
+
+def test_greedy_capacitated_matches_sequential_reference(spark):
+    import random
+
+    from bigmatch_utilities_spark.operators.assignment import (
+        greedy_capacitated,
+    )
+
+    random.seed(11)
+    for rec_cap, mem_cap in ((1, 1), (1, 3), (2, 2)):
+        edges = list(
+            {
+                (random.randint(0, 14), random.randint(100, 109)): None
+                for _ in range(60)
+            }
+        )
+        edges = [
+            (r, m, float(random.randint(1, 40)) / 4.0) for r, m in edges
+        ]
+        df = spark.createDataFrame(
+            edges, "id_rec long, id_mem long, weight double"
+        )
+        got = sorted(
+            (r.id_rec, r.id_mem)
+            for r in greedy_capacitated(
+                df, rec_cap, mem_cap, rounds=8
+            ).collect()
+        )
+        want = _sequential_bmatch(edges, rec_cap, mem_cap)
+        assert got == want, (rec_cap, mem_cap)
+
+
+def test_greedy_capacitated_matches_duckdb_oracle(spark, tmp_path):
+    import random
+
+    import duckdb
+
+    from bigmatch_utilities_spark.operators.assignment import (
+        greedy_capacitated,
+        greedy_capacitated_sql,
+    )
+
+    random.seed(3)
+    edges = [
+        (r, m, float(random.randint(1, 30)) / 2.0)
+        for r, m in {
+            (random.randint(0, 9), random.randint(50, 57)): None
+            for _ in range(40)
+        }
+    ]
+    df = spark.createDataFrame(edges, "id_rec long, id_mem long, weight double")
+    pq = str(tmp_path / "pairs.parquet")
+    df.write.mode("overwrite").parquet(pq)
+    got = sorted(
+        (r.id_rec, r.id_mem, r.weight, r.round)
+        for r in greedy_capacitated(df, 1, 2, rounds=3).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW pairs AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            greedy_capacitated_sql("SELECT * FROM pairs", 1, 2, rounds=3)
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_greedy_capacitated_cap_one_equals_greedy_one_to_one(spark):
+    from bigmatch_utilities_spark.operators.assignment import (
+        greedy_capacitated,
+        greedy_one_to_one,
+    )
+
+    edges = [
+        (1, 10, 9.0), (2, 10, 8.0), (2, 11, 7.5), (3, 11, 7.0), (3, 12, 6.0),
+    ]
+    df = spark.createDataFrame(edges, "id_rec long, id_mem long, weight double")
+    a = sorted(
+        (r.id_rec, r.id_mem)
+        for r in greedy_capacitated(df, 1, 1, rounds=4).collect()
+    )
+    b = sorted(
+        (r.id_rec, r.id_mem)
+        for r in greedy_one_to_one(df, rounds=4).collect()
+    )
+    assert a == b
