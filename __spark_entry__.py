@@ -3213,6 +3213,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ir_dsir_select"] = ir
 
+    # ---- IS: DSIR Gumbel-top-k resampling (the paper's sampling rule) ----
+    def is_(spark, sf):
+        from bigmatch_utilities_spark.operators.dsir import dsir_sample
+
+        d = _t(spark, sf, "documents")
+        target = d.filter((F.col("source") == "src0") & (F.col("lang") == "en"))
+        return dsir_sample(
+            target,
+            d,
+            150,
+            temperature=2.0,
+            text_col="text",
+            id_col="doc_id",
+            buckets=512,
+        )
+
+    q["is_dsir_sample"] = is_
+
     # ---- PD: gamma-pattern conditional-dependence diagnostic -------------
     def pd(spark, sf):
         from bigmatch_utilities_spark.operators.em import pattern_dependence
@@ -3275,6 +3293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 5 (tenth session)
         "qc_domain_quota",
         "ir_dsir_select",
+        "is_dsir_sample",
         "pd_pattern_dependence",
         "nv_nysiis_blocking",
         "gb_capacitated_assignment",
@@ -5882,6 +5901,16 @@ def oracle_sql() -> dict[str, str]:
         "(SELECT * FROM documents WHERE source = 'src0' AND lang = 'en')",
         "documents",
         150,
+        buckets=512,
+    )
+
+    from bigmatch_utilities_spark.operators.dsir import dsir_sample_sql
+
+    o["is_dsir_sample"] = dsir_sample_sql(
+        "(SELECT * FROM documents WHERE source = 'src0' AND lang = 'en')",
+        "documents",
+        150,
+        temperature=2.0,
         buckets=512,
     )
 

@@ -206,3 +206,81 @@ def dsir_keep_sql(
         f"SELECT * FROM ({inner}) "
         f"ORDER BY dsir_score DESC, doc_id ASC LIMIT {k}"
     )
+
+
+def dsir_sample(
+    target: DataFrame,
+    raw: DataFrame,
+    k: int,
+    *,
+    temperature: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+) -> DataFrame:
+    """DSIR's actual selection rule — sampling WITHOUT replacement with
+    probability proportional to exp(logw / temperature) — made
+    deterministic and cross-engine via the Gumbel-top-k trick: take the
+    top ``k`` documents by (score + T * G_i), where G_i = -ln(-ln(u_i))
+    and u_i is a deterministic md5-bucket uniform of the document id
+    ((b + 0.5) / 2^24, never 0 or 1). Gumbel noise is computed once per
+    document and quantized to integer micro-nats before the sum, so the
+    sort key is an exact integer; temperature -> 0 recovers
+    :func:`dsir_keep`'s argmax behavior, large temperatures approach a
+    uniform subsample. Residual cross-engine float hazard: two chained
+    ~1-ulp ln calls before one rounding — same class as the NB/tfidf
+    quantization, detectable by the hash gate.
+
+    Output: (doc_id, dsir_score, gumbel_key) ordered by the key,
+    TakeOrderedAndProject as in dsir_keep.
+    """
+    w = dsir_bucket_weights(target, raw, text_col=text_col, buckets=buckets)
+    s = dsir_scores(raw, w, text_col=text_col, id_col=id_col, buckets=buckets)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 24))
+    g = -F.log(-F.log(u))
+    key = F.col("dsir_score") + F.round(
+        g * F.lit(float(temperature)) * 1_000_000, 0
+    ).cast("long")
+    return (
+        s.withColumn("gumbel_key", key)
+        .orderBy(F.desc("gumbel_key"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def dsir_sample_sql(
+    target_table: str,
+    raw_table: str,
+    k: int,
+    *,
+    temperature: float = 1.0,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    buckets: int = 1024,
+) -> str:
+    """DuckDB twin of :func:`dsir_sample` (identical uniform, Gumbel,
+    quantization, and tie-break)."""
+    inner = dsir_scores_sql(
+        target_table,
+        raw_table,
+        text_expr=text_expr,
+        id_expr=id_expr,
+        buckets=buckets,
+    )
+    u = (
+        f"((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)) "
+        f"AS BIGINT) + 0.5) / {float(1 << 24)!r})"
+    )
+    key = (
+        f"(dsir_score + CAST(round(-ln(-ln({u})) * {float(temperature)!r} "
+        f"* 1000000, 0) AS BIGINT))"
+    )
+    return (
+        f"SELECT doc_id, dsir_score, {key} AS gumbel_key FROM ({inner}) "
+        f"ORDER BY gumbel_key DESC, doc_id ASC LIMIT {k}"
+    )

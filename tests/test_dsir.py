@@ -71,3 +71,57 @@ def test_dsir_scores_match_duckdb_oracle(spark, tmp_path):
         ).fetchall()
     )
     assert got == want
+
+
+def test_dsir_sample_parity_and_temperature_behavior(spark, tmp_path):
+    """Gumbel-top-k: DuckDB-identical keys; T→0 recovers argmax top-k;
+    high T admits lower-score docs (noise dominates)."""
+    from bigmatch_utilities_spark.operators.dsir import (
+        dsir_keep,
+        dsir_sample,
+        dsir_sample_sql,
+    )
+
+    raw = _corpus(spark)
+    target = spark.createDataFrame(
+        [(1000, "spark join shuffle agg broadcast partition")],
+        "doc_id long, text string",
+    )
+    rawp, tgtp = str(tmp_path / "raw.parquet"), str(tmp_path / "tgt.parquet")
+    raw.write.mode("overwrite").parquet(rawp)
+    target.write.mode("overwrite").parquet(tgtp)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW raw AS SELECT * FROM read_parquet('{rawp}/*.parquet')")
+    con.execute(f"CREATE VIEW tgt AS SELECT * FROM read_parquet('{tgtp}/*.parquet')")
+    got = [
+        (r.doc_id, r.dsir_score, r.gumbel_key)
+        for r in dsir_sample(
+            target, raw, 8, temperature=3.0, buckets=64
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in con.execute(
+            dsir_sample_sql("tgt", "raw", 8, temperature=3.0, buckets=64)
+        ).fetchall()
+    ]
+    assert got == want
+    # near-zero temperature == plain argmax selection
+    cold = sorted(
+        r.doc_id
+        for r in dsir_sample(
+            target, raw, 8, temperature=1e-9, buckets=64
+        ).collect()
+    )
+    top = sorted(
+        r.doc_id for r in dsir_keep(target, raw, 8, buckets=64).collect()
+    )
+    assert cold == top
+    # a huge temperature lets off-target docs in (pure argmax would not)
+    hot = {
+        r.doc_id
+        for r in dsir_sample(
+            target, raw, 8, temperature=1e6, buckets=64
+        ).collect()
+    }
+    assert any(i % 3 != 0 for i in hot)
