@@ -136,6 +136,16 @@ def add_match_args(p: argparse.ArgumentParser) -> None:
         "loudly). E.g. --tf-adjust anchor_line on the repo config",
     )
     p.add_argument(
+        "--assign",
+        default=None,
+        metavar="REC_CAP,MEM_CAP",
+        help="also write <output>/assignments: capacitated greedy "
+        "assignment (b-matching) of good_pairs — each id_rec keeps at "
+        "most REC_CAP partners, each id_mem at most MEM_CAP (1,1 = the "
+        "classic 1:1 weight-descending greedy; 1,k = many-to-one "
+        "household semantics). operators/assignment.greedy_capacitated",
+    )
+    p.add_argument(
         "--estimate-mu",
         action="store_true",
         help="also write <output>/mu_estimates: per-field m/u + match "
@@ -233,6 +243,22 @@ def match_stage(spark: SparkSession, args: argparse.Namespace) -> None:
         f"{args.output}/pairs"
     )
     result.good_pairs().write.mode("overwrite").parquet(f"{args.output}/good_pairs")
+
+    if getattr(args, "assign", None):
+        from bigmatch_utilities_spark.operators.assignment import (
+            greedy_capacitated,
+        )
+
+        rec_cap, mem_cap = (int(x) for x in args.assign.split(","))
+        greedy_capacitated(
+            spark.read.parquet(f"{args.output}/good_pairs").select(
+                "id_rec", "id_mem", "weight"
+            ),
+            rec_cap,
+            mem_cap,
+            rec_col="id_rec",
+            mem_col="id_mem",
+        ).write.mode("overwrite").parquet(f"{args.output}/assignments")
 
     if args.estimate_mu:
         from bigmatch_utilities_spark.operators.em import estimate_mu

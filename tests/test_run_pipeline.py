@@ -223,3 +223,31 @@ def test_run_pipeline_repair_stage(spark, tmp_path, monkeypatch):
     assert rep.filter(F.col("id") != F.col("cluster_id")).count() == 0
     entities = duckdb.sql(f"SELECT * FROM '{out2}/entities/*.parquet'").df()
     assert len(entities) == n_records
+
+
+def test_run_match_assign_writes_capacitated_assignments(
+    spark, tmp_path, monkeypatch
+):
+    from bigmatch_utilities_spark.synthdata import repo_files_df
+
+    records = repo_files_df(spark, seed=7, n_clusters=30)
+    inp = str(tmp_path / "records")
+    records.write.mode("overwrite").parquet(inp)
+    out = str(tmp_path / "out")
+    argv = [
+        "run_match.py",
+        "--input", inp,
+        "--output", out,
+        "--no-minhash",
+        "--assign", "1,2",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    rm = _load("run_match")
+    rm.main()
+    assert os.path.exists(f"{out}/assignments/_SUCCESS")
+    asg = spark.read.parquet(f"{out}/assignments")
+    per_rec = asg.groupBy("id_rec").count().agg(F.max("count")).collect()[0][0]
+    per_mem = asg.groupBy("id_mem").count().agg(F.max("count")).collect()[0][0]
+    assert per_rec <= 1 and per_mem <= 2
+    assert asg.count() > 0
