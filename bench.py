@@ -528,6 +528,22 @@ def main() -> None:
 
     counters["pattern_dep_rows"] = timed("pattern_dependence", q_pattern_dep)
 
+    def q_capacitated():
+        import __spark_entry__ as entrymod
+
+        return entrymod.queries()["gb_capacitated_assignment"](
+            spark, SF_DIR
+        ).count()
+
+    counters["capacitated_rows"] = timed("capacitated_assign", q_capacitated)
+
+    def q_dsir_sample():
+        import __spark_entry__ as entrymod
+
+        return entrymod.queries()["is_dsir_sample"](spark, SF_DIR).count()
+
+    counters["dsir_sample_rows"] = timed("dsir_sample", q_dsir_sample)
+
     # throughput denominator: candidate pairs actually entering the
     # comparator stage (BASELINE's candidate-pairs/sec unit), counted on
     # the same plans after the timed runs so the count jobs don't pollute
