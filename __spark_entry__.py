@@ -3201,6 +3201,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["qc_domain_quota"] = qc
 
+    # ---- LF: cross-document frequent-line excision (line dedup) ----------
+    def lf(spark, sf):
+        from bigmatch_utilities_spark.operators.corpus_ops import line_dedup
+
+        d = _t(spark, sf, "documents")
+        # synthetic docs have no newlines; inject boilerplate footers so
+        # the frequent-line detector has real work (two frequent lines,
+        # plus doc-unique lines that must survive)
+        m3 = F.col("doc_id") % 3 == 0
+        m5 = F.col("doc_id") % 5 == 0
+        t = F.col("text")
+        t = F.when(m3, F.concat(t, F.lit("\ncookie banner boilerplate"))).otherwise(t)
+        t = F.when(m5, F.concat(t, F.lit("\nall rights reserved footer"))).otherwise(t)
+        return line_dedup(
+            d.withColumn("text", t), "text", "doc_id", min_df=10
+        )
+
+    q["lf_line_dedup"] = lf
+
     # ---- IR: DSIR importance-resampling selection ------------------------
     def ir(spark, sf):
         from bigmatch_utilities_spark.operators.dsir import dsir_keep
@@ -3292,6 +3311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver_first = [
         # new in round 5 (tenth session)
         "qc_domain_quota",
+        "lf_line_dedup",
         "ir_dsir_select",
         "is_dsir_sample",
         "pd_pattern_dependence",
@@ -5902,6 +5922,20 @@ def oracle_sql() -> dict[str, str]:
         "documents",
         150,
         buckets=512,
+    )
+
+    from bigmatch_utilities_spark.operators.corpus_ops import line_dedup_sql
+
+    o["lf_line_dedup"] = line_dedup_sql(
+        """(SELECT doc_id,
+                (CASE WHEN doc_id % 3 = 0
+                      THEN text || chr(10) || 'cookie banner boilerplate'
+                      ELSE text END)
+                || (CASE WHEN doc_id % 5 = 0
+                         THEN chr(10) || 'all rights reserved footer'
+                         ELSE '' END) AS text
+            FROM documents)""",
+        min_df=10,
     )
 
     from bigmatch_utilities_spark.operators.dsir import dsir_sample_sql

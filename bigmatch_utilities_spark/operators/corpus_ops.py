@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _hash64, word_shingles
+from .dedup import _hash64, _hash64_sql, word_shingles
 
 # ---------------------------------------------------------------------------
 # 1. leakage-safe split
@@ -462,3 +462,124 @@ def quota_cap_sql(
         f"(PARTITION BY {group_expr} ORDER BY {order}) AS quota_rank "
         f"FROM {table}) WHERE quota_rank <= {cap}"
     )
+
+
+# ---------------------------------------------------------------------------
+# 8. cross-document frequent-line excision (RefinedWeb/CCNet line dedup)
+# ---------------------------------------------------------------------------
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    min_df: int = 10,
+) -> DataFrame:
+    """Remove every line that appears verbatim in >= ``min_df`` distinct
+    documents — the line-level dedup step of the CCNet/RefinedWeb
+    pipelines that strips navigation chrome, cookie banners, and license
+    footers which whole-doc and span-level dedup both miss (the line
+    recurs across MILLIONS of docs but is a tiny fraction of each).
+
+    Emits (doc_id, clean_text, n_lines, n_removed): surviving lines
+    rejoined with NEWLINE in original order; a document whose every line
+    is boilerplate keeps a row with clean_text = '' (no silent row loss —
+    the golden_record lesson). Blank lines are never counted or removed.
+
+    Plan: posexplode lines (map-only), one groupBy on the md5-prefix
+    line hash counting DISTINCT docs (linear in total lines, map-side
+    combined), semi-join of the frequent set back onto the line stream,
+    one groupBy(doc) to reassemble via sort_array(collect_list(struct))
+    — deterministic order, no window. At 100 TB the frequent-line set
+    is tiny by construction (each member appears >= min_df times), so
+    AQE broadcasts the anti-join side; the two line-stream shuffles are
+    the irreducible cost of exact line-level dedup.
+    """
+    lines = df.select(
+        F.col(id_col).alias("_ld_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_ln"),
+    ).withColumn("_h", _hash64(F.col("_ln")))
+    counted = (
+        lines.filter(F.trim(F.col("_ln")) != "")
+        .groupBy("_h")
+        .agg(F.countDistinct("_ld_id").alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("_h")
+    )
+    flagged = lines.join(counted, "_h", "left_semi").select(
+        "_ld_id", "_pos"
+    ).withColumn("_rm", F.lit(1))
+    merged = (
+        lines.join(flagged, ["_ld_id", "_pos"], "left")
+        .groupBy("_ld_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.coalesce(F.col("_rm"), F.lit(0))).alias("n_removed"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_rm").isNull(),
+                                F.struct(
+                                    F.col("_pos").alias("pos"),
+                                    F.col("_ln").alias("ln"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["ln"],
+                ),
+            ).alias("clean_text"),
+        )
+        .select(
+            F.col("_ld_id").alias("doc_id"),
+            "clean_text",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("n_removed").cast("long").alias("n_removed"),
+        )
+    )
+    return merged
+
+
+def line_dedup_sql(
+    table: str,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    *,
+    min_df: int = 10,
+) -> str:
+    """DuckDB twin: zipped unnest for (pos, line), HAVING count(DISTINCT)
+    for the frequent set, string_agg(... ORDER BY pos) to reassemble.
+    collect_list drops the NULL structs Spark's when() emits for removed
+    lines, so the FILTER clause here is the exact mirror."""
+    h = _hash64_sql("_ln")
+    return f"""
+        WITH ld_lines AS (
+            SELECT {id_expr} AS _id,
+                   unnest(range(1, len(string_split({text_expr}, chr(10))) + 1))
+                       AS _pos,
+                   unnest(string_split({text_expr}, chr(10))) AS _ln
+            FROM {table}
+        ),
+        ld_freq AS (
+            SELECT {h} AS _h FROM ld_lines
+            WHERE trim(_ln) <> ''
+            GROUP BY 1 HAVING count(DISTINCT _id) >= {min_df}
+        ),
+        ld_mark AS (
+            SELECT _id, _pos, _ln,
+                   ({h} IN (SELECT _h FROM ld_freq)) AS _rm
+            FROM ld_lines
+        )
+        SELECT _id AS doc_id,
+               COALESCE(
+                   string_agg(_ln, chr(10) ORDER BY _pos)
+                       FILTER (WHERE NOT _rm), '') AS clean_text,
+               count(*) AS n_lines,
+               CAST(sum(CASE WHEN _rm THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_removed
+        FROM ld_mark GROUP BY _id
+    """

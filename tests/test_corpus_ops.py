@@ -387,3 +387,37 @@ def test_quota_cap_without_quality_keeps_lowest_ids(spark):
         r.doc_id for r in quota_cap(df, "doc_id", "source", 4).collect()
     )
     assert got == [0, 1, 2, 3]
+
+
+def test_line_dedup_removes_frequent_lines_keeps_order(spark):
+    from bigmatch_utilities_spark.operators.corpus_ops import line_dedup
+
+    footer = "(c) example corp all rights reserved"
+    rows = [
+        (i, f"unique opener {i}\n{footer}\nunique closer {i}") for i in range(12)
+    ] + [
+        (100, "no footer here\njust content"),
+        (101, footer),          # footer-only doc -> empty clean_text, row kept
+        (102, f"{footer}\n\n{footer}"),  # doubled footer + blank line
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in line_dedup(df, "text", "doc_id", min_df=10).collect()}
+    assert len(out) == 15
+    assert out[0].clean_text == "unique opener 0\nunique closer 0"
+    assert out[0].n_lines == 3 and out[0].n_removed == 1
+    assert out[100].clean_text == "no footer here\njust content"
+    assert out[100].n_removed == 0
+    assert out[101].clean_text == "" and out[101].n_removed == 1
+    # both footers go; the surviving blank line renders as empty text
+    assert out[102].clean_text == ""
+    assert out[102].n_removed == 2 and out[102].n_lines == 3
+
+
+def test_line_dedup_below_threshold_untouched(spark):
+    from bigmatch_utilities_spark.operators.corpus_ops import line_dedup
+
+    rows = [(i, f"shared line\nbody {i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in line_dedup(df, "text", "doc_id", min_df=10).collect()}
+    assert all(v.n_removed == 0 for v in out.values())
+    assert out[3].clean_text == "shared line\nbody 3"
