@@ -544,6 +544,13 @@ def main() -> None:
 
     counters["dsir_sample_rows"] = timed("dsir_sample", q_dsir_sample)
 
+    def q_line_dedup():
+        import __spark_entry__ as entrymod
+
+        return entrymod.queries()["lf_line_dedup"](spark, SF_DIR).count()
+
+    counters["line_dedup_docs"] = timed("line_dedup", q_line_dedup)
+
     # throughput denominator: candidate pairs actually entering the
     # comparator stage (BASELINE's candidate-pairs/sec unit), counted on
     # the same plans after the timed runs so the count jobs don't pollute
