@@ -128,6 +128,14 @@ def main() -> None:
     )
     p.add_argument("--sample-default", type=float, default=1.0)
     p.add_argument(
+        "--line-dedup-min-df",
+        type=int,
+        default=None,
+        help="strip every line shared verbatim by >= N distinct docs "
+        "(CCNet/RefinedWeb line dedup) before the whole-doc near-dedup; "
+        "total excised lines go to stats.json as lines_removed",
+    )
+    p.add_argument(
         "--dsir-target",
         default=None,
         help="parquet/table of target-domain documents; keeps the "
@@ -244,6 +252,25 @@ def main() -> None:
             .drop("_span_dup")
         )
     stats["after_span_dedup"] = profiled.count()
+
+    # 2b2. optional cross-document frequent-line excision (CCNet/
+    # RefinedWeb line dedup: strip lines shared verbatim by >= N docs —
+    # navigation chrome / license footers — and keep the cleaned text)
+    if args.line_dedup_min_df is not None:
+        from bigmatch_utilities_spark.operators.corpus_ops import line_dedup
+
+        ld = line_dedup(
+            profiled, txt, idc, min_df=args.line_dedup_min_df
+        ).select(F.col("doc_id").alias(idc), "clean_text", "n_removed")
+        profiled = (
+            profiled.join(ld, idc)
+            .drop(txt)
+            .withColumnRenamed("clean_text", txt)
+        )
+        stats["lines_removed"] = int(
+            profiled.agg(F.sum("n_removed")).collect()[0][0] or 0
+        )
+        profiled = profiled.drop("n_removed")
 
     # 2c. optional LM-perplexity bucket filter (CCNet discipline: rank by
     # corpus-trained char-bigram NLL, keep the named tertiles)

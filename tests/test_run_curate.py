@@ -356,3 +356,32 @@ def test_run_curate_dsir_stage(spark, tmp_path, monkeypatch):
     kept = sorted(r.doc_id for r in curated.select("doc_id").collect())
     assert stats["after_dsir"] == 10
     assert all(i % 2 == 0 for i in kept), kept
+
+
+def test_run_curate_line_dedup_stage(spark, tmp_path, monkeypatch):
+    footer = "all rights reserved by example corp"
+    rows = [
+        (i, f"unique document body number {i} with distinct words\n{footer}")
+        for i in range(12)
+    ]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(inp)
+    out = str(tmp_path / "out")
+    _run(
+        monkeypatch,
+        spark,
+        [
+            "--input", inp, "--output", out,
+            "--bands", "4", "--rows-per-band", "1",
+            "--max-bucket", "0", "--shard-rows", "0",
+            "--threshold", "1.01",
+            "--line-dedup-min-df", "10",
+        ],
+    )
+    with open(f"{out}/stats.json") as fh:
+        stats = json.load(fh)
+    curated = spark.read.parquet(f"{out}/curated")
+    texts = [r.text for r in curated.collect()]
+    assert stats["lines_removed"] == 12
+    assert all(footer not in t for t in texts)
+    assert all(t.startswith("unique document body") for t in texts)
