@@ -22,6 +22,9 @@ stages, so the expensive LSH/join work only sees survivors:
                positional-winnowing detector); drop rows whose verbatim
                cross-doc duplicated fraction exceeds the bound — catches
                the boilerplate-heavy documents whole-doc MinHash keeps
+  2b2. linededup (with --line-dedup-min-df) strip every line shared
+               verbatim by >= N distinct docs — CCNet/RefinedWeb line
+               dedup; excised-line total goes to stats.json
   3. dedup     MinHash-LSH -> shingle-Jaccard -> connected components;
                per near-dup cluster keep the --keep-by representative
                (quality = best copy survives; min-id = deterministic
